@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference builds ad-hoc sessions per script with duplicated config keys
+(reference sparkConsumer.py:9-16, sparkML.py:28-35); here one factory owns
+the session so every entry point gets the same tuned configuration:
+
+- AQE on (runtime coalescing, skew-join splitting) — on a real cluster this
+  is what keeps 100 TB shuffles healthy without hand-tuned partition counts.
+- Arrow on for any pandas interchange (serving path) and pandas UDFs.
+- Session timezone pinned to UTC so event-time semantics are stable across
+  machines (and comparable to UTC-naive engines like DuckDB).
+- Shuffle partitions sized to the local core count for tests; on a cluster
+  AQE coalesces from a deliberately-high initial number instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "nyc-yellow-taxi-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local mode is a single JVM where ``spark.driver.memory`` is the only
+    memory knob; on a cluster the same config block applies unchanged and
+    AQE takes over partition sizing.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Some producers write TIMESTAMP(NANOS) parquet (e.g. pandas default);
+        # Spark has no nanos timestamp — read as long and convert at the scan
+        # (sources/io.py) instead of failing.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,167 @@
+"""Batch sources and sinks.
+
+Covers the reference's I/O surface (SURVEY.md §2.1) re-expressed natively:
+
+- S1  Parquet scan        -> spark.read.parquet (vectorized reader, pushdown)
+- S3  JDBC scan           -> spark.read.format("jdbc") with *partitioned*
+                             reads (the reference reads single-partition,
+                             sparkML.py:40-46 — a scan bottleneck at scale)
+- S5  CSV scan            -> spark.read.csv with explicit schema preferred
+- S8  JDBC append sink    -> df.write.format("jdbc").mode("append")
+- S9  DDL-from-schema     -> schema_to_ddl (StructType -> CREATE TABLE),
+                             matching the reference's type mapping
+                             (sparkConsumer.py:123-141) including its
+                             lowercase identifier folding (SURVEY.md §1.3)
+- S11 CSV sink            -> write via df.write.csv
+
+Kafka source/sink and streaming file sources live in ``streaming/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/pruning into the reader."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the test tables from a scale-factor directory.
+
+    TIMESTAMP(NANOS) parquet columns (which Spark cannot represent) arrive
+    as nanosecond longs via ``spark.sql.legacy.parquet.nanosAsLong`` and are
+    converted here to microsecond timestamps — the same truncation DuckDB
+    and most readers apply.
+    """
+    # Runtime-settable; applied here so the engine works under any caller's
+    # SparkSession (the driver builds its own), not just sessions from
+    # session.get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan (reference 1_EDA_Dashboard.py:25-26, main.py:65 use pandas).
+    Explicit schema avoids the inference pass; inferSchema only as fallback."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC scan with optional partitioned parallel read.
+
+    The reference reads its whole table through one JDBC cursor
+    (sparkML.py:40-46); at scale that serializes the scan, so we expose
+    Spark's partitionColumn/numPartitions parallel read.
+    """
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
+def write_jdbc_append(
+    df: DataFrame, url: str, table: str, properties: dict[str, str] | None = None
+) -> None:
+    """JDBC append sink (reference sparkConsumer.py:147-154)."""
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Parquet sink; partition_by enables partition pruning for readers
+    (e.g. year/month of the pickup timestamp — SURVEY.md §4)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+_SQL_TYPES: dict[type, str] = {
+    T.TimestampType: "TIMESTAMP",
+    T.IntegerType: "INTEGER",
+    T.LongType: "BIGINT",
+    T.DoubleType: "DOUBLE PRECISION",
+    T.FloatType: "REAL",
+    T.BooleanType: "BOOLEAN",
+    T.DateType: "DATE",
+}
+
+
+def schema_to_ddl(schema: T.StructType, table: str, lowercase: bool = True) -> str:
+    """CREATE TABLE DDL from a StructType (reference sparkConsumer.py:123-141).
+
+    The reference emits unquoted identifiers which Postgres case-folds to
+    lowercase (SURVEY.md §1.3); ``lowercase=True`` makes that folding
+    explicit so the DDL matches what downstream consumers actually see.
+    Unknown types map to VARCHAR(255), as in the reference.
+    """
+    cols = []
+    for field in schema.fields:
+        name = field.name.lower() if lowercase else field.name
+        sql_type = _SQL_TYPES.get(type(field.dataType), "VARCHAR(255)")
+        cols.append(f"{name} {sql_type}")
+    return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"

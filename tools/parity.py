@@ -1,0 +1,101 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query in Spark and its oracle SQL in DuckDB on the
+same parquet tables, then compares: row count, column names, and an
+order-insensitive exact value comparison (columns sorted by name, rows
+sorted by all columns, floats compared bit-for-bit — stricter than any
+tolerance-based hash the driver might use).
+
+Usage: python -m tools.parity [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+from nyc_yellow_taxi_trip_data_pipeline_spark.session import get_spark
+from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import TESTDATA_TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if str(sv.dtype).startswith("datetime") or str(dv.dtype).startswith("datetime"):
+            sv = pd.to_datetime(sv).dt.tz_localize(None)
+            dv = pd.to_datetime(dv).dt.tz_localize(None)
+        eq = (sv == dv) | (sv.isna() & dv.isna())
+        if not eq.all():
+            bad = (~eq).idxmax()
+            problems.append(
+                f"col {c!r}: {int((~eq).sum())}/{len(eq)} mismatched rows; "
+                f"first at sorted-row {bad}: spark={sv[bad]!r} duck={dv[bad]!r} "
+                f"(dtypes {s[c].dtype}/{d[c].dtype})"
+            )
+    return problems
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = [a for a in args if not os.path.isdir(a)] or list(QUERIES)
+    spark = get_spark("parity-check")
+    con = duck_connection(sf_dir)
+    failures = 0
+    for name in names:
+        spec = QUERIES[name]
+        if spec.oracle is None:
+            df = spec.spark(spark, sf_dir)
+            n = df.count()
+            print(f"[rows-only] {name}: {n} rows")
+            continue
+        try:
+            spark_pdf = spec.spark(spark, sf_dir).toPandas()
+            duck_pdf = con.execute(spec.oracle).df()
+            problems = compare(name, spark_pdf, duck_pdf)
+        except Exception as exc:  # noqa: BLE001
+            problems = [f"exception: {type(exc).__name__}: {exc}"]
+        if problems:
+            failures += 1
+            print(f"[FAIL] {name}")
+            for p in problems:
+                print(f"       {p}")
+        else:
+            print(f"[ ok ] {name}: {len(spark_pdf)} rows match")
+    print(f"\n{len(names) - failures}/{len(names)} queries match at {sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
