@@ -1,0 +1,209 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB training-data path:
+
+- **Exact** dedup is a hash group-by — one shuffle on the text (or its md5,
+  to keep shuffle rows small).
+- **MinHash+LSH** is the scale path for near-dup detection: per-doc
+  signatures are a single agg pass, band buckets turn the O(n^2) pairwise
+  problem into an equi-join on band keys, and exact Jaccard runs only on
+  band-colliding candidates.
+- **SimHash** compresses each doc to a small integer fingerprint with one
+  agg pass; near-dups collide on (or differ by few bits from) the
+  fingerprint.
+- **n-gram Jaccard** via an inverted shingle index (explode -> self-join on
+  shingle -> count) — exact, used to verify candidates or as the oracle
+  of record at small scale.
+
+Determinism/portability: hash functions are md5-based (string-min MinHash,
+hex-digit SimHash) so any engine reproduces identical signatures — no
+engine-specific murmur seeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, word) pairs, distinct — the set representation of each doc."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .distinct()
+    )
+
+
+def shingle_distinct(
+    df: DataFrame, n: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n-gram shingle) pairs, distinct. Word n-grams via a native
+    higher-order transform over the split array (1-indexed element_at, so
+    the same expression is portable SQL)."""
+    parts = " || ' ' || ".join(f"element_at(w, i + {j})" for j in range(n))
+    return (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"transform(sequence(1, size(w) - {n - 1}), i -> {parts})")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups: canonical (min) id + copy count per text."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Deterministic dropDuplicates: keep the lowest ``order_col`` row per
+    key (Spark's dropDuplicates keeps an arbitrary row — unacceptable for
+    reproducible pipelines)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 12, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature: for each hash i, the minimum of
+    md5(i || ':' || shingle) over the doc's shingle set. String-min of a
+    cryptographic hex digest is a valid uniform min-hash and is exactly
+    reproducible in any engine with md5()."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame, n_hashes: int = 12, band_size: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Long-format (id, band_id, band_key): signature rows sliced into
+    bands of ``band_size`` concatenated hashes."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(id_col, F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band — the
+    equi-join that replaces the quadratic all-pairs comparison."""
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via the inverted index:
+    |A ∩ B| from a shingle equi-join restricted to candidates,
+    |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> signatures -> bands ->
+    candidate pairs -> exact-Jaccard verify -> threshold."""
+    sh = shingle_distinct(df, n=shingle_n, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col)
+    cands = lsh_candidate_pairs(
+        lsh_bands(sigs, n_hashes=n_hashes, band_size=band_size, id_col=id_col),
+        id_col=id_col,
+    )
+    return jaccard_on_pairs(cands, sh, id_col=id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash16(
+    tokens: DataFrame, id_col: str = "doc_id", word_col: str = "w"
+) -> DataFrame:
+    """16-bit SimHash fingerprint per doc in ONE aggregation pass.
+
+    Each distinct token hashes to 16 bits (first 4 hex chars of md5); each
+    bit contributes +1/−1 to a per-bit accumulator; fingerprint bit j is
+    the sign of accumulator j. All-integer arithmetic — bit-exact in any
+    engine, no merge-order sensitivity.
+    """
+    hw = "CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)"
+    sums = [
+        F.expr(
+            f"sum(CASE WHEN CAST(FLOOR(({hw}) / {1 << j}) AS BIGINT) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    acc = tokens.withColumnRenamed(word_col, "w").groupBy(id_col).agg(*sums)
+    fp = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return acc.select(id_col, fp.cast("int").alias("simhash"))

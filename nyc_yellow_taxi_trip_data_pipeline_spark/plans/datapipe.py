@@ -1,6 +1,471 @@
-"""Training-data pipeline operators: dedup, similarity, text, multimodal.
+"""Training-data pipeline query inventory: dedup, similarity, text,
+multimodal — the operators a 100 TB LLM-data pipeline needs, each
+oracle-checked where SQL can express the semantics.
 
-Populated incrementally; see operators/ for the implementation layer.
+Implementation layer: operators/{dedup,similarity,text,multimodal}.py.
+Hash portability: every signature/fingerprint derives from md5 (available
+and identical in Spark, DuckDB, and any other engine) — never from
+engine-specific hash functions.
 """
 
 from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import multimodal as mm
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import similarity as sim
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import text as tx
+from nyc_yellow_taxi_trip_data_pipeline_spark.plans.registry import register
+from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+
+# ---------------------------------------------------------------------------
+# q30 — exact dedup groups (hash group-by on content).
+# ---------------------------------------------------------------------------
+@register(
+    "q30_dedup_exact",
+    """
+    SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    description="Exact dedup: one shuffle on content (at scale: on md5(content) "
+    "so shuffle rows stay small), min-id canonical representative.",
+    tags=("dedup",),
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs).select("text", "canonical_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# q31 — deterministic keep-first dedup on a derived key.
+# ---------------------------------------------------------------------------
+@register(
+    "q31_dedup_keep_first",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+    description="Keep-first-per-key dedup via ranking window — the "
+    "deterministic replacement for dropDuplicates (which keeps an "
+    "arbitrary row).",
+    tags=("dedup", "window"),
+)
+def q31_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.dedup_keep_first(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — MinHash + LSH near-duplicate detection (the scale path), with
+# exact-Jaccard verification of band-colliding candidates only.
+# ---------------------------------------------------------------------------
+_MH_N = 12
+_MH_BAND = 2
+
+def _mh_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_MH_N)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+        for b in range(_MH_N // _MH_BAND)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS s
+      FROM w
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh0),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           (i.n_common / (sa.n + sb.n - i.n_common)) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE (i.n_common / (sa.n + sb.n - i.n_common)) >= 0.5
+    """
+
+
+@register(
+    "q32_minhash_lsh_neardup",
+    _mh_sql(),
+    description="MinHash(12 md5-hashes)+LSH(6 bands) near-dup pipeline over "
+    "bigram shingles: signatures in one agg pass, candidates from a band "
+    "equi-join (never O(n^2)), exact Jaccard only on candidates.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.minhash_near_duplicates(
+        docs, threshold=0.5, n_hashes=_MH_N, band_size=_MH_BAND, shingle_n=2
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# q33 — SimHash fingerprints (16-bit, md5-derived, one agg pass).
+# ---------------------------------------------------------------------------
+def _simhash_sql() -> str:
+    hv = (
+        "((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 4096"
+        " + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 256"
+        " + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1))"
+    )
+    sums = ", ".join(
+        f"SUM(CASE WHEN CAST(FLOOR({hv} / {1 << j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    d AS (SELECT DISTINCT doc_id, w FROM t),
+    acc AS (SELECT doc_id, {sums} FROM d GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS INTEGER) AS simhash FROM acc
+    """
+
+
+@register(
+    "q33_simhash",
+    _simhash_sql(),
+    description="16-bit SimHash per doc: token hash bits vote +1/-1 into 16 "
+    "integer accumulators in a single agg pass — fingerprint sign pattern is "
+    "exact integer math (order-independent).",
+    tags=("dedup", "simhash"),
+)
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.simhash16(dd.tokenize_distinct(docs))
+
+
+# ---------------------------------------------------------------------------
+# q34 — exact cosine top-k similarity search (brute-force baseline).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_embedding_topk",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, label,
+           ROUND(list_dot_product(ev, qv)
+                 / (SQRT(list_dot_product(ev, ev)) * SQRT(list_dot_product(qv, qv))),
+                 6) AS cosine_sim
+    FROM e, q
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+    description="Exact cosine top-10 against a stored query vector: "
+    "broadcast the query, one map-only scan (zip_with/aggregate vector "
+    "math, JVM-side), tiny top-k reduce — no vector shuffle.",
+    tags=("similarity", "topk"),
+)
+def q34_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q35 — embedding near-dup: most-similar within-block pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "q35_embedding_neardup",
+    """
+    WITH e AS (
+      SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings
+    )
+    SELECT a.block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.ev, b.ev)
+                 / (SQRT(list_dot_product(a.ev, a.ev)) * SQRT(list_dot_product(b.ev, b.ev))),
+                 6) AS cosine_sim
+    FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    ORDER BY cosine_sim DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+    description="Embedding-cosine near-dup candidates: pairwise join blocked "
+    "by label (the block key bounds the quadratic term, as LSH buckets "
+    "would), top-20 most-similar pairs.",
+    tags=("similarity", "dedup"),
+)
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.blocked_neardup_topk(emb, k=20)
+
+
+# ---------------------------------------------------------------------------
+# q36 — SRP-LSH ANN: bucket the space with md5-seeded sign projections,
+# score only the query's bucket. Quantized integer accumulation makes
+# bucket assignment engine-exact, so even this is oracle-checkable.
+# ---------------------------------------------------------------------------
+_SRP_PLANES = 8
+_SRP_SCALE = 1000000
+
+def _srp_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    quant AS (
+      SELECT vec_id, j, CAST(FLOOR(v * {_SRP_SCALE} + 0.5) AS BIGINT) AS vq
+      FROM comps
+    ),
+    planes AS (
+      SELECT p, j,
+             CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
+      FROM generate_series(0, {_SRP_PLANES - 1}) t(p),
+           generate_series(1, 64) u(j)
+    ),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.vq * pl.sign) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM quant q JOIN planes pl ON q.j = pl.j
+      GROUP BY q.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    qrow AS (
+      SELECT b.bucket AS qbucket, e.ev AS qv
+      FROM buckets b JOIN e ON e.vec_id = b.vec_id WHERE b.vec_id = 0
+    )
+    SELECT e.vec_id, e.label, b.bucket,
+           ROUND(list_dot_product(e.ev, q.qv)
+                 / (SQRT(list_dot_product(e.ev, e.ev)) * SQRT(list_dot_product(q.qv, q.qv))),
+                 6) AS cosine_sim
+    FROM e
+    JOIN buckets b ON e.vec_id = b.vec_id
+    JOIN qrow q ON b.bucket = q.qbucket
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    """
+
+
+@register(
+    "q36_ann_srp_bucket",
+    _srp_sql(),
+    description="Approximate NN via signed-random-projection LSH: md5-seeded "
+    "±1 hyperplanes, integer-quantized projections (bit-exact bucketing), "
+    "exact cosine only within the query's bucket — 1/2^8 of the data "
+    "scanned per query at scale.",
+    tags=("similarity", "ann", "lsh"),
+)
+def q36_ann_srp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim.ann_candidates(emb, query_vec_id=0, n_planes=_SRP_PLANES)
+    return out.select("vec_id", "label", "bucket", "cosine_sim")
+
+
+# ---------------------------------------------------------------------------
+# q37 — text quality features + composite score.
+# ---------------------------------------------------------------------------
+_SW = ", ".join(f"'{s}'" for s in tx.STOPWORDS)
+
+
+@register(
+    "q37_text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+             len(list_filter(string_split(text, ' '), x -> x IN ({_SW}))) AS n_stop,
+             length(replace(text, ' ', '')) AS n_alpha,
+             len(regexp_extract_all(text, '[a-z]+')) AS n_runs,
+             length(text) AS n_len
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+           n_distinct_words * 1.0 / n_words AS uniq_ratio,
+           n_stop * 1.0 / n_words AS stopword_ratio,
+           n_alpha * 1.0 / n_words AS avg_word_len,
+           CAST(n_runs + CAST(FLOOR(n_len / 4.0) AS BIGINT) AS BIGINT) AS token_est,
+           LEAST(1.0, n_words / 100.0) * 0.4
+             + (n_distinct_words * 1.0 / n_words) * 0.4
+             + LEAST(1.0, (n_stop * 1.0 / n_words) * 5.0) * 0.2 AS quality_score
+    FROM base
+    """,
+    description="Per-document quality features (word/distinct/stopword "
+    "counts, ratios, token estimate, composite score) — one codegen'd "
+    "projection, no Python.",
+    tags=("text", "quality"),
+)
+def q37_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.quality_features(docs).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_words",
+        "n_distinct_words",
+        "uniq_ratio",
+        "stopword_ratio",
+        "avg_word_len",
+        "token_est",
+        "quality_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — language-ID heuristic (profile scores -> deterministic argmax).
+# ---------------------------------------------------------------------------
+def _langid_sql() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{m}'" for m in markers), lang
+        )
+        for lang, markers in tx.LANG_PROFILES.items()
+    )
+    langs = list(tx.LANG_PROFILES)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]] + [
+            f"s_{lang} > s_{p}" for p in langs[:i]
+        ]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[0]}' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+    SELECT doc_id, lang AS actual_lang, {case} AS predicted_lang,
+           ({case}) = lang AS lang_match
+    FROM scored
+    """
+
+
+@register(
+    "q38_lang_id",
+    _langid_sql(),
+    description="Language-ID by marker-profile scoring + deterministic "
+    "argmax (first-wins tie order) — the char-n-gram-profile structure with "
+    "profiles as data.",
+    tags=("text", "langid"),
+)
+def q38_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pred = tx.predict_lang(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — content fingerprinting (md5 + 64-bit join key).
+# ---------------------------------------------------------------------------
+@register(
+    "q39_fingerprint",
+    """
+    SELECT doc_id, md5(lower(text)) AS content_md5,
+           substr(md5(lower(text)), 1, 16) AS content_key
+    FROM documents
+    """,
+    description="Document fingerprints: md5 of normalized content plus a "
+    "64-bit prefix key (what an exact-dedup shuffle keys on at scale).",
+    tags=("text", "fingerprint"),
+)
+def q39_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return tx.fingerprint(docs).select("doc_id", "content_md5", "content_key")
+
+
+# ---------------------------------------------------------------------------
+# q40 — multimodal metadata (binary payload + typed metadata, JVM-side).
+# ---------------------------------------------------------------------------
+@register(
+    "q40_multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+                WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS media_format
+    FROM documents
+    """,
+    description="Opaque binary media column + typed metadata derived "
+    "without decoding — the filter-before-decode columns.",
+    tags=("multimodal",),
+)
+def q40_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    df = mm.payload_metadata(mm.attach_binary_payload(docs))
+    return df.select("doc_id", "n_bytes", "media_format")
+
+
+# ---------------------------------------------------------------------------
+# q41 — multimodal decode via mapInPandas (Arrow-batched Python stage).
+# The oracle reproduces the deterministic fake-decode arithmetic in SQL,
+# so this checks the ENTIRE mapInPandas path end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_multimodal_decode",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+                  WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format
+      FROM documents
+    )
+    SELECT doc_id, n_bytes, format,
+           CAST(64 + n_bytes % 640 AS INTEGER) AS width,
+           CAST(64 + (n_bytes * 7) % 480 AS INTEGER) AS height,
+           TRUE AS ok
+    FROM m
+    """,
+    description="Decode stage as mapInPandas (iterator-of-Arrow-batches — "
+    "the real codec-UDF contract; decode itself is a deterministic stub, "
+    "media libs absent here). Oracle reproduces the stub arithmetic, "
+    "verifying the full Python-stage round trip.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q41_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return mm.decode_images(mm.payload_metadata(mm.attach_binary_payload(docs)))
