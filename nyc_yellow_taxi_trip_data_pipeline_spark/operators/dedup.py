@@ -171,7 +171,13 @@ def minhash_near_duplicates(
     text_col: str = "text",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signatures -> bands ->
-    candidate pairs -> exact-Jaccard verify -> threshold."""
+    candidate pairs -> exact-Jaccard verify -> threshold.
+
+    The shingle set feeds four downstream subtrees (signatures, sizes, and
+    both sides of the intersection join). At cluster scale you materialize
+    the shingle table to parquet once per corpus snapshot; recomputing the
+    explode is measured-cheaper here than caching (and a persist held
+    across queries pressures the whole session)."""
     sh = shingle_distinct(df, n=shingle_n, id_col=id_col, text_col=text_col)
     sigs = minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(

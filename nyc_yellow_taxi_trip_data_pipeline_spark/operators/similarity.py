@@ -8,18 +8,32 @@
   quantized dot products with md5-seeded ±1 hyperplanes; ANN search only
   scans the query's bucket. Quantized integer accumulation keeps bucket
   assignment bit-exact across engines and runs.
+
+Performance notes (measured at sf0.1):
+- Norms are precomputed once per vector, not per pair — the pairwise join
+  then does one fold (the dot product) instead of three.
+- SRP projections are a join-free projection: the ±1 hyperplanes are baked
+  as literal arrays and folded with zip_with/aggregate, so bucketing is a
+  map-only stage (no explode, no shuffle).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from nyc_yellow_taxi_trip_data_pipeline_spark.functions.vector import cosine_similarity
+from nyc_yellow_taxi_trip_data_pipeline_spark.functions.vector import dot_product, l2_norm
 
 
-def as_double(col: str = "embedding"):
+def as_double(col: str = "embedding") -> Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _cosine_from_norms(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(dot / denom)
 
 
 def brute_force_topk(
@@ -29,7 +43,7 @@ def brute_force_topk(
     6 dp before ranking so the ordering itself is reproducible."""
     q = emb.filter(F.col(id_col) == query_vec_id).select(
         as_double().alias("qv")
-    )
+    ).select("qv", l2_norm(F.col("qv")).alias("qn"))
     e = emb.filter(F.col(id_col) != query_vec_id).select(
         id_col, "label", as_double().alias("ev")
     )
@@ -38,7 +52,14 @@ def brute_force_topk(
         .select(
             id_col,
             "label",
-            F.round(cosine_similarity(F.col("ev"), F.col("qv")), 6).alias("cosine_sim"),
+            F.round(
+                _cosine_from_norms(
+                    dot_product(F.col("ev"), F.col("qv")),
+                    l2_norm(F.col("ev")),
+                    F.col("qn"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
@@ -52,14 +73,20 @@ def blocked_neardup_topk(
 
     Blocking on ``block_col`` bounds the pairwise join to within-block
     cardinality (the same role LSH buckets play when no natural block key
-    exists)."""
-    a = emb.select(
-        F.col(id_col).alias("vec_a"), F.col(block_col).alias("block"),
-        as_double().alias("va"),
+    exists). Norms are computed once per vector BEFORE the join — the
+    O(pairs) stage folds each pair once, not three times."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(block_col).alias("block"),
+        as_double().alias("v"),
+    ).select("vid", "block", "v", l2_norm(F.col("v")).alias("norm"))
+    a = base.select(
+        F.col("vid").alias("vec_a"), "block",
+        F.col("v").alias("va"), F.col("norm").alias("na"),
     )
-    b = emb.select(
-        F.col(id_col).alias("vec_b"), F.col(block_col).alias("block"),
-        as_double().alias("vb"),
+    b = base.select(
+        F.col("vid").alias("vec_b"), "block",
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
     )
     return (
         a.join(b, "block")
@@ -68,55 +95,59 @@ def blocked_neardup_topk(
             "block",
             "vec_a",
             "vec_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+            F.round(
+                _cosine_from_norms(
+                    dot_product(F.col("va"), F.col("vb")),
+                    F.col("na"),
+                    F.col("nb"),
+                ),
+                6,
+            ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(k)
     )
 
 
+def _plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane components, md5-seeded: component (p, j) is +1 iff the
+    first hex digit of md5('p:j') >= '8' (1-indexed j) — reproducible in
+    any engine/language with md5."""
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0] >= "8" else -1
+            for j in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def srp_buckets(
     emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", scale: int = 1000000
 ) -> DataFrame:
-    """Signed-random-projection bucket per vector.
+    """Signed-random-projection bucket per vector — a MAP-ONLY projection.
 
-    Hyperplane component (p, j) is +1 when the first hex digit of
-    md5('p:j') is >= '8', else −1 — reproducible anywhere md5 exists.
-    Vector components are quantized to integers before the signed sum, so
-    the bucket sign is exact integer math (no float-merge nondeterminism).
+    Vector components are quantized to integers (floor(v*scale+0.5)), the
+    signed sums fold against literal ±1 arrays, and the bucket is the sign
+    bit pattern. No shuffle, no Python, exact integer math end-to-end.
     """
-    exploded = emb.select(
-        id_col, F.posexplode(as_double()).alias("pos0", "v")
-    ).select(id_col, (F.col("pos0") + 1).alias("j"), F.col("v"))
-    quant = exploded.withColumn(
-        "vq", F.floor(F.col("v") * scale + F.lit(0.5)).cast("long")
-    )
-    planes = None
-    spark = emb.sparkSession
     dim = len(emb.select("embedding").first()[0])
-    rows = []
-    import hashlib
-
+    signs = _plane_signs(n_planes, dim)
+    vq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long"),
+    )
+    bucket = None
     for p in range(n_planes):
-        for j in range(1, dim + 1):
-            digit = hashlib.md5(f"{p}:{j}".encode()).hexdigest()[0]
-            rows.append((p, j, 1 if digit >= "8" else -1))
-    planes = spark.createDataFrame(rows, "p int, j int, sign int")
-    signed = (
-        quant.join(F.broadcast(planes), "j")
-        .groupBy(id_col, "p")
-        .agg(F.sum(F.col("vq") * F.col("sign")).alias("acc"))
-        .select(
-            id_col,
-            "p",
-            F.when(F.col("acc") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        sign_arr = F.array(*[F.lit(s) for s in signs[p]])
+        acc = F.aggregate(
+            F.zip_with(vq, sign_arr, lambda v, s: v * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
         )
-    )
-    return signed.groupBy(id_col).agg(
-        F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("p")).cast("long"))
-        .cast("int")
-        .alias("bucket")
-    )
+        bit = F.when(acc >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(id_col, bucket.cast("int").alias("bucket"))
 
 
 def ann_candidates(
@@ -129,7 +160,7 @@ def ann_candidates(
     with_bucket = emb.join(buckets, id_col)
     qb = with_bucket.filter(F.col(id_col) == query_vec_id).select(
         F.col("bucket").alias("qbucket"), as_double().alias("qv")
-    )
+    ).select("qbucket", "qv", l2_norm(F.col("qv")).alias("qn"))
     cands = with_bucket.filter(F.col(id_col) != query_vec_id)
     return (
         cands.join(F.broadcast(qb), cands.bucket == F.col("qbucket"))
@@ -138,7 +169,12 @@ def ann_candidates(
             "label",
             "bucket",
             F.round(
-                cosine_similarity(as_double(), F.col("qv")), 6
+                _cosine_from_norms(
+                    dot_product(as_double(), F.col("qv")),
+                    l2_norm(as_double()),
+                    F.col("qn"),
+                ),
+                6,
             ).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))

@@ -72,15 +72,21 @@ def q31_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q32 — MinHash + LSH near-duplicate detection (the scale path), with
 # exact-Jaccard verification of band-colliding candidates only.
 # ---------------------------------------------------------------------------
+# 12 hashes in 4 bands of 3: P(candidate) = 1-(1-j^3)^4 — ~0.94 recall at
+# j=0.8 (the planted near-dups) while random pairs (j≈0.05) collide with
+# p≈5e-4, keeping the verify join linear in true candidates.
 _MH_N = 12
-_MH_BAND = 2
+_MH_BAND = 3
 
 def _mh_sql() -> str:
     sig_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_MH_N)
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, mh{2*b} || mh{2*b+1} AS band_key FROM sigs"
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"mh{b * _MH_BAND + j}" for j in range(_MH_BAND)),
+        )
         for b in range(_MH_N // _MH_BAND)
     )
     return f"""
@@ -123,7 +129,7 @@ def _mh_sql() -> str:
 @register(
     "q32_minhash_lsh_neardup",
     _mh_sql(),
-    description="MinHash(12 md5-hashes)+LSH(6 bands) near-dup pipeline over "
+    description="MinHash(12 md5-hashes)+LSH(4 bands of 3) near-dup pipeline over "
     "bigram shingles: signatures in one agg pass, candidates from a band "
     "equi-join (never O(n^2)), exact Jaccard only on candidates.",
     tags=("dedup", "minhash", "lsh"),
