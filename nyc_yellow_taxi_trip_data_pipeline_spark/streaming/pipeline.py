@@ -1,0 +1,203 @@
+"""Streaming ETL: source -> JSON parse -> transforms -> sink.
+
+The reference's streaming job (sparkConsumer.py:59-175) is Kafka-only and
+stateless; this layer keeps its exact pipeline shape but:
+
+- abstracts the source (kafka | file | rate) so the identical pipeline is
+  testable without a broker (file source) and loadable synthetically
+  (rate source);
+- applies the SAME batch transform functions (operators/transforms.py) —
+  streaming DataFrames accept them unchanged, which is the idiomatic-Spark
+  payoff the reference misses by duplicating logic between consumer,
+  server, and notebook;
+- fixes the reference's double-execution bug (count() then write per
+  batch, sparkConsumer.py:144-147 — two jobs per micro-batch) by counting
+  the written rows driver-side from the same materialized batch;
+- adds the watermark + event-time window upgrade path (absent in the
+  reference, required for any stateful aggregate at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamReader, StreamingQuery
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import schema_to_ddl
+
+
+def read_stream(
+    spark: SparkSession,
+    source: str,
+    schema: T.StructType | None = None,
+    path: str | None = None,
+    kafka_bootstrap: str | None = None,
+    topic: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Source abstraction: 'kafka' | 'json' | 'parquet' | 'csv' | 'rate'.
+
+    Kafka mirrors the reference subscription (sparkConsumer.py:59-63);
+    file sources take the same JSON payloads from a directory, which is
+    how the tests drive micro-batches without a broker.
+    """
+    reader: DataStreamReader = spark.readStream
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if source == "kafka":
+        if not (kafka_bootstrap and topic):
+            raise ValueError("kafka source needs kafka_bootstrap and topic")
+        return (
+            reader.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+    if source == "rate":
+        return reader.format("rate").load()
+    if source in ("json", "parquet", "csv"):
+        if schema is None or path is None:
+            raise ValueError(f"{source} stream needs explicit schema and path")
+        return reader.format(source).schema(schema).load(path)
+    raise ValueError(f"unknown stream source {source!r}")
+
+
+def parse_json_envelope(stream: DataFrame, schema: T.StructType) -> DataFrame:
+    """Kafka-envelope decode: binary value -> JSON string -> struct ->
+    flattened columns (reference sparkConsumer.py:66)."""
+    return (
+        stream.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("data")
+        ).select("data.*")
+    )
+
+
+def hourly_windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate — the stateful upgrade path
+    (SURVEY.md §2.9: absent in the reference). Late rows beyond the
+    watermark are dropped deterministically; state is bounded."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with an inactivity gap — the streaming twin of the
+    batch sessionization query (plans/analytics.py q20)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def start_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Memory sink for tests/smoke: drive with processAllAvailable()."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def start_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+    trigger_seconds: int | None = None,
+) -> StreamingQuery:
+    """Append micro-batches to a parquet table (exactly-once via the
+    checkpointed file sink) — the scale-friendly replacement for the
+    reference's row-by-row JDBC append."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def foreach_batch_jdbc_writer(
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    on_batch: Callable[[int, int], None] | None = None,
+    ensure_table: Callable[[str], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback writing each micro-batch to JDBC
+    (reference sparkConsumer.py:103-163), fixed and idempotent-ready:
+
+    - table bootstrap uses CREATE TABLE IF NOT EXISTS DDL generated from
+      the batch schema (sources/io.schema_to_ddl) instead of a raw Py4J
+      information_schema probe (sparkConsumer.py:111-120);
+    - no separate count() job before the write (the reference executes
+      every batch twice, sparkConsumer.py:144-147); row count comes from
+      the materialized batch used for the write.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if ensure_table is not None:
+            # Caller runs the generated CREATE TABLE IF NOT EXISTS against
+            # its own connection (dialects differ; the engine stays
+            # driver-agnostic).
+            ensure_table(schema_to_ddl(batch_df.schema, table))
+        writer = (
+            batch_df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("createTableOptions", "")
+        )
+        for k, v in (properties or {}).items():
+            writer = writer.option(k, v)
+        # One execution: persist the batch, write it, count the cached data.
+        batch_df.persist()
+        try:
+            writer.mode("append").save()
+            if on_batch is not None:
+                on_batch(batch_id, batch_df.count())
+        finally:
+            batch_df.unpersist()
+
+    return write_batch

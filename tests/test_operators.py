@@ -1,0 +1,137 @@
+"""Unit tests for dedup / similarity / text / multimodal operators on tiny
+hand-checkable inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import multimodal as mm
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import similarity as sim
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r["text"]: r for r in dd.exact_dedup_groups(docs).collect()}
+    dup = groups["the quick brown fox jumps over the lazy dog"]
+    assert dup["canonical_id"] == 0 and dup["n_copies"] == 2
+
+
+def test_dedup_keep_first_deterministic(docs):
+    kept = dd.dedup_keep_first(docs, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2]
+
+
+def test_minhash_finds_planted_neardup(docs):
+    pairs = dd.minhash_near_duplicates(
+        docs, threshold=0.5, n_hashes=12, band_size=2, shingle_n=2
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 3) in got  # exact dup: jaccard 1.0
+    assert all(j.jaccard >= 0.5 for j in pairs)
+    pair_03 = next(r for r in pairs if (r.doc_a, r.doc_b) == (0, 3))
+    assert pair_03.jaccard == 1.0
+
+
+def test_jaccard_value_exact(spark):
+    docs2 = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    sh = dd.shingle_distinct(docs2, n=1)
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    j = dd.jaccard_on_pairs(pairs, sh).collect()[0]
+    assert j.jaccard == 3 / 5  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    fps = {r.doc_id: r.simhash for r in dd.simhash16(dd.tokenize_distinct(docs)).collect()}
+    assert fps[0] == fps[3]           # identical token sets
+    assert 0 <= fps[0] < (1 << 16)
+    assert fps[0] != fps[2]           # disjoint content differs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # close to 0
+        (2, [0.0, 1.0, 0.0], 0),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0], 1),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk_ordering(vectors):
+    got = sim.brute_force_topk(vectors, query_vec_id=0, k=3).collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+    assert got[0].cosine_sim == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert got[1].cosine_sim == 0.0
+    assert got[2].cosine_sim == -1.0
+
+
+def test_blocked_neardup_respects_blocks(vectors):
+    pairs = sim.blocked_neardup_topk(vectors, k=10).collect()
+    assert all(r.block == 0 for r in pairs)  # label 1 has a single vector
+    best = pairs[0]
+    assert (best.vec_a, best.vec_b) == (0, 1)
+
+
+def test_srp_bucket_stability_and_ann(vectors):
+    b = {r.vec_id: r.bucket for r in sim.srp_buckets(vectors, n_planes=4).collect()}
+    assert all(0 <= v < 16 for v in b.values())
+    cands = sim.ann_candidates(vectors, query_vec_id=0, n_planes=4).collect()
+    assert all(r.bucket == b[0] for r in cands)
+
+
+def test_text_quality_features(spark):
+    df = spark.createDataFrame([(0, "the cat sat on the mat")], "doc_id long, text string")
+    row = tx.quality_features(df).collect()[0]
+    assert row.n_words == 6
+    assert row.n_distinct_words == 5  # 'the' twice
+    assert row.stopword_ratio == pytest.approx(2 / 6)
+    assert row.avg_word_len == pytest.approx(17 / 6)
+    assert 0.0 <= row.quality_score <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "the a fast thing"), (1, "spark stream batch pipeline")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred for r in df.select(
+        "doc_id", tx.predict_lang(F.col("text")).alias("pred")
+    ).collect()}
+    assert got[0] == "en"
+    assert got[1] == "zh"
+
+
+def test_fingerprint_stable(docs):
+    fps = {r.doc_id: r for r in tx.fingerprint(docs).collect()}
+    assert fps[0]["content_md5"] == fps[3]["content_md5"]
+    assert len(fps[0]["content_md5"]) == 32
+    assert fps[0]["content_key"] == fps[0]["content_md5"][:16]
+
+
+def test_multimodal_decode_stub_dimensions(docs):
+    out = mm.decode_images(mm.payload_metadata(mm.attach_binary_payload(docs)))
+    rows = {r.doc_id: r for r in out.collect()}
+    n = len("the quick brown fox jumps over the lazy dog".encode())
+    assert rows[0].n_bytes == n
+    assert rows[0].width == 64 + n % 640
+    assert rows[0].height == 64 + (n * 7) % 480
+    assert rows[0].ok is True
+    assert rows[0].format in ("png", "jpeg", "webp")

@@ -1,0 +1,176 @@
+"""Streaming tests without a broker: file-source micro-batches drive the
+same pipeline the Kafka path uses (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators.transforms import (
+    add_trip_features,
+    parse_timestamps,
+)
+from nyc_yellow_taxi_trip_data_pipeline_spark.streaming import (
+    hourly_windowed_agg,
+    parse_json_envelope,
+    read_stream,
+    session_windowed_agg,
+    start_memory_sink,
+)
+
+TRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("tpep_pickup_datetime", T.StringType()),
+        T.StructField("tpep_dropoff_datetime", T.StringType()),
+        T.StructField("passenger_count", T.DoubleType()),
+        T.StructField("trip_distance", T.DoubleType()),
+        T.StructField("fare_amount", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture
+def trip_json_dir(tmp_path):
+    rows = [
+        {
+            "tpep_pickup_datetime": "2024-05-06T06:00:00",
+            "tpep_dropoff_datetime": "2024-05-06T06:30:00",
+            "passenger_count": 1.0,
+            "trip_distance": 2.0,
+            "fare_amount": 10.0,
+        },
+        {
+            "tpep_pickup_datetime": "2024-05-06T07:15:00",
+            "tpep_dropoff_datetime": "2024-05-06T07:45:00",
+            "passenger_count": 2.0,
+            "trip_distance": 4.0,
+            "fare_amount": 20.0,
+        },
+    ]
+    path = tmp_path / "stream_in"
+    path.mkdir()
+    (path / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(path)
+
+
+def test_file_stream_applies_batch_transforms(spark, trip_json_dir):
+    stream = read_stream(spark, "json", schema=TRIP_SCHEMA, path=trip_json_dir)
+    assert stream.isStreaming
+    cleaned = add_trip_features(parse_timestamps(stream))
+    q = start_memory_sink(cleaned, "cleaned_stream")
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT trip_duration, pickup_timeofday, fare_per_mile "
+            "FROM cleaned_stream ORDER BY trip_duration"
+        ).collect()
+    finally:
+        q.stop()
+    assert [r.trip_duration for r in out] == [30.0, 30.0]
+    assert {r.pickup_timeofday for r in out} == {"morning"}
+    assert sorted(r.fare_per_mile for r in out) == [5.0, 5.0]
+
+
+def test_json_envelope_parse_matches_kafka_shape(spark, tmp_path):
+    """The Kafka value column is binary JSON; simulate it exactly."""
+    payload = {
+        "tpep_pickup_datetime": "2024-05-06T06:00:00",
+        "tpep_dropoff_datetime": "2024-05-06T06:10:00",
+        "passenger_count": 1.0,
+        "trip_distance": 1.0,
+        "fare_amount": 5.0,
+    }
+    d = tmp_path / "envelope"
+    d.mkdir()
+    (d / "b.json").write_text(json.dumps({"value": json.dumps(payload)}))
+    env_schema = T.StructType([T.StructField("value", T.StringType())])
+    stream = read_stream(spark, "json", schema=env_schema, path=str(d))
+    parsed = parse_json_envelope(
+        stream.select(F.col("value").cast("binary").alias("value")), TRIP_SCHEMA
+    )
+    q = start_memory_sink(parsed, "envelope_out")
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM envelope_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["fare_amount"] == 5.0
+    assert set(parsed.columns) == {f.name for f in TRIP_SCHEMA.fields}
+
+
+def test_windowed_agg_with_watermark(spark, tmp_path):
+    events_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = tmp_path / "events_in"
+    d.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:05:00", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T10:55:00", "user_id": 1, "value": 2.0},
+        {"ts": "2024-01-01T11:05:00", "user_id": 2, "value": 4.0},
+    ]
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = read_stream(spark, "json", schema=events_schema, path=str(d))
+    agg = hourly_windowed_agg(stream)
+    q = start_memory_sink(agg, "hourly_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        out = {
+            r.window_start.isoformat(): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM hourly_out").collect()
+        }
+    finally:
+        q.stop()
+    assert out["2024-01-01T10:00:00"] == (2, 3.0)
+    assert out["2024-01-01T11:00:00"] == (1, 4.0)
+
+
+def test_session_window_gap(spark, tmp_path):
+    events_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:00:00", "user_id": 1},
+        {"ts": "2024-01-01T10:10:00", "user_id": 1},  # same session (10 min gap)
+        {"ts": "2024-01-01T12:00:00", "user_id": 1},  # new session (>30 min)
+    ]
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = read_stream(spark, "json", schema=events_schema, path=str(d))
+    agg = session_windowed_agg(stream)
+    q = start_memory_sink(agg, "sessions_out", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        rows_out = spark.sql(
+            "SELECT n_events FROM sessions_out ORDER BY session_start"
+        ).collect()
+    finally:
+        q.stop()
+    assert [r.n_events for r in rows_out] == [2, 1]
+
+
+def test_foreach_batch_collects_batches(spark, trip_json_dir):
+    stream = read_stream(spark, "json", schema=TRIP_SCHEMA, path=trip_json_dir)
+    seen: list[tuple[int, int]] = []
+
+    def sink(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = stream.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen) == 2
