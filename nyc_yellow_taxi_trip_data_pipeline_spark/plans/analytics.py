@@ -842,3 +842,250 @@ def q23_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         qsum(F.col("value")).alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q24 — multi-way join: region -> nation -> customer -> orders (dim chain
+# broadcast, fact shuffled once) — revenue per nation.
+# ---------------------------------------------------------------------------
+@register(
+    "q24_revenue_by_nation",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_orders,
+           {sql_qsum('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    description="Four-way star join: the dimension chain "
+    "(customer->nation->region) broadcasts, the orders fact never "
+    "shuffles for the joins — only the final two-key aggregation shuffles.",
+    tags=("join", "agg"),
+)
+def q24_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            qsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — skew-safe salted aggregation (two-stage). Result is bit-identical
+# to the direct group-by (integer partials), so the oracle IS the plain
+# aggregate — the salting is purely a physical-plan hedge for hot keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q25_salted_agg",
+    f"""
+    SELECT event_type,
+           {sql_qsum('value')} AS sum_value,
+           ({sql_qsum('value')} / COUNT(value)) AS avg_value,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Salted two-stage aggregation for skewed keys: stage 1 "
+    "aggregates (key, salt) sub-groups, stage 2 merges integer partials — "
+    "numerically identical to the direct group-by, but no reducer ever "
+    "owns a whole hot key.",
+    tags=("agg", "skew"),
+)
+def q25_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.skew import (
+        salted_quantized_agg,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    return salted_quantized_agg(
+        ev, key="event_type", value=F.col("value"), salt_expr=F.col("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — CUBE: all grouping-set combinations in one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q26_status_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_qsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE over status x priority: detail, both marginals, and "
+    "grand total from a single expanded aggregation.",
+    tags=("agg", "cube"),
+)
+def q26_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        qsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — grouped-map UDF (applyInPandas): per-group z-score standardization.
+# Group stats use the quantized-integer contract (numpy int64 sums) so the
+# Arrow/pandas path is bit-identical to the SQL oracle — a full end-to-end
+# check of the grouped-map machinery, not just a rows-only smoke.
+# ---------------------------------------------------------------------------
+@register(
+    "q27_grouped_zscore",
+    f"""
+    WITH s0 AS (
+      SELECT event_type,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(FLOOR((value * value) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sq,
+             COUNT(value) AS n
+      FROM events GROUP BY event_type
+    ),
+    s1 AS (SELECT event_type, ((s / 100.0) / n) AS mean_v, sq, n FROM s0),
+    s2 AS (
+      SELECT event_type, mean_v,
+             SQRT(((sq / 100.0) - (n * mean_v) * mean_v) / (n - 1)) AS std_v
+      FROM s1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s2.mean_v) / s2.std_v AS zscore
+    FROM events e JOIN s2 ON e.event_type = s2.event_type
+    """,
+    description="Per-group standardization via applyInPandas (grouped-map "
+    "UDF, Arrow-batched): pandas computes quantized-integer group stats so "
+    "results are bit-identical to the relational formulation.",
+    tags=("pandas-udf", "groupby"),
+)
+def q27_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore_group(pdf):
+        # Self-contained closure (executor workers can't import the repo
+        # package). Mirrors the oracle SQL op-for-op: quantized int64 sums,
+        # then the same double-precision expression order.
+        import numpy as np
+
+        v = pdf["value"].to_numpy()
+        q = np.floor(v * 100 + 0.5).astype("int64")
+        qq = np.floor((v * v) * 100 + 0.5).astype("int64")
+        n = len(v)
+        mean_v = (q.sum() / 100.0) / n
+        std_v = (((qq.sum() / 100.0) - (n * mean_v) * mean_v) / (n - 1)) ** 0.5
+        return pdf.assign(zscore=(v - mean_v) / std_v)
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore_group,
+        schema="event_id long, event_type string, value double, zscore double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — scalar pandas UDF (Arrow-vectorized) for the time-of-day bucketing:
+# the reference implements this as a row-at-a-time Python UDF
+# (sparkConsumer.py:71-80); the engine's production path is the native CASE
+# chain (q02), and THIS query demonstrates the vectorized-UDF surface with
+# identical semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "q28_pandas_udf_bucketing",
+    f"""
+    SELECT {SQL_TIMEOFDAY_ETL.format(h='hour(ts)')} AS timeofday, COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    description="Arrow-vectorized scalar pandas UDF computing the ETL "
+    "time-of-day buckets (semantics of reference UDF U1) — the "
+    "demonstrate-the-UDF-surface twin of q02's native CASE.",
+    tags=("pandas-udf",),
+)
+def q28_pandas_udf_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _timeofday(hour):
+        out = pd.Series("late night", index=hour.index)
+        out[hour.between(6, 11)] = "morning"
+        out[hour.between(12, 15)] = "afternoon"
+        out[hour.between(16, 21)] = "evening"
+        return out
+
+    # Real (non-string) annotations: this module uses
+    # `from __future__ import annotations`, which would stringify inline
+    # hints and break pandas_udf's signature inspection.
+    _timeofday.__annotations__ = {"hour": pd.Series, "return": pd.Series}
+    timeofday_udf = pandas_udf("string")(_timeofday)
+
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(timeofday_udf(F.hour("ts")).alias("timeofday"))
+        .groupBy("timeofday")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — Kafka-sink serialization roundtrip: row -> JSON envelope (S7,
+# kafkaProducer.py:36-42) -> parse back (F12). The oracle checks roundtrip
+# identity on the payload fields.
+# ---------------------------------------------------------------------------
+@register(
+    "q29_json_roundtrip",
+    """
+    SELECT event_id, event_type, value FROM events
+    """,
+    description="to_json(struct(*)) -> from_json roundtrip — the Kafka "
+    "producer's row->JSON envelope and the consumer's parse, composed; "
+    "oracle asserts the roundtrip is the identity.",
+    tags=("serialization", "streaming"),
+)
+def q29_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    payload = ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
+    )
+    parsed = payload.select(
+        F.from_json(
+            F.col("value"), "event_id long, event_type string, value double"
+        ).alias("data")
+    )
+    return parsed.select("data.*")
+
+
+# ---------------------------------------------------------------------------
+# q42 — approximate sketches (HLL distinct, approx quantiles): the at-scale
+# substitutes for q09/q13-style exact answers. Approx values are
+# engine-specific -> rows-only check (the exact twins ARE oracle-checked).
+# ---------------------------------------------------------------------------
+@register(
+    "q42_approx_sketches",
+    None,
+    description="approx_count_distinct (HyperLogLog++) and approx "
+    "percentiles — the sketch-based forms used instead of exact "
+    "distinct/percentile at 100 TB. Rows-only check: sketch values are "
+    "engine-specific by design.",
+    tags=("agg", "approx"),
+)
+def q42_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("approx_quartiles"),
+        F.count("*").alias("n"),
+    )
