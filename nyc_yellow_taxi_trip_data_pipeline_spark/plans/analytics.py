@@ -1089,3 +1089,45 @@ def q42_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("approx_quartiles"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q43 — the Spark SQL API surface (S4): the same Catalyst plan as the
+# DataFrame API, written as SQL over registered views — the dashboard's
+# "SELECT ... FROM cleaned table" entry point made native.
+# ---------------------------------------------------------------------------
+@register(
+    "q43_sql_api",
+    f"""
+    SELECT event_type,
+           {SQL_TIMEOFDAY_ETL.format(h='hour(ts)')} AS timeofday,
+           COUNT(*) AS n,
+           {sql_qavg('value')} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Pure spark.sql() query over registered temp views — "
+    "identical Catalyst plan to the DataFrame form; demonstrates the SQL "
+    "passthrough entry point (reference reads via SQLAlchemy+pandas).",
+    tags=("sql", "agg"),
+)
+def q43_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 'morning'
+                    WHEN hour(ts) BETWEEN 12 AND 15 THEN 'afternoon'
+                    WHEN hour(ts) BETWEEN 16 AND 21 THEN 'evening'
+                    ELSE 'late night' END AS timeofday,
+               COUNT(*) AS n,
+               -- 100.0D: Spark SQL parses bare 100.0 as DECIMAL (DuckDB as
+               -- DOUBLE); the D suffix keeps the arithmetic in doubles.
+               ((CAST(SUM(CAST(FLOOR(value * 100 + 0.5D) AS BIGINT)) AS BIGINT) / 100.0D)
+                / COUNT(value)) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        """
+    )

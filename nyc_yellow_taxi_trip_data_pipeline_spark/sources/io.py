@@ -129,6 +129,12 @@ def write_jdbc_append(
     writer.mode("append").save()
 
 
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (reference featureEngineering.ipynb cell 5
+    writes sampled test rows via pandas to_csv)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:

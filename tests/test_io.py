@@ -1,0 +1,94 @@
+"""Sources/sinks unit tests: CSV round trip, DDL generation, partitioned
+parquet layout, pandas interchange, dropna."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+    read_csv,
+    schema_to_ddl,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id int, name string, v double"
+    )
+    path = str(tmp_path / "csv_out")
+    write_csv(df, path)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_csv_infer_schema_fallback(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    path = str(tmp_path / "csv_infer")
+    write_csv(df, path)
+    back = read_csv(spark, path)  # no schema -> inference
+    assert back.collect()[0]["id"] == 1
+
+
+def test_schema_to_ddl_type_mapping_and_case_folding():
+    schema = T.StructType(
+        [
+            T.StructField("VendorID", T.StringType()),
+            T.StructField("tpep_pickup_datetime", T.TimestampType()),
+            T.StructField("passenger_count", T.DoubleType()),
+            T.StructField("pickup_hour", T.IntegerType()),
+            T.StructField("pickup_is_weekend", T.BooleanType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    ddl = schema_to_ddl(schema, "cleaned_tripdata")
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS cleaned_tripdata (")
+    # lowercase folding (the reference relies on Postgres doing this
+    # implicitly; we make it explicit - SURVEY.md §1.3)
+    assert "vendorid VARCHAR(255)" in ddl
+    assert "tpep_pickup_datetime TIMESTAMP" in ddl
+    assert "passenger_count DOUBLE PRECISION" in ddl
+    assert "pickup_hour INTEGER" in ddl
+    assert "pickup_is_weekend BOOLEAN" in ddl
+    assert "event_id BIGINT" in ddl
+
+
+def test_partitioned_parquet_enables_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(2024, 5, 1.0), (2024, 6, 2.0), (2023, 5, 3.0)],
+        "year int, month int, v double",
+    )
+    path = str(tmp_path / "part_out")
+    write_parquet(df, path, partition_by=["year", "month"])
+    back = spark.read.parquet(path).filter("year = 2024 AND month = 5")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == 1
+    # partition filters must reach the scan (pruning, not a full read)
+    assert "PartitionFilters: [" in plan and "year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_pandas_interchange_arrow(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = spark.createDataFrame(pdf)
+    assert df.count() == 2
+    back = df.toPandas()
+    assert list(back.columns) == ["a", "b"]
+    assert back["a"].tolist() == [1, 2]
+
+
+def test_na_drop_all_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, None)], "x int, y string"
+    )
+    assert df.na.drop().count() == 1
