@@ -71,38 +71,54 @@ def blocked_neardup_topk(
 ) -> DataFrame:
     """Most-similar within-block pairs (embedding near-dup detection).
 
-    Blocking on ``block_col`` bounds the pairwise join to within-block
+    Blocking on ``block_col`` bounds the pairwise problem to within-block
     cardinality (the same role LSH buckets play when no natural block key
-    exists). Norms are computed once per vector BEFORE the join — the
-    O(pairs) stage folds each pair once, not three times."""
-    base = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(block_col).alias("block"),
-        as_double().alias("v"),
-    ).select("vid", "block", "v", l2_norm(F.col("v")).alias("norm"))
-    a = base.select(
-        F.col("vid").alias("vec_a"), "block",
-        F.col("v").alias("va"), F.col("norm").alias("na"),
-    )
-    b = base.select(
-        F.col("vid").alias("vec_b"), "block",
-        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    exists). The O(block²) cosine matrix is computed per block in ONE
+    Arrow-batched applyInPandas stage with BLAS (float64 matmul — the one
+    place a vectorized Python stage beats interpreted higher-order
+    expressions by an order of magnitude), emitting only each block's
+    top candidates; the tiny survivor set is rounded and globally ranked
+    JVM-side. Per-block emit keeps the shuffle O(blocks·k), not O(pairs).
+    """
+    margin = 3 * k  # per-block overfetch so global rounding ties can't
+    #                 cut a pair that belongs in the global top-k
+
+    def block_pairs(pdf):
+        # Self-contained closure: executor workers can't import the repo.
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        e = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+        norms = np.sqrt((e * e).sum(axis=1))
+        sims = (e @ e.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), 1)
+        # orient pairs as (min_id, max_id) to match the relational form
+        a_ids, b_ids = ids[ia], ids[ib]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        out = pd.DataFrame(
+            {
+                "block": pdf[block_col].iloc[0],
+                "vec_a": lo,
+                "vec_b": hi,
+                "cosine_raw": sims[ia, ib],
+            }
+        )
+        return out.sort_values(
+            ["cosine_raw", "vec_a", "vec_b"], ascending=[False, True, True]
+        ).head(margin)
+
+    candidates = emb.select(id_col, block_col, "embedding").groupBy(block_col).applyInPandas(
+        block_pairs,
+        schema=f"block {dict(emb.dtypes)[block_col]}, vec_a long, vec_b long, cosine_raw double",
     )
     return (
-        a.join(b, "block")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
+        candidates.select(
             "block",
             "vec_a",
             "vec_b",
-            F.round(
-                _cosine_from_norms(
-                    dot_product(F.col("va"), F.col("vb")),
-                    F.col("na"),
-                    F.col("nb"),
-                ),
-                6,
-            ).alias("cosine_sim"),
+            F.round(F.col("cosine_raw"), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(k)

@@ -1,0 +1,91 @@
+"""Scale-path evidence tests: bucketed co-located joins, seeded sampling,
+optional-MLflow fallback, salted-agg equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.ml.pipeline import try_log_mlflow
+from nyc_yellow_taxi_trip_data_pipeline_spark.operators.skew import (
+    salted_quantized_agg,
+)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy on the join key co-locates both sides: the join plan must
+    contain no Exchange — the technique that makes repeated fact-fact
+    joins affordable at 100 TB."""
+    spark.conf.set(
+        "spark.sql.sources.default", "parquet"
+    )
+    warehouse_a = "bucketed_facts_a"
+    warehouse_b = "bucketed_facts_b"
+    left = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    right = spark.range(0, 10000).withColumn("w", F.col("id") * 3)
+    left.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(warehouse_a)
+    right.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(warehouse_b)
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Disable auto-broadcast: at real fact-fact scale neither side
+        # broadcasts; that's exactly when bucketing pays off.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table(warehouse_a)
+        b = spark.table(warehouse_b)
+        joined = a.join(b, "id")
+        assert joined.count() == 10000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {warehouse_a}")
+        spark.sql(f"DROP TABLE IF EXISTS {warehouse_b}")
+
+
+def test_seeded_sample_and_split_reproducible(spark):
+    df = spark.range(0, 10000)
+    s1 = df.sample(fraction=0.1, seed=42).collect()
+    s2 = df.sample(fraction=0.1, seed=42).collect()
+    assert s1 == s2
+    assert 500 < len(s1) < 1500
+    a1, b1 = df.randomSplit([0.8, 0.2], seed=42)
+    a2, b2 = df.randomSplit([0.8, 0.2], seed=42)
+    assert a1.count() == a2.count() and b1.count() == b2.count()
+
+
+def test_mlflow_logging_is_optional():
+    """Never a hard dependency (the reference imports mlflow
+    unconditionally, sparkML.py:8): absent mlflow -> False, no raise."""
+    try:
+        import mlflow  # noqa: F401
+
+        pytest.skip("mlflow installed; fallback path not exercisable")
+    except ImportError:
+        pass
+    assert try_log_mlflow(None, {}, {}) is False
+
+
+def test_salted_agg_equals_direct(spark):
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)] + [("b", 5.0)] * 50,
+        "k string, value double",
+    )
+    salted = {
+        r["k"]: (r.sum_value, r.avg_value, r.n)
+        for r in salted_quantized_agg(
+            df, "k", F.col("value"), salt_expr=F.monotonically_increasing_id()
+        ).collect()
+    }
+    direct = {
+        r["k"]: (r.s, r.a, r.n)
+        for r in df.groupBy("k")
+        .agg(
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0).alias("s"),
+            ((F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / 100.0) / F.count("value")).alias("a"),
+            F.count("value").alias("n"),
+        )
+        .collect()
+    }
+    assert salted == direct
