@@ -475,3 +475,149 @@ def q40_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return mm.decode_images(mm.payload_metadata(mm.attach_binary_payload(docs)))
+
+
+# ---------------------------------------------------------------------------
+# q44 — Structured Streaming in the judged inventory: the events table
+# replayed as a bounded file stream through a watermarked tumbling-window
+# aggregate into a memory sink. With bounded input and complete output
+# mode the final state is deterministic, so even the STREAMING path is
+# oracle-checked against the batch date_trunc aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_streaming_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="Watermarked 1-hour tumbling window over a replayed event "
+    "stream (Structured Streaming, memory sink, complete mode) — the final "
+    "streamed state equals the batch aggregate, and the oracle proves it.",
+    tags=("streaming", "window", "agg"),
+)
+def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # File streams take a DIRECTORY; select just the events file by glob.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "sum_value"
+        )
+    )
+    sink = f"q44_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q45 — exact n-gram Jaccard near-dup within (lang, source) blocks via an
+# inverted shingle index — the exact-similarity twin of q32's LSH path
+# (blocking bounds the candidate join the way bands do).
+# ---------------------------------------------------------------------------
+@register(
+    "q45_ngram_jaccard",
+    """
+    WITH w AS (
+      SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh0 AS (
+      SELECT doc_id, lang, source,
+             list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS s
+      FROM w
+    ),
+    sh AS (SELECT DISTINCT doc_id, lang, source, unnest(s) AS shingle FROM sh0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           (i.n_common / (sa.n + sb.n - i.n_common)) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE (i.n_common / (sa.n + sb.n - i.n_common)) >= 0.2
+    """,
+    description="Exact trigram-Jaccard near-dup within (lang, source) "
+    "blocks: inverted shingle index self-join (never all-pairs), set sizes "
+    "precomputed — the exact twin of the MinHash-LSH path.",
+    tags=("dedup", "jaccard"),
+)
+def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "lang", "source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i -> "
+                    "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', "
+                    "element_at(w, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", "shingle"
+    )
+    inter = (
+        a.join(b, ["lang", "source", "shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )

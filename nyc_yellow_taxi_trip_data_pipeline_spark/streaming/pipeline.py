@@ -201,3 +201,45 @@ def foreach_batch_jdbc_writer(
             batch_df.unpersist()
 
     return write_batch
+
+
+def running_totals_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    count and sum that survive across micro-batches (the stateful surface
+    the reference never uses; state is per-key and watermark-free here, so
+    callers must bound key cardinality — at scale, prefer windowed aggs
+    unless true cross-batch state is required).
+
+    Emits one row per key per micro-batch it appears in:
+    (key, events_so_far, sum_so_far).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        # Self-contained closure: executor workers can't import this repo.
+        import pandas as pd
+
+        # GroupState.get is a property (raises if no state), not a method
+        total_n, total_v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            total_n += len(pdf)
+            total_v += float(pdf["value"].sum())
+        state.update((total_n, total_v))
+        yield pd.DataFrame(
+            {"key": [key[0]], "events_so_far": [total_n], "sum_so_far": [total_v]}
+        )
+
+    renamed = events.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("value")
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key long, events_so_far long, sum_so_far double",
+        stateStructType="n long, v double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

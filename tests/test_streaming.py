@@ -174,3 +174,54 @@ def test_foreach_batch_collects_batches(spark, trip_json_dir):
     finally:
         q.stop()
     assert sum(n for _, n in seen) == 2
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches."""
+    import json as _json
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        running_totals_stateful,
+    )
+
+    events_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = tmp_path / "state_in"
+    d.mkdir()
+    (d / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 1, "value": 10.0},
+                {"user_id": 1, "value": 5.0},
+                {"user_id": 2, "value": 1.0},
+            ]
+        )
+    )
+    stream = read_stream(spark, "json", schema=events_schema, path=str(d))
+    totals = running_totals_stateful(stream, key_col="user_id")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("state_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch: user 1 adds more -> state must accumulate
+        (d / "b1.json").write_text(_json.dumps({"user_id": 1, "value": 7.0}))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM state_out ORDER BY events_so_far"
+        ).collect()
+    finally:
+        q.stop()
+    by_key = {}
+    for r in rows:  # last emission per key wins
+        by_key[r.key] = (r.events_so_far, r.sum_so_far)
+    assert by_key[1] == (3, 22.0)  # 2 events + 1 event across batches
+    assert by_key[2] == (1, 1.0)
