@@ -199,15 +199,20 @@ def simhash16(
     the sign of accumulator j. All-integer arithmetic — bit-exact in any
     engine, no merge-order sensitivity.
     """
-    hw = "CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)"
+    # Hash once per token in a projection; the 16 bit-vote aggregates then
+    # read the integer column (inlining the md5 into each aggregate would
+    # recompute it 16x per row — Catalyst does not CSE across agg buffers).
+    hashed = tokens.withColumnRenamed(word_col, "w").withColumn(
+        "hw", F.expr("CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)")
+    )
     sums = [
         F.expr(
-            f"sum(CASE WHEN CAST(FLOOR(({hw}) / {1 << j}) AS BIGINT) % 2 = 1 "
+            f"sum(CASE WHEN CAST(FLOOR(hw / {1 << j}) AS BIGINT) % 2 = 1 "
             f"THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(16)
     ]
-    acc = tokens.withColumnRenamed(word_col, "w").groupBy(id_col).agg(*sums)
+    acc = hashed.groupBy(id_col).agg(*sums)
     fp = None
     for j in range(16):
         bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))

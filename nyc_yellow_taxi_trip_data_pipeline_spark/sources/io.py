@@ -129,6 +129,29 @@ def write_jdbc_append(
     writer.mode("append").save()
 
 
+def to_kafka_json(df: DataFrame) -> DataFrame:
+    """Serialize rows to the Kafka value envelope: one JSON object per row
+    with ISO-ish timestamp rendering (reference kafkaProducer.py:12-16,36-42
+    does this row-at-a-time in Python; to_json(struct(*)) is the columnar
+    form). Pair with ``write_kafka``."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def write_kafka(
+    df: DataFrame, bootstrap_servers: str, topic: str
+) -> None:
+    """Kafka sink (S7). Requires a reachable broker + the kafka connector
+    jars on the classpath; the JSON envelope itself is covered broker-free
+    by q29's roundtrip oracle."""
+    (
+        to_kafka_json(df)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (reference featureEngineering.ipynb cell 5
     writes sampled test rows via pandas to_csv)."""
