@@ -203,11 +203,11 @@ def simhash16(
     # read the integer column (inlining the md5 into each aggregate would
     # recompute it 16x per row — Catalyst does not CSE across agg buffers).
     hashed = tokens.withColumnRenamed(word_col, "w").withColumn(
-        "hw", F.expr("CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)")
+        "__hw", F.expr("CAST(conv(substring(md5(w), 1, 4), 16, 10) AS BIGINT)")
     )
     sums = [
         F.expr(
-            f"sum(CASE WHEN CAST(FLOOR(hw / {1 << j}) AS BIGINT) % 2 = 1 "
+            f"sum(CASE WHEN CAST(FLOOR(__hw / {1 << j}) AS BIGINT) % 2 = 1 "
             f"THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(16)

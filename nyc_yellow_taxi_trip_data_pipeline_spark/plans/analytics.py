@@ -1055,10 +1055,11 @@ def q28_pandas_udf_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("serialization", "streaming"),
 )
 def q29_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import to_kafka_json
+
     ev = read_table(spark, sf_dir, "events")
-    payload = ev.select(
-        F.to_json(F.struct("event_id", "event_type", "value")).alias("value")
-    )
+    # the actual Kafka-sink envelope helper, so the oracle gates it
+    payload = to_kafka_json(ev.select("event_id", "event_type", "value"))
     parsed = payload.select(
         F.from_json(
             F.col("value"), "event_id long, event_type string, value double"

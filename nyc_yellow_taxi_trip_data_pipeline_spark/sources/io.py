@@ -7,6 +7,8 @@ Covers the reference's I/O surface (SURVEY.md §2.1) re-expressed natively:
                              reads (the reference reads single-partition,
                              sparkML.py:40-46 — a scan bottleneck at scale)
 - S5  CSV scan            -> spark.read.csv with explicit schema preferred
+- S7  Kafka sink          -> to_kafka_json (columnar JSON envelope; oracle-
+                             checked via q29) + write_kafka (broker + jars)
 - S8  JDBC append sink    -> df.write.format("jdbc").mode("append")
 - S9  DDL-from-schema     -> schema_to_ddl (StructType -> CREATE TABLE),
                              matching the reference's type mapping
@@ -14,7 +16,7 @@ Covers the reference's I/O surface (SURVEY.md §2.1) re-expressed natively:
                              lowercase identifier folding (SURVEY.md §1.3)
 - S11 CSV sink            -> write via df.write.csv
 
-Kafka source/sink and streaming file sources live in ``streaming/``.
+The Kafka *source* and streaming file sources live in ``streaming/``.
 """
 
 from __future__ import annotations
@@ -134,7 +136,11 @@ def to_kafka_json(df: DataFrame) -> DataFrame:
     with ISO-ish timestamp rendering (reference kafkaProducer.py:12-16,36-42
     does this row-at-a-time in Python; to_json(struct(*)) is the columnar
     form). Pair with ``write_kafka``."""
-    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    # Backtick-quote each name: bare (and even df[c]-indexed) names
+    # containing dots are parsed as struct-field paths, not columns.
+    return df.select(
+        F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns])).alias("value")
+    )
 
 
 def write_kafka(
