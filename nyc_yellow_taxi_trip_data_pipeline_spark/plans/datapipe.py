@@ -621,3 +621,230 @@ def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — TF-IDF (smoothed, sklearn-style) + top-3 terms per document.
+# tf/df are exact integers; idf's ln() can differ by an ulp across libm
+# implementations, so scores are rounded before ranking.
+# ---------------------------------------------------------------------------
+@register(
+    "q46_tfidf_topterms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+    description="TF-IDF vectorization (smoothed idf) with top-3 terms per "
+    "doc via ranking window — term frequencies and doc frequencies are one "
+    "explode + two aggregations; the idf table is tiny and broadcasts.",
+    tags=("text", "tfidf", "window"),
+)
+def q46_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — event-time moving average per user (last 4 events): the rolling
+# window op; quantized window sums keep it engine-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_moving_avg",
+    """
+    SELECT event_id, user_id, ts, value,
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0)
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+    FROM events
+    """,
+    description="Rolling 4-event mean per user: one shuffle on user_id, "
+    "sorted frame, exact quantized window sums.",
+    tags=("window", "timeseries"),
+)
+def q47_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    qs = F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        ((qs.cast("long") / 100.0) / F.count("*").over(w)).alias("moving_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q48 — exact quantiles per group (median + p90 per event type).
+# ---------------------------------------------------------------------------
+@register(
+    "q48_grouped_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Exact interpolated quantiles per group — percentile "
+    "accumulators merge per group key (at extreme scale swap for "
+    "approx_percentile; the exact form is the oracle-checkable one).",
+    tags=("agg", "quantile"),
+)
+def q48_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_value"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — unpivot / melt: wide metric columns to (key, metric, value) rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q49_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS metric_value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+    description="Unpivot via stack(): 3 metric columns to tall "
+    "(metric, value) rows in a single pass — no join, no shuffle.",
+    tags=("reshape",),
+)
+def q49_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount) AS (metric, metric_value)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — Pearson correlation, engine-exact: built from five quantized
+# integer sums so the result is identical regardless of merge order or
+# engine (built-in corr() differs in accumulation order).
+# ---------------------------------------------------------------------------
+@register(
+    "q50_correlation",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_quantity) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(FLOOR((l_extendedprice * l_extendedprice) * 0.01 + 0.5) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(SUM(CAST(FLOOR((l_quantity * l_extendedprice) * 1 + 0.5) AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem
+    ),
+    m AS (
+      SELECT n,
+             ((sx / 100.0) / n) AS mx,
+             ((sy / 100.0) / n) AS my,
+             (sxx / 100.0) AS exx,
+             (syy * 100.0) AS eyy,
+             (sxy / 1.0) AS exy
+      FROM s
+    )
+    SELECT n,
+           ROUND(((exy / n) - mx * my)
+                 / (SQRT((exx / n) - mx * mx) * SQRT((eyy / n) - my * my)),
+                 6) AS corr_qty_price
+    FROM m
+    """,
+    description="Pearson correlation from five quantized integer sums — "
+    "order-independent and engine-exact (native corr() is "
+    "accumulation-order-sensitive); one aggregation pass.",
+    tags=("agg", "stats"),
+)
+def q50_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def isum(expr, scale):
+        return F.sum(F.floor(expr * scale + F.lit(0.5)).cast("long")).cast("long")
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count("*").alias("n"),
+        isum(x, 100).alias("sx"),
+        isum(y, 100).alias("sy"),
+        isum(x * x, 100).alias("sxx"),
+        isum(y * y, 0.01).alias("syy"),
+        isum(x * y, 1).alias("sxy"),
+    )
+    m = s.select(
+        "n",
+        ((F.col("sx") / 100.0) / F.col("n")).alias("mx"),
+        ((F.col("sy") / 100.0) / F.col("n")).alias("my"),
+        (F.col("sxx") / 100.0).alias("exx"),
+        (F.col("syy") * 100.0).alias("eyy"),
+        (F.col("sxy") / 1.0).alias("exy"),
+    )
+    return m.select(
+        "n",
+        F.round(
+            ((F.col("exy") / F.col("n")) - F.col("mx") * F.col("my"))
+            / (
+                F.sqrt((F.col("exx") / F.col("n")) - F.col("mx") * F.col("mx"))
+                * F.sqrt((F.col("eyy") / F.col("n")) - F.col("my") * F.col("my"))
+            ),
+            6,
+        ).alias("corr_qty_price"),
+    )
