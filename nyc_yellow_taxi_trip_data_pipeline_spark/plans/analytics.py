@@ -1132,3 +1132,54 @@ def q43_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — MERGE/upsert emulation (no Delta in this environment): latest
+# event value per user upserts into the customer dimension — matched rows
+# update, unmatched keep their old value. Anti-join + union, the classic
+# pre-ACID pattern (with Delta/Iceberg this is MERGE INTO).
+# ---------------------------------------------------------------------------
+@register(
+    "q51_upsert_merge",
+    """
+    WITH latest AS (
+      SELECT user_id, value AS new_value
+      FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      )
+      WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(l.new_value, c.c_acctbal) AS acct_value,
+           l.new_value IS NOT NULL AS was_updated
+    FROM customer c
+    LEFT JOIN latest l ON c.c_custkey = l.user_id
+    """,
+    description="MERGE INTO emulated without a table format: latest-per-key "
+    "update set (ranking window) left-joined into the dimension, COALESCE "
+    "picks new-over-old — matched rows update, unmatched pass through. "
+    "With Delta/Iceberg this compiles to MERGE; the logical shape is "
+    "identical.",
+    tags=("merge", "upsert", "window", "join"),
+)
+def q51_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("new_value"))
+    )
+    return (
+        cust.join(F.broadcast(latest), cust.c_custkey == latest.user_id, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("new_value", "c_acctbal").alias("acct_value"),
+            F.col("new_value").isNotNull().alias("was_updated"),
+        )
+    )
