@@ -848,3 +848,217 @@ def q50_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — character-n-gram language ID: the classic char-bigram profile
+# scorer (word-marker variant: q38). Profiles are literal data; argmax is
+# the same deterministic first-wins CASE.
+# ---------------------------------------------------------------------------
+_CHAR_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "er"),
+    "es": ("ta", "da", "at"),
+    "de": ("co", "ol", "um"),
+    "fr": ("jo", "oi", "in"),
+    "zh": ("sp", "pa", "ba"),
+}
+
+
+def _char_langid_sql() -> str:
+    bigrams = "list_transform(generate_series(1, length(text) - 1), i -> substr(text, i, 2))"
+    score_cols = ", ".join(
+        "len(list_filter({bg}, x -> x IN ({ms}))) AS s_{lang}".format(
+            bg=bigrams, ms=", ".join(f"'{m}'" for m in markers), lang=lang
+        )
+        for lang, markers in _CHAR_PROFILES.items()
+    )
+    langs = list(_CHAR_PROFILES)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{o}" for o in langs[i + 1 :]] + [
+            f"s_{lang} > s_{p}" for p in langs[:i]
+        ]
+        branches.append(f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{langs[0]}' END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {score_cols} FROM documents)
+    SELECT doc_id, lang AS actual_lang, {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@register(
+    "q52_char_ngram_langid",
+    _char_langid_sql(),
+    description="Language ID over character bigram profiles (the standard "
+    "char-n-gram heuristic shape): per-profile hit counts from one "
+    "higher-order transform over the raw text, deterministic argmax.",
+    tags=("text", "langid"),
+)
+def q52_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
+    )
+    def member_of(markers):
+        # closure factory: a default-arg lambda would have arity 2 and be
+        # misread by pyspark's higher-order-function introspection
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(bigrams, member_of(markers))).cast("long")
+        for lang, markers in _CHAR_PROFILES.items()
+    }
+    langs = list(_CHAR_PROFILES)
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        for prev in langs[:i]:
+            c = scores[lang] > scores[prev]
+            cond = c if cond is None else (cond & c)
+        cond = cond if cond is not None else F.lit(True)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[0]))
+    return docs.select(
+        "doc_id", F.col("lang").alias("actual_lang"), pred.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — winnowing document fingerprints (rolling-hash + window-min
+# selection, the MOSS/plagiarism-detection scheme): per position, hash the
+# trigram shingle; within each sliding window of 4 hashes keep the min;
+# the distinct selected hashes are the doc's fingerprint set.
+# ---------------------------------------------------------------------------
+@register(
+    "q53_winnowing",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    pos AS (
+      SELECT doc_id, generate_subscripts(s, 1) AS p, unnest(s) AS shingle
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS s
+        FROM w
+      )
+    ),
+    hashed AS (SELECT doc_id, p, md5(shingle) AS h FROM pos),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+      FROM hashed
+    )
+    SELECT DISTINCT doc_id, fp FROM winmin
+    """,
+    description="Winnowing fingerprints: rolling trigram hashes, window-min "
+    "selection (guarantees shared fingerprints for sufficiently long shared "
+    "substrings), distinct per doc — the shuffle is on (doc, window) only.",
+    tags=("text", "fingerprint", "window"),
+)
+def q53_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i -> "
+                    "concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', "
+                    "element_at(w, i + 2)))"
+                )
+            ).alias("p0", "shingle"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("p"), F.md5("shingle").alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-3, Window.currentRow)
+    return (
+        pos.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — explicit semi/anti joins: EXISTS / NOT EXISTS as first-class plan
+# nodes (left_semi / left_anti), tagged and unioned.
+# ---------------------------------------------------------------------------
+@register(
+    "q54_semi_anti_join",
+    """
+    SELECT c_custkey, c_name, 'has_events' AS membership
+    FROM customer c WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_events'
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    """,
+    description="left_semi + left_anti joins (EXISTS/NOT EXISTS plan "
+    "nodes): the probe side streams, only join keys shuffle, no payload "
+    "duplication — the scalable membership test.",
+    tags=("join", "semi", "anti"),
+)
+def q54_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    semi = (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_semi")
+        .select("c_custkey", "c_name", F.lit("has_events").alias("membership"))
+    )
+    anti = (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_anti")
+        .select("c_custkey", "c_name", F.lit("no_events").alias("membership"))
+    )
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# q55 — data-quality constraint audit: FK integrity, range checks, null
+# rates — the expectations layer a production pipeline runs before
+# publishing a table, as one aggregation + two anti-join counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q55_constraint_audit",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS orphan_part_fk,
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS orphan_supp_fk,
+      (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < 0 OR l_quantity <= 0) AS range_violations,
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys,
+      (SELECT COUNT(*) FROM lineitem) AS n_rows
+    """,
+    description="Constraint/expectation audit: FK orphans via anti-join "
+    "semantics, range violations, null keys — the data-quality gate run "
+    "before a table is published downstream.",
+    tags=("quality", "join"),
+)
+def q55_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey")
+    orphan_part = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_part_fk"))
+    orphan_supp = li.join(
+        F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_anti"
+    ).agg(F.count("*").alias("orphan_supp_fk"))
+    checks = li.agg(
+        F.sum(
+            ((F.col("l_extendedprice") < 0) | (F.col("l_quantity") <= 0)).cast("long")
+        ).alias("range_violations"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias("null_keys"),
+        F.count("*").alias("n_rows"),
+    )
+    return orphan_part.crossJoin(orphan_supp).crossJoin(checks).select(
+        "orphan_part_fk", "orphan_supp_fk", "range_violations", "null_keys", "n_rows"
+    )
