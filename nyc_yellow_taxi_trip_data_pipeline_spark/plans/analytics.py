@@ -1183,3 +1183,30 @@ def q51_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("new_value").isNotNull().alias("was_updated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — regex extraction: pull typed fields out of semi-structured text
+# without a JSON parser (log-scraping shape; the JSON-path twin is q02's k).
+# ---------------------------------------------------------------------------
+@register(
+    "q56_regex_extract",
+    """
+    SELECT event_id,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_regex,
+           length(regexp_replace(props, '[0-9]', '', 'g')) AS n_nondigit_chars
+    FROM events
+    """,
+    description="Typed field extraction via regexp_extract + global "
+    "regexp_replace — stays inside codegen; the scan reads only props.",
+    tags=("text", "regex"),
+)
+def q56_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("int").alias("k_regex"),
+        F.length(F.regexp_replace("props", "[0-9]", "")).cast("long").alias(
+            "n_nondigit_chars"
+        ),
+    )

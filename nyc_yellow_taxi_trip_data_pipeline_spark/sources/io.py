@@ -164,6 +164,36 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Table-maintenance compaction: rewrite a parquet directory into
+    ``target_files`` files (coalesce — no shuffle), optionally sorting
+    within partitions so rowgroup min/max stats enable data skipping on
+    the sort keys. Streaming sinks and parallel writers produce small
+    files; periodic compaction keeps scan task counts sane at 100 TB.
+
+    Returns the row count written. Writes to a sibling temp dir then
+    swaps, so a failed compaction never corrupts the table.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    out = df.coalesce(target_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n
+
+
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
