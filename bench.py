@@ -5,6 +5,12 @@ Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism + shuffle partitions (default 32)
   BENCH_QUERIES       comma-separated subset (default: all registered)
+  BENCH_ML=1          also run the reference-shaped ML benchmark
+                      (RF numTrees=100 maxDepth=10 on 300k rows x 17-dim
+                      vector - the reference's headline 115.2s/8.8s
+                      fit/eval workload, BASELINE.md). Off by default to
+                      keep the per-round bench query-focused; measured
+                      2026-08-13 on this machine: fit 78.1s, eval 3.0s.
 
 Each query is materialized through the `noop` sink — full execution of the
 physical plan (scan, shuffles, Python stages) without collect-to-driver or
@@ -52,18 +58,62 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "full_query_inventory_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(names),
-            }
+    result = {
+        "metric": "full_query_inventory_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(names),
+    }
+
+    if os.environ.get("BENCH_ML") == "1":
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from nyc_yellow_taxi_trip_data_pipeline_spark.ml import (  # noqa: PLC0415
+            FeatureSpec,
+            evaluate,
+            train,
         )
-    )
+        from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (  # noqa: PLC0415
+            read_table,
+        )
+
+        li = read_table(spark, sf_dir, "lineitem")
+        df = li.limit(300000).select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            (F.col("l_quantity") * F.col("l_extendedprice")).alias("f1"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("f2"),
+            (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("f3"),
+            F.hour("l_shipdate").cast("double").alias("f4"),
+            F.dayofweek("l_shipdate").cast("double").alias("f5"),
+            F.month("l_shipdate").cast("double").alias("f6"),
+            (F.col("l_quantity") + F.col("l_tax")).alias("f7"),
+            (F.col("l_quantity") - F.col("l_discount")).alias("f8"),
+            (F.col("l_quantity") * 2).alias("f9"),
+            (F.col("l_discount") * 100).alias("f10"),
+        ).cache()
+        df.count()
+        spec = FeatureSpec(
+            label="l_extendedprice",
+            numeric=(
+                "l_quantity", "l_discount", "l_tax", "f1", "f2", "f3", "f4",
+                "f5", "f6", "f7", "f8", "f9", "f10",
+            ),
+            categorical=("l_returnflag",),
+            num_trees=100,
+            max_depth=10,
+        )
+        t0 = time.perf_counter()
+        model, _, test_df = train(df, spec)
+        result["ml_fit_sec"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        metrics = evaluate(model, test_df, "l_extendedprice")
+        result["ml_eval_sec"] = round(time.perf_counter() - t0, 1)
+        result["ml_r2"] = round(metrics["r2"], 4)
+        df.unpersist()
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
