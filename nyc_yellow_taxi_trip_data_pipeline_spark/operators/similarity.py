@@ -105,9 +105,17 @@ def blocked_neardup_topk(
                 "cosine_raw": sims[ia, ib],
             }
         )
-        return out.sort_values(
-            ["cosine_raw", "vec_a", "vec_b"], ascending=[False, True, True]
-        ).head(margin)
+        # Truncate by the SAME comparator the global ranking uses
+        # (rounded-to-6dp desc, then ids) — sorting by raw cosine here
+        # could cut a rounded-tie pair that outranks kept ones globally.
+        out["cosine_rank"] = np.floor(out["cosine_raw"] * 1e6 + 0.5) / 1e6
+        return (
+            out.sort_values(
+                ["cosine_rank", "vec_a", "vec_b"], ascending=[False, True, True]
+            )
+            .head(margin)
+            .drop(columns=["cosine_rank"])
+        )
 
     candidates = emb.select(id_col, block_col, "embedding").groupBy(block_col).applyInPandas(
         block_pairs,
@@ -147,7 +155,12 @@ def srp_buckets(
     signed sums fold against literal ±1 arrays, and the bucket is the sign
     bit pattern. No shuffle, no Python, exact integer math end-to-end.
     """
-    dim = len(emb.select("embedding").first()[0])
+    # max(size) is deterministic (first() depends on scan order) and the
+    # None guard handles an empty table. NOTE: this runs a small Spark job
+    # at plan-build time — acceptable for a dimension lookup.
+    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    if dim is None:
+        return emb.select(id_col, F.lit(0).cast("int").alias("bucket")).limit(0)
     signs = _plane_signs(n_planes, dim)
     vq = F.transform(
         F.col("embedding"),

@@ -39,21 +39,20 @@ def n_distinct_words(text: Column) -> Column:
 
 
 def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    sw = ", ".join(f"'{s}'" for s in stopwords)
     return F.size(F.filter(words(text), lambda w: w.isin(*stopwords))).cast("long")
 
 
 def avg_word_len(text: Column) -> Column:
     """Mean word length = non-space chars / word count (single exact
     division, deterministic)."""
-    return F.length(F.expr("replace(text, ' ', '')")) * 1.0 / n_words(text)
+    return F.length(F.replace(text, F.lit(" "), F.lit(""))) * 1.0 / n_words(text)
 
 
 def token_estimate(text: Column) -> Column:
     """BPE-ish token estimate: alpha runs + leftover non-space chars/4
     (a standard chars/4 heuristic; real BPE is a vocab lookup, out of
     scope for a relational engine)."""
-    alpha_runs = F.size(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long")
+    alpha_runs = F.size(F.regexp_extract_all(text, F.lit("[a-z]+"), 0)).cast("long")
     # floor, not cast: double->int CAST truncates in Spark but rounds in
     # other engines — floor is unambiguous everywhere.
     return alpha_runs + F.floor(F.length(text) / 4.0).cast("long")

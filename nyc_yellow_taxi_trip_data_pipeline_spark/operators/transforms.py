@@ -93,8 +93,9 @@ def add_trip_features(
 
 def filter_valid_passengers(df: DataFrame) -> DataFrame:
     """Drop zero-passenger rows (reference sparkConsumer.py:97). Null
-    passenger_count rows survive (null != 0 is null -> filtered out by
-    Spark semantics, matching the reference exactly)."""
+    passenger_count rows are ALSO dropped: ``null != 0`` evaluates to
+    null, which filter treats as false — the reference inherits the same
+    SQL three-valued logic, so this matches it exactly."""
     return df.filter(F.col("passenger_count") != 0)
 
 

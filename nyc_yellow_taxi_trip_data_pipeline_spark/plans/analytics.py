@@ -677,7 +677,7 @@ def q19_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         purchase.union(view).distinct().agg(F.count("*").alias("n_union"))
         .crossJoin(purchase.intersect(view).agg(F.count("*").alias("n_intersect")))
-        .crossJoin(purchase.exceptAll(view.distinct()).distinct().agg(F.count("*").alias("n_only_purchase")))
+        .crossJoin(purchase.subtract(view).agg(F.count("*").alias("n_only_purchase")))
     )
 
 

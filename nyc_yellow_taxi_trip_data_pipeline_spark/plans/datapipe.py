@@ -10,8 +10,6 @@ engine-specific hash functions.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -258,10 +256,13 @@ def _srp_sql() -> str:
       FROM comps
     ),
     planes AS (
+      -- dimension indices come from the data (DISTINCT j of the exploded
+      -- vectors), not a hardcoded constant, so a dim change can't silently
+      -- diverge from the Spark side (which infers dim at runtime too)
       SELECT p, j,
              CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
-      FROM generate_series(0, {_SRP_PLANES - 1}) t(p),
-           generate_series(1, 64) u(j)
+      FROM generate_series(0, {_SRP_PLANES - 1}) t(p)
+      CROSS JOIN (SELECT DISTINCT j FROM comps) u
     ),
     bits AS (
       SELECT q.vec_id, pl.p,

@@ -187,10 +187,20 @@ def compact_parquet(
     out = df.coalesce(target_files)
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)
-    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}__compact_{token}"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    # Swap via rename-old-aside -> move-new-in -> delete-old: the live
+    # path is never absent-with-no-backup, so a crash mid-swap leaves
+    # either the old or the new table recoverable on disk.
+    old = f"{path.rstrip('/')}__old_{token}"
+    shutil.move(path, old)
+    try:
+        shutil.move(tmp, path)
+    except BaseException:
+        shutil.move(old, path)  # restore the original table
+        raise
+    shutil.rmtree(old)
     return n
 
 

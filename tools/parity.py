@@ -68,8 +68,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = [a for a in args if not os.path.isdir(a)] or list(QUERIES)
+    sf_dir = "/root/testdata/sf0.01"
+    if args and (os.path.isdir(args[0]) or "/" in args[0]):
+        sf_dir = args.pop(0)
+        if not os.path.isdir(sf_dir):
+            print(f"error: sf_dir {sf_dir!r} is not a directory")
+            return 2
+    names = args or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"error: unknown queries {unknown}; known: {sorted(QUERIES)}")
+        return 2
     spark = get_spark("parity-check")
     con = duck_connection(sf_dir)
     failures = 0
