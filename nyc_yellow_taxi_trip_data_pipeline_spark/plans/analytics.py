@@ -1210,3 +1210,184 @@ def q56_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nondigit_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — GROUPING SETS with GROUPING() ids: the general form of
+# rollup (q17) / cube (q26), with explicit set selection.
+# ---------------------------------------------------------------------------
+@register(
+    "q57_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           {sql_qsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS (status-only, priority-only, grand "
+    "total) with GROUPING() ids distinguishing rolled-up NULLs from data "
+    "NULLs — one expanded aggregation.",
+    tags=("agg", "groupingsets"),
+)
+def q57_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               (CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5D) AS BIGINT)) AS BIGINT)
+                / 100.0D) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — distribution-rank window family: percent_rank / ntile / cume_dist
+# over a total order (value + unique key tiebreak -> deterministic).
+# ---------------------------------------------------------------------------
+@register(
+    "q58_rank_family",
+    """
+    SELECT event_id, user_id, value,
+           percent_rank() OVER w AS pct_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    description="percent_rank/ntile/cume_dist per user over a total order "
+    "— the distribution-rank windows (rank arithmetic is exact integer "
+    "ratios, engine-identical).",
+    tags=("window", "rank"),
+)
+def q58_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — conditional / boolean aggregates: count_if, bool_and, bool_or.
+# ---------------------------------------------------------------------------
+@register(
+    "q61_conditional_aggs",
+    """
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_large,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 190) AS any_huge,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Conditional and boolean aggregates (count_if / bool_and / "
+    "bool_or) — single-pass predicates over groups.",
+    tags=("agg", "conditional"),
+)
+def q61_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_large"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 190).alias("any_huge"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — fuzzy matching via edit distance: within-block document pairs
+# whose 64-char prefixes are within Levenshtein distance 20. The prefix
+# bound keeps the O(len^2) distance and the O(block^2) pairing both
+# bounded — blocking + cheap-prefix-filter is the standard fuzzy-dedup
+# staging before exact verification.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_fuzzy_editdistance",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, source, substr(text, 1, 64) AS prefix FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+    FROM d a
+    JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 20
+    """,
+    description="Fuzzy near-dup candidates by Levenshtein distance on "
+    "64-char prefixes within (lang, source) blocks — bounded edit-distance "
+    "cost, bounded pair count; the cheap stage before full verification.",
+    tags=("dedup", "fuzzy", "join"),
+)
+def q62_fuzzy_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "source", F.substring("text", 1, 64).alias("prefix")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.col("prefix").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("prefix").alias("pb"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — date/time math battery: datediff, interval add, month boundaries,
+# week truncation (both engines truncate weeks to Monday).
+# ---------------------------------------------------------------------------
+@register(
+    "q63_date_math",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2024-06-01 00:00:00') AS INTEGER) AS days_to_cutoff,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+    FROM orders
+    """,
+    description="Date arithmetic battery: day differences, interval "
+    "addition, end-of-month, ISO week truncation — all native date "
+    "expressions over the scan.",
+    tags=("date",),
+)
+def q63_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(F.lit("2024-06-01").cast("date"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_cutoff"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+    )
