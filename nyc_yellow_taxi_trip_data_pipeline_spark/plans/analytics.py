@@ -1084,11 +1084,24 @@ def q29_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    # One percentile_approx pass (single sketch), flattened to scalar
+    # columns: the driver's canonicalizer hashes scalar cells, so an
+    # array<double> column would be unorderable on its side.
+    agg = li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000).alias("approx_quartiles"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+        ).alias("_qs"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "approx_orders",
+        "approx_parts",
+        F.element_at("_qs", 1).alias("approx_q25"),
+        F.element_at("_qs", 2).alias("approx_q50"),
+        F.element_at("_qs", 3).alias("approx_q75"),
+        "n",
     )
 
 
@@ -1321,34 +1334,50 @@ def q61_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q62_fuzzy_editdistance",
     """
     WITH d AS (
-      SELECT doc_id, lang, source, substr(text, 1, 64) AS prefix FROM documents
+      SELECT doc_id, lang, source,
+             substr(text, 1, 64) AS prefix,
+             substr(text, 1, 8) AS p8,
+             length(text) // 128 AS len_band
+      FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
     FROM d a
-    JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    JOIN d b ON a.lang = b.lang AND a.source = b.source
+            AND a.p8 = b.p8 AND a.len_band = b.len_band
+            AND a.doc_id < b.doc_id
     WHERE levenshtein(a.prefix, b.prefix) <= 20
     """,
     description="Fuzzy near-dup candidates by Levenshtein distance on "
-    "64-char prefixes within (lang, source) blocks — bounded edit-distance "
-    "cost, bounded pair count; the cheap stage before full verification.",
+    "64-char prefixes. Blocking key is (lang, source, first-8-char prefix "
+    "bucket, 128-char length band): the prefix bucket and length band keep "
+    "block size O(1) in corpus size, so the self-join shuffles on a "
+    "high-cardinality key and never goes quadratic; Levenshtein runs only "
+    "inside blocks as the verify stage. Standard prefix-blocking recall "
+    "trade-off: pairs diverging within their first 8 chars are not "
+    "candidates.",
     tags=("dedup", "fuzzy", "join"),
 )
 def q62_fuzzy_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     d = docs.select(
-        "doc_id", "lang", "source", F.substring("text", 1, 64).alias("prefix")
+        "doc_id",
+        "lang",
+        "source",
+        F.substring("text", 1, 64).alias("prefix"),
+        F.substring("text", 1, 8).alias("p8"),
+        F.floor(F.length("text") / 128).alias("len_band"),
     )
     a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source",
+        F.col("doc_id").alias("doc_a"), "lang", "source", "p8", "len_band",
         F.col("prefix").alias("pa"),
     )
     b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source",
+        F.col("doc_id").alias("doc_b"), "lang", "source", "p8", "len_band",
         F.col("prefix").alias("pb"),
     )
     return (
-        a.join(b, ["lang", "source"])
+        a.join(b, ["lang", "source", "p8", "len_band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",

@@ -898,16 +898,21 @@ def _char_langid_sql() -> str:
 )
 def q52_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"
-    )
-    def member_of(markers):
-        # closure factory: a default-arg lambda would have arity 2 and be
-        # misread by pyspark's higher-order-function introspection
-        return lambda x: x.isin(*markers)
+
+    # A profile score is the number of bigram positions matching any of the
+    # profile's markers. Since every marker has two distinct characters
+    # (no "aa"-style self-overlap), per-marker occurrence counts are exactly
+    # (len(text) - len(replace(text, marker))) / 2 — plain codegen'd string
+    # ops, no O(len) array-of-strings allocation per row. This replaced a
+    # transform(sequence(...))-built bigram array that dominated the bench
+    # (the array build ran once per profile per row).
+    def occurrences(marker: str):
+        return (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(marker)))
+        ) / F.lit(2)
 
     scores = {
-        lang: F.size(F.filter(bigrams, member_of(markers))).cast("long")
+        lang: sum(occurrences(m) for m in markers).cast("long")
         for lang, markers in _CHAR_PROFILES.items()
     }
     langs = list(_CHAR_PROFILES)
