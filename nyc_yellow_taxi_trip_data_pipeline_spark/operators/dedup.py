@@ -95,7 +95,13 @@ def lsh_bands(
     sigs: DataFrame, n_hashes: int = 12, band_size: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
     """Long-format (id, band_id, band_key): signature rows sliced into
-    bands of ``band_size`` concatenated hashes."""
+    bands of ``band_size`` concatenated hashes. ``n_hashes`` must divide
+    evenly into bands — a silent remainder would quietly weaken recall."""
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} is not divisible by band_size={band_size}; "
+            "trailing hashes would be silently dropped, weakening recall"
+        )
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
@@ -113,9 +119,28 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
+) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band — the
-    equi-join that replaces the quadratic all-pairs comparison."""
+    equi-join that replaces the quadratic all-pairs comparison.
+
+    ``max_bucket`` caps the bucket size: a band key shared by f docs emits
+    O(f^2) join rows, so one giant bucket (a massively-duplicated boilerplate
+    text) becomes a straggler partition at corpus scale. Buckets larger than
+    the cap are dropped entirely before the self-join. Recall trade-off:
+    members of an over-cap bucket are near-identical en masse and belong to
+    exact/boilerplate dedup (a group-by), not pairwise LSH — pairs are the
+    wrong output shape for them anyway. The bucket count is a window over
+    the join key, so its shuffle partitioning is reused by the join.
+    """
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("__bn", F.count("*").over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = bands.select(
         F.col(id_col).alias("doc_a"), "band_id", "band_key"
     )
@@ -169,6 +194,7 @@ def minhash_near_duplicates(
     shingle_n: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signatures -> bands ->
     candidate pairs -> exact-Jaccard verify -> threshold.
@@ -183,6 +209,7 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(
         lsh_bands(sigs, n_hashes=n_hashes, band_size=band_size, id_col=id_col),
         id_col=id_col,
+        max_bucket=max_bucket,
     )
     return jaccard_on_pairs(cands, sh, id_col=id_col).filter(
         F.col("jaccard") >= threshold

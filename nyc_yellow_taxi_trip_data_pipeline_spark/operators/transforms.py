@@ -28,7 +28,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.functions.scalar import (
 
 ISO_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss"
 
-#: Columns the ML stage drops (reference sparkML.py:51-53), lowercase form.
+#: Columns the ML stage drops before feature assembly — ADAPTED from
+#: reference sparkML.py:51-53, not a copy of its colsToDrop. The reference
+#: drops its raw fee columns (congestion_surcharge, airport_fee, mta_tax,
+#: extra, tolls_amount), which this repo's synthetic trip fixture does not
+#: carry; the shared entries (timestamps, store_and_fwd_flag,
+#: dropoff_timeofday) are kept, and the derived time features this
+#: pipeline adds (hour/day/weekend) are dropped for the same reason the
+#: reference drops its redundant fees: they leak into / duplicate the
+#: assembled features.
 ML_DROP_COLUMNS = (
     "tpep_pickup_datetime",
     "tpep_dropoff_datetime",

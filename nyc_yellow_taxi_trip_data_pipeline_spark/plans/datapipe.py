@@ -75,6 +75,11 @@ def q31_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p≈5e-4, keeping the verify join linear in true candidates.
 _MH_N = 12
 _MH_BAND = 3
+# Bucket-size cap: a band key shared by f docs emits O(f^2) candidate rows,
+# so one massively-duplicated boilerplate text becomes a straggler at corpus
+# scale. Over-cap buckets are dropped (their members belong to exact dedup,
+# not pairwise LSH). 64 is far above any organic bucket at test SFs.
+_MH_MAX_BUCKET = 64
 
 def _mh_sql() -> str:
     sig_cols = ", ".join(
@@ -101,11 +106,18 @@ def _mh_sql() -> str:
     sh AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh0),
     sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
+    capped AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands
+      ) WHERE bn <= {_MH_MAX_BUCKET}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a
-      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                   AND a.doc_id < b.doc_id
+      FROM capped a
+      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -129,13 +141,19 @@ def _mh_sql() -> str:
     _mh_sql(),
     description="MinHash(12 md5-hashes)+LSH(4 bands of 3) near-dup pipeline over "
     "bigram shingles: signatures in one agg pass, candidates from a band "
-    "equi-join (never O(n^2)), exact Jaccard only on candidates.",
+    "equi-join (never O(n^2)) with a bucket-size cap so a hot band key "
+    "cannot emit a quadratic straggler, exact Jaccard only on candidates.",
     tags=("dedup", "minhash", "lsh"),
 )
 def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return dd.minhash_near_duplicates(
-        docs, threshold=0.5, n_hashes=_MH_N, band_size=_MH_BAND, shingle_n=2
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
     ).select("doc_a", "doc_b", "jaccard")
 
 
@@ -561,12 +579,19 @@ def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     ),
     sh AS (SELECT DISTINCT doc_id, lang, source, unnest(s) AS shingle FROM sh0),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shc AS (
+      SELECT doc_id, lang, source, shingle FROM (
+        SELECT doc_id, lang, source, shingle,
+               COUNT(*) OVER (PARTITION BY lang, source, shingle) AS df
+        FROM sh
+      ) WHERE df <= 64
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a
-      JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
-                AND a.source = b.source AND a.doc_id < b.doc_id
+      FROM shc a
+      JOIN shc b ON a.shingle = b.shingle AND a.lang = b.lang
+                 AND a.source = b.source AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT i.doc_a, i.doc_b,
@@ -577,11 +602,16 @@ def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (i.n_common / (sa.n + sb.n - i.n_common)) >= 0.2
     """,
     description="Exact trigram-Jaccard near-dup within (lang, source) "
-    "blocks: inverted shingle index self-join (never all-pairs), set sizes "
-    "precomputed — the exact twin of the MinHash-LSH path.",
+    "blocks: inverted shingle index self-join (never all-pairs) with a "
+    "stop-shingle df-cap (a shingle in f docs emits O(f^2) join rows; "
+    "df>64 shingles are dropped and Jaccard is defined over the filtered "
+    "shingle universe — the standard recall/straggler trade-off), set "
+    "sizes precomputed — the exact twin of the MinHash-LSH path.",
     tags=("dedup", "jaccard"),
 )
 def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = read_table(spark, sf_dir, "documents")
     sh = (
         docs.select("doc_id", "lang", "source", F.split("text", " ").alias("w"))
@@ -599,6 +629,16 @@ def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
         .distinct()
+    )
+    # Stop-shingle cap: drop shingles whose within-block document frequency
+    # exceeds 64 BEFORE the self-join. The window shuffles on the join key,
+    # so the join reuses its partitioning; sizes use the same filtered set
+    # so Jaccard's union term stays consistent with the intersection.
+    wdf = Window.partitionBy("lang", "source", "shingle")
+    sh = (
+        sh.withColumn("__df", F.count("*").over(wdf))
+        .filter(F.col("__df") <= 64)
+        .drop("__df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(

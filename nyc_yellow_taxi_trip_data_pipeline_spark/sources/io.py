@@ -138,8 +138,14 @@ def to_kafka_json(df: DataFrame) -> DataFrame:
     form). Pair with ``write_kafka``."""
     # Backtick-quote each name: bare (and even df[c]-indexed) names
     # containing dots are parsed as struct-field paths, not columns.
+    # ignoreNullFields=false: the reference producer json.dumps(row.to_dict())
+    # emits explicit nulls; Spark's default would drop null fields and hand
+    # strict consumers a different envelope per row.
     return df.select(
-        F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns])).alias("value")
+        F.to_json(
+            F.struct(*[F.col(f"`{c}`") for c in df.columns]),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
     )
 
 
@@ -177,9 +183,16 @@ def compact_parquet(
     files; periodic compaction keeps scan task counts sane at 100 TB.
 
     Returns the row count written. Writes to a sibling temp dir then
-    swaps, so a failed compaction never corrupts the table.
+    swaps via Hadoop FileSystem renames, so it runs on any
+    HDFS-compatible store (local, HDFS; on S3A "rename" is a copy, so
+    prefer a table format there) and a failed compaction never corrupts
+    the table. Concurrent readers must tolerate the brief swap window in
+    which the live path is the freshly-renamed new table (directory
+    renames are atomic on HDFS/local, but a reader that listed files
+    before the swap can still see deleted-file errors) — compaction of a
+    live table without any swap window requires a snapshot table format
+    (Delta/Iceberg), out of scope here.
     """
-    import shutil
     import uuid
 
     df = spark.read.parquet(path)
@@ -193,14 +206,16 @@ def compact_parquet(
     # Swap via rename-old-aside -> move-new-in -> delete-old: the live
     # path is never absent-with-no-backup, so a crash mid-swap leaves
     # either the old or the new table recoverable on disk.
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     old = f"{path.rstrip('/')}__old_{token}"
-    shutil.move(path, old)
-    try:
-        shutil.move(tmp, path)
-    except BaseException:
-        shutil.move(old, path)  # restore the original table
-        raise
-    shutil.rmtree(old)
+    if not fs.rename(jpath(path), jpath(old)):
+        raise IOError(f"compaction swap: rename {path} -> {old} failed")
+    if not fs.rename(jpath(tmp), jpath(path)):
+        fs.rename(jpath(old), jpath(path))  # restore the original table
+        raise IOError(f"compaction swap: rename {tmp} -> {path} failed")
+    fs.delete(jpath(old), True)
     return n
 
 

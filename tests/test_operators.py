@@ -135,3 +135,26 @@ def test_multimodal_decode_stub_dimensions(docs):
     assert rows[0].height == 64 + (n * 7) % 480
     assert rows[0].ok is True
     assert rows[0].format in ("png", "jpeg", "webp")
+
+
+def test_lsh_bands_rejects_uneven_band_size(docs):
+    sh = dd.shingle_distinct(docs, n=2)
+    sigs = dd.minhash_signatures(sh, n_hashes=12)
+    with pytest.raises(ValueError, match="not divisible"):
+        dd.lsh_bands(sigs, n_hashes=12, band_size=5)
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark):
+    # 30 identical docs form one giant bucket in every band: uncapped LSH
+    # emits all C(30,2)=435 pairs; a cap of 10 drops the hot buckets so the
+    # distinct near-dup pair (100, 101) is the only survivor.
+    rows = [(i, "aa bb cc dd ee ff gg hh") for i in range(30)]
+    rows += [(100, "xx yy zz qq ww rr tt uu"), (101, "xx yy zz qq ww rr tt vv")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dd.shingle_distinct(docs, n=2)
+    bands = dd.lsh_bands(dd.minhash_signatures(sh, n_hashes=12),
+                         n_hashes=12, band_size=2)
+    uncapped = dd.lsh_candidate_pairs(bands).count()
+    capped = dd.lsh_candidate_pairs(bands, max_bucket=10).collect()
+    assert uncapped >= 435  # the hot bucket went quadratic
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
