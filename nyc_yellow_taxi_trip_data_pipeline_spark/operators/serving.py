@@ -58,10 +58,10 @@ def predict(
 
 
 def predict_csv(
-    spark: SparkSession, model: PipelineModel, csv_path: str
+    spark: SparkSession, model: PipelineModel, csv_path: str, label: str = "fare_amount"
 ) -> DataFrame:
     """CSV upload path (reference main.py:61-67) without the pandas hop:
     Spark reads the CSV directly — the createDataFrame(pd.read_csv(...))
     round trip only existed because the reference served from pandas."""
     df = spark.read.option("header", "true").option("inferSchema", "true").csv(csv_path)
-    return predict(model, df)
+    return predict(model, df, label=label)

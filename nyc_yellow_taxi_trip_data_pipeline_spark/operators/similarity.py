@@ -179,12 +179,103 @@ def srp_buckets(
     return emb.select(id_col, bucket.cast("int").alias("bucket"))
 
 
+def srp_bucket_of(vec, n_planes: int = 8, scale: int = 1000000) -> int:
+    """Driver-side SRP bucket of one vector — the pure-Python twin of
+    ``srp_buckets``'s Spark expression (same md5-seeded ±1 planes, same
+    floor(v*scale+0.5) quantization, same integer accumulation), so a
+    query vector's bucket can be computed without a Spark job and used as
+    a literal pushdown filter against the bucketed index table."""
+    signs = _plane_signs(n_planes, len(vec))
+    import math
+
+    vq = [math.floor(float(v) * scale + 0.5) for v in vec]
+    bucket = 0
+    for p in range(n_planes):
+        acc = sum(v * s for v, s in zip(vq, signs[p]))
+        if acc >= 0:
+            bucket |= 1 << p
+    return bucket
+
+
+def write_ann_index(
+    emb: DataFrame,
+    table: str,
+    n_planes: int = 8,
+    num_file_buckets: int = 16,
+    id_col: str = "vec_id",
+    path: str | None = None,
+) -> None:
+    """Materialize the SRP-bucketed ANN index: vectors + bucket column,
+    written ``bucketBy(num_file_buckets, "bucket")`` so an equality filter
+    on ``bucket`` scans only the matching file bucket (Spark bucket
+    pruning — `SelectedBucketsCount: 1 out of N` in the plan) instead of
+    the full corpus. This is the scale path ``ann_candidates`` narrates:
+    build once per corpus snapshot, then every query reads ~1/2^n_planes
+    of the data with no shuffle and no full scan.
+
+    ``bucketBy`` requires a catalog table (``saveAsTable``); pass ``path``
+    to make it external."""
+    buckets = srp_buckets(emb, n_planes=n_planes, id_col=id_col)
+    with_bucket = emb.join(buckets, id_col)
+    writer = (
+        with_bucket.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_file_buckets, "bucket")
+        .sortBy("bucket")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def ann_query_bucketed(
+    spark,
+    table: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k against a ``write_ann_index`` table. The query's bucket is
+    computed driver-side (``srp_bucket_of`` — no Spark job), so the scan
+    carries a literal ``bucket = b`` filter that bucket-prunes to one file
+    bucket; exact cosine then scores only that bucket's vectors."""
+    # Without a join/agg over the bucket key, Spark's autoBucketedScan
+    # heuristic silently falls back to a plain scan ("Bucketed: false
+    # (disabled by query planner)") and the filter is only a rowgroup-stat
+    # pushdown. Pin it off so a filter-only read still bucket-prunes.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    qb = srp_bucket_of(query_vec, n_planes=n_planes)
+    qv = F.array(*[F.lit(float(v)) for v in query_vec])
+    qn = sum(float(v) * float(v) for v in query_vec) ** 0.5
+    return (
+        spark.table(table)
+        .filter(F.col("bucket") == qb)
+        .select(
+            id_col,
+            "label",
+            "bucket",
+            F.round(
+                _cosine_from_norms(
+                    dot_product(as_double(), qv),
+                    l2_norm(as_double()),
+                    F.lit(qn),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_candidates(
     emb: DataFrame, query_vec_id: int = 0, n_planes: int = 8, id_col: str = "vec_id"
 ) -> DataFrame:
-    """ANN search: restrict exact cosine scoring to the query's SRP bucket.
-    At scale the bucketed table is written bucketBy(bucket) so a query
-    touches 1/2^n_planes of the data."""
+    """ANN search: restrict exact cosine scoring to the query's SRP bucket,
+    computing buckets inline (for a stored corpus, ``write_ann_index`` +
+    ``ann_query_bucketed`` is the scale path — the bucket filter then
+    prunes at the file level instead of post-scan)."""
     buckets = srp_buckets(emb, n_planes=n_planes, id_col=id_col)
     with_bucket = emb.join(buckets, id_col)
     qb = with_bucket.filter(F.col(id_col) == query_vec_id).select(

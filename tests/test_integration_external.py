@@ -1,0 +1,98 @@
+"""Opt-in integration smoke tests for the external-system sources/sinks
+(S2 Kafka source, S3 JDBC scan, S7 Kafka sink, S8 JDBC append).
+
+Skipped by default: this container has no broker and no database. Point
+the env vars at real services to turn them on:
+
+- ``KAFKA_BOOTSTRAP=host:9092``  — needs the spark-sql-kafka connector on
+  the session classpath (``spark.jars.packages=org.apache.spark:
+  spark-sql-kafka-0-10_2.13:<spark version>``).
+- ``JDBC_URL=jdbc:postgresql://host:5432/db?user=u&password=p`` — needs
+  the JDBC driver jar on the classpath.
+
+The broker-free parts of these code paths stay covered unconditionally:
+the JSON envelope by q29's oracle, the foreachBatch JDBC-shaped sink
+callback by tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.sources import io as eio
+from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+    parse_json_envelope,
+    read_stream,
+)
+
+KAFKA_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
+JDBC_URL = os.environ.get("JDBC_URL")
+
+
+@pytest.mark.skipif(
+    not KAFKA_BOOTSTRAP, reason="set KAFKA_BOOTSTRAP=host:9092 to run"
+)
+def test_kafka_sink_then_source_roundtrip(spark):
+    """S7 -> S2: write rows through the JSON envelope to a fresh topic,
+    stream them back, parse the envelope, compare payloads."""
+    topic = f"engine_smoke_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, name string, value double"
+    )
+    eio.write_kafka(df, KAFKA_BOOTSTRAP, topic)
+
+    stream = read_stream(
+        spark, "kafka", kafka_bootstrap=KAFKA_BOOTSTRAP, topic=topic
+    )
+    parsed = parse_json_envelope(
+        stream, df.schema
+    )
+    sink = f"kafka_smoke_{uuid.uuid4().hex[:8]}"
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r.id, r.name, r.value) for r in spark.table(sink).collect()
+    }
+    assert got == {(1, "a", 1.5), (2, "b", None)}
+
+
+@pytest.mark.skipif(not JDBC_URL, reason="set JDBC_URL=jdbc:... to run")
+def test_jdbc_append_then_partitioned_scan_roundtrip(spark):
+    """S8 -> S3: append rows to a fresh table, read them back through the
+    partitioned parallel scan, compare."""
+    table = f"engine_smoke_{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2.0)
+    eio.write_jdbc_append(df, JDBC_URL, table)
+    try:
+        back = eio.read_jdbc(
+            spark,
+            JDBC_URL,
+            table,
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=100,
+            num_partitions=4,
+        )
+        assert back.rdd.getNumPartitions() == 4
+        got = {(r.id, r.v) for r in back.collect()}
+        assert got == {(i, i * 2.0) for i in range(100)}
+    finally:
+        # best-effort cleanup through the same JDBC session
+        try:
+            spark.read.format("jdbc").option("url", JDBC_URL).option(
+                "query", f"DROP TABLE {table}"
+            ).load()
+        except Exception:
+            pass
