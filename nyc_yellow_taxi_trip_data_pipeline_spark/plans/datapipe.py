@@ -631,9 +631,14 @@ def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Stop-shingle cap: drop shingles whose within-block document frequency
-    # exceeds 64 BEFORE the self-join. The window shuffles on the join key,
-    # so the join reuses its partitioning; sizes use the same filtered set
-    # so Jaccard's union term stays consistent with the intersection.
+    # exceeds 64 BEFORE the self-join. A count window over the join key is
+    # the measured-cheapest shape (sf0.1, warm): a broadcast anti-join or a
+    # driver-collected literal filter both re-pay the hot-list aggregation
+    # (per downstream reuse of sh, and at plan-build time respectively).
+    # Per-hot-shingle window partitions hold O(f) rows — linear, which is
+    # the bound the cap exists to enforce on the join. Sizes use the same
+    # filtered set so Jaccard's union term stays consistent with the
+    # intersection.
     wdf = Window.partitionBy("lang", "source", "shingle")
     sh = (
         sh.withColumn("__df", F.count("*").over(wdf))
