@@ -81,3 +81,94 @@ def decode_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "scale_pct int"
+)
+
+
+def resize_images(
+    df: DataFrame, max_side: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """Aspect-preserving thumbnail 'resize' via mapInPandas.
+
+    Input is the decoded frame table (doc_id, width, height, ...); output
+    carries the resized dimensions and the integer percent scale applied.
+    The pixel work is STUBBED (no image libraries in this container) — the
+    arithmetic (fit the longer side to ``max_side``, never upscale) is the
+    real thumbnail contract, exact in integer math so the oracle can
+    reproduce it. A real implementation would resize ``payload`` bytes
+    with PIL inside the same loop and add the bytes column to the schema.
+
+    Closure is self-contained: executor workers can't import this package.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            longer = w.where(w >= h, h)
+            # percent scale, floored; 100 = no-op (never upscale)
+            scale = (100 * max_side // longer).clip(upper=100)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w,
+                    "height": h,
+                    "out_width": w * scale // 100,
+                    "out_height": h * scale // 100,
+                    "scale_pct": scale,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame_tag string"
+
+
+def sample_frames(
+    df: DataFrame, every_n: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Video frame sampling via mapInPandas — the ROW-EXPANDING batch shape
+    (one input row -> one row per sampled frame), which is the contract a
+    real video pipeline needs and the one shape decode/resize don't cover.
+
+    Frame count and tags are STUBBED deterministically from payload size
+    (a real implementation seeks the container's keyframe index); the
+    every-n-th selection arithmetic is the real sampling logic. Output
+    rows per input are bounded by n_frames/every_n, so task output size
+    stays proportional to input size — no flatMap blow-up.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def fake_frame_count(n_bytes: int) -> int:
+            # STUB: stands in for the container's frame index; 1..24
+            # frames derived stably from the payload length.
+            return 1 + (n_bytes * 13) % 24
+
+        for pdf in batches:
+            ids, idxs, counts, tags = [], [], [], []
+            for doc_id, n_bytes in zip(pdf[id_col], pdf["n_bytes"]):
+                n = fake_frame_count(int(n_bytes))
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    counts.append(n)
+                    tags.append(
+                        hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:8]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": counts,
+                    "frame_tag": tags,
+                }
+            )
+
+    return df.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)

@@ -20,6 +20,7 @@ Performance notes (measured at sf0.1):
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -177,6 +178,129 @@ def srp_buckets(
         bit = F.when(acc >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.select(id_col, bucket.cast("int").alias("bucket"))
+
+
+def ivf_centroids(
+    emb: DataFrame, n_centroids: int = 8, id_col: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeded centroids: the ``n_centroids`` vectors with the
+    lowest ids. A production IVF runs k-means (Lloyd) refinement over a
+    sample — the refinement changes WHERE the centroids sit, not the
+    assignment/probe mechanics below, and seeded-from-data keeps the whole
+    pipeline engine-exact (k-means float accumulation order would not be).
+    One tiny driver collect: n_centroids × dim doubles."""
+    rows = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, as_double().alias("cv"))
+        .collect()
+    )
+    return [(r[0], list(r.cv)) for r in rows]
+
+
+def _quantize(col: Column, scale: int) -> Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("long")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Cluster id per vector — a MAP-ONLY projection, like ``srp_buckets``.
+
+    Assignment is argmin of QUANTIZED squared L2 distance: components
+    quantize to integers (floor(v*scale+0.5)), so distances are exact
+    int64 sums any engine reproduces — no float-comparison ties. Ties
+    break to the lowest centroid id via lexicographic struct min. The
+    centroids enter the plan as literal arrays (no join, no shuffle); at
+    corpus scale the assigned table is written bucketed/partitioned by
+    ``cluster`` so a probe scans one cluster's files only.
+
+    scale=1000 keeps the worst case safely inside int64: dim * (2 *
+    scale * |v|max)^2 must stay < 2^63."""
+    vq = _quantize(F.col("embedding"), scale)
+    choices = []
+    for cid, cvec in centroids:
+        cq_arr = F.array(
+            *[F.lit(int(math.floor(c * scale + 0.5))) for c in cvec]
+        )
+        dist = F.aggregate(
+            F.zip_with(vq, cq_arr, lambda v, c: (v - c) * (v - c)),
+            F.lit(0).cast("long"),
+            lambda a, d: a + d,
+        )
+        choices.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*choices))
+    return emb.select(id_col, "label", "embedding", best["cid"].alias("cluster"))
+
+
+def ivf_cluster_of(
+    vec, centroids: list[tuple[int, list[float]]], scale: int = 1000
+) -> int:
+    """Driver-side twin of ``ivf_assign`` for one query vector — same
+    quantized integer math, so the probe's cluster filter is a literal."""
+    import math
+
+    vq = [math.floor(float(v) * scale + 0.5) for v in vec]
+    best = None
+    for cid, cvec in centroids:
+        cq = [math.floor(c * scale + 0.5) for c in cvec]
+        d = sum((a - b) * (a - b) for a, b in zip(vq, cq))
+        if best is None or (d, cid) < best:
+            best = (d, cid)
+    return best[1]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-flat ANN (nprobe=1): assign every vector to its nearest seeded
+    centroid, then score exact cosine ONLY inside the query's cluster —
+    the coarse-quantizer counterpart to the SRP bucket path. The probe is
+    a map-only filter + scan of one cluster + a tiny top-k reduce; recall
+    is the standard IVF trade-off (raise nprobe to scan more clusters)."""
+    cents = ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col)
+    assigned = ivf_assign(emb, cents, id_col=id_col)
+    qrow = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(as_double().alias("qv"))
+        .collect()
+    )
+    if not qrow:
+        return assigned.select(
+            id_col, "label", "cluster",
+            F.lit(None).cast("double").alias("cosine_sim"),
+        ).limit(0)
+    qvec = list(qrow[0].qv)
+    qcluster = ivf_cluster_of(qvec, cents)
+    qv = F.array(*[F.lit(v) for v in qvec])
+    qn = sum(v * v for v in qvec) ** 0.5
+    return (
+        assigned.filter(
+            (F.col("cluster") == qcluster) & (F.col(id_col) != query_vec_id)
+        )
+        .select(
+            id_col,
+            "label",
+            "cluster",
+            F.round(
+                _cosine_from_norms(
+                    dot_product(as_double(), qv), l2_norm(as_double()), F.lit(qn)
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def srp_bucket_of(vec, n_planes: int = 8, scale: int = 1000000) -> int:

@@ -35,6 +35,11 @@ _PRIORITY = [
     "q53_winnowing",
     "q54_semi_anti_join",
     "q55_constraint_audit",
+    # new this round, never driver-checked:
+    "q64_multimodal_resize",
+    "q65_frame_sample",
+    "q66_ivf_ann",
+    "q67_streaming_sessionize",
     # red in round 1 (array column broke the driver canonicalizer), fixed:
     "q42_approx_sketches",
     # plans rewritten this round (re-blocked / re-projected), need re-check:

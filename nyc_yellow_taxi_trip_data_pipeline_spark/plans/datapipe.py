@@ -1113,3 +1113,241 @@ def q55_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphan_part.crossJoin(orphan_supp).crossJoin(checks).select(
         "orphan_part_fk", "orphan_supp_fk", "range_violations", "null_keys", "n_rows"
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — multimodal thumbnail resize via mapInPandas, downstream of the
+# decode stage. Pure integer scale arithmetic (fit longer side to 256,
+# never upscale) so the oracle reproduces the full decode->resize chain.
+# ---------------------------------------------------------------------------
+@register(
+    "q64_multimodal_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(64 + n_bytes % 640 AS BIGINT) AS width,
+             CAST(64 + (n_bytes * 7) % 480 AS BIGINT) AS height
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id, width, height,
+             LEAST(100, (100 * 256) // GREATEST(width, height)) AS scale_pct
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST((width * scale_pct) // 100 AS INTEGER) AS out_width,
+           CAST((height * scale_pct) // 100 AS INTEGER) AS out_height,
+           CAST(scale_pct AS INTEGER) AS scale_pct
+    FROM s
+    """,
+    description="Thumbnail-resize stage (aspect-preserving, never-upscale) "
+    "as a second Arrow-batched mapInPandas hop after decode — the pixel op "
+    "is stubbed (no media libs here) but the dimension arithmetic is the "
+    "real contract and the oracle replays decode->resize end-to-end.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q64_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    decoded = mm.decode_images(
+        mm.payload_metadata(mm.attach_binary_payload(docs))
+    )
+    return mm.resize_images(decoded, max_side=256).select(
+        "doc_id", "width", "height", "out_width", "out_height", "scale_pct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — video frame sampling: the ROW-EXPANDING mapInPandas shape (one
+# input row -> one row per sampled frame). Frame count is a deterministic
+# stub from payload size; the every-4th selection and the md5 frame tags
+# are exact, so the oracle replays the expansion with generate_series.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    f AS (SELECT doc_id, 1 + (n_bytes * 13) % 24 AS n FROM m),
+    x AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM f
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(n AS INTEGER) AS n_frames,
+           substr(md5(doc_id || ':' || i), 1, 8) AS frame_tag
+    FROM x
+    WHERE i % 4 = 0
+    """,
+    description="Frame-sampling stage for video payloads: mapInPandas with "
+    "row expansion (each input emits one row per every-4th frame), bounded "
+    "output per input row, md5 frame tags portable across engines. The "
+    "keyframe index is stubbed from payload size; the sampling arithmetic "
+    "and batch shape are the real video-pipeline contract.",
+    tags=("multimodal", "pandas-udf"),
+)
+def q65_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    meta = mm.payload_metadata(mm.attach_binary_payload(docs)).select(
+        "doc_id", "n_bytes"
+    )
+    return mm.sample_frames(meta, every_n=4)
+
+
+# ---------------------------------------------------------------------------
+# q66 — IVF-flat ANN (nprobe=1): coarse-quantizer counterpart to q36's
+# SRP buckets. Centroids are the 8 lowest-id vectors (deterministic seed;
+# Lloyd refinement would move centroids, not change the mechanics);
+# assignment is argmin of QUANTIZED squared-L2 (exact int64, ties to the
+# lowest centroid id), probe scores exact cosine inside one cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_ivf_ann",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, ev AS cv FROM e ORDER BY vec_id LIMIT 8
+    ),
+    comp AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    vq AS (
+      SELECT vec_id, j, CAST(FLOOR(v * 1000 + 0.5) AS BIGINT) AS vq FROM comp
+    ),
+    ccomp AS (
+      SELECT cid, generate_subscripts(cv, 1) AS j, unnest(cv) AS c FROM cent
+    ),
+    cq AS (
+      SELECT cid, j, CAST(FLOOR(c * 1000 + 0.5) AS BIGINT) AS cq FROM ccomp
+    ),
+    dists AS (
+      SELECT v.vec_id, c.cid, SUM((v.vq - c.cq) * (v.vq - c.cq)) AS d
+      FROM vq v JOIN cq c ON v.j = c.j
+      GROUP BY 1, 2
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT a.cluster AS qcluster, e.ev AS qv
+      FROM e JOIN assign a ON a.vec_id = e.vec_id
+      WHERE e.vec_id = 0
+    )
+    SELECT e.vec_id, e.label, CAST(a.cluster AS BIGINT) AS cluster,
+           ROUND(list_dot_product(e.ev, q.qv)
+                 / (SQRT(list_dot_product(e.ev, e.ev))
+                    * SQRT(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+    FROM e
+    JOIN assign a ON a.vec_id = e.vec_id
+    CROSS JOIN q
+    WHERE a.cluster = q.qcluster AND e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    description="IVF-flat ANN with nprobe=1: deterministic seeded "
+    "centroids (8 lowest-id vectors — k-means refinement moves centroids "
+    "but not the probe mechanics), map-only argmin assignment over "
+    "quantized integer squared-L2 (centroids baked as literal arrays, no "
+    "join/shuffle), exact cosine only within the query's cluster. At "
+    "corpus scale the assigned table is written bucketed by cluster so a "
+    "probe reads one cluster's files.",
+    tags=("similarity", "ann", "ivf"),
+)
+def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, query_vec_id=0, n_centroids=8, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q67 — custom stateful STREAMING sessionization (applyInPandasWithState)
+# replayed over the bounded events table; final per-user counts must equal
+# the batch lag-window sessionization (q20), and the oracle IS that batch
+# SQL — the strongest streams-equals-batch check the engine makes.
+# Cumulative update-mode emission guarantees bounded replays flush final
+# values (watermark-finalized session windows would hold back the tail).
+# ---------------------------------------------------------------------------
+@register(
+    "q67_streaming_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                          - CAST(FLOOR(EPOCH(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(SUM(is_new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged
+    GROUP BY user_id
+    """,
+    description="Stateful streaming sessionization: per-user 30-min-gap "
+    "session/event counts kept in applyInPandasWithState state across "
+    "micro-batches, cumulative rows emitted in update mode, final values "
+    "extracted as max per key. Oracle is the BATCH sessionization SQL "
+    "(q20) — the streamed state must reproduce it exactly.",
+    tags=("streaming", "stateful", "sessionize", "pandas-udf"),
+)
+def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        sessionize_stateful,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sessions = sessionize_stateful(stream, gap_seconds=1800)
+    sink = f"q67_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Cumulative emission: the final value per key is the max across
+    # batches (single-batch replays emit exactly one row per key).
+    return (
+        spark.table(sink)
+        .groupBy("key")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .select(F.col("key").alias("user_id"), "n_sessions", "n_events")
+    )

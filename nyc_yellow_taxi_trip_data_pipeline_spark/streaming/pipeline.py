@@ -243,3 +243,65 @@ def running_totals_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState — the
+    operator Spark's built-in ``session_window`` cannot express when the
+    session logic needs imperative per-key state (here: cumulative session
+    and event counts surviving across micro-batches).
+
+    Emits one CUMULATIVE row per key per micro-batch (update mode):
+    (key, n_sessions, n_events) counted with a ``gap_seconds`` inactivity
+    gap. Cumulative emission means bounded replays always surface final
+    values (take max per key) — unlike watermark-finalized session windows,
+    which hold back sessions newer than the final watermark. Events are
+    gap-compared in (ts, order_col) order; cross-batch correctness assumes
+    batches arrive in event-time order per key (true for replayed files;
+    live out-of-order input needs interval-merging state instead).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        # Self-contained closure: executor workers can't import this repo.
+        import pandas as pd
+
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        pdf = pd.concat(list(pdfs))
+        if len(pdf):
+            pdf = pdf.sort_values(["__ts", "__ord"])
+            for ts in pdf["__ts"]:
+                t = int(ts.value // 1_000_000_000)
+                if last_ts is None or t - last_ts > gap_seconds:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = t
+            state.update((int(last_ts), int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    renamed = events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("__ts"),
+        F.col(order_col).alias("__ord"),
+    )
+    return renamed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

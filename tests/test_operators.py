@@ -158,3 +158,63 @@ def test_lsh_bucket_cap_bounds_candidates(spark):
     capped = dd.lsh_candidate_pairs(bands, max_bucket=10).collect()
     assert uncapped >= 435  # the hot bucket went quadratic
     assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+
+
+def test_resize_never_upscales_and_fits_longer_side(spark):
+    decoded = spark.createDataFrame(
+        [(1, 640, 64), (2, 100, 50), (3, 64, 512)],
+        "doc_id long, width int, height int",
+    )
+    got = {r.doc_id: r for r in mm.resize_images(decoded, max_side=256).collect()}
+    # 640x64: scale = 100*256//640 = 40 -> 256x25
+    assert (got[1].out_width, got[1].out_height, got[1].scale_pct) == (256, 25, 40)
+    # 100x50 already fits: never upscale
+    assert (got[2].out_width, got[2].out_height, got[2].scale_pct) == (100, 50, 100)
+    # 64x512: scale = 100*256//512 = 50 -> 32x256
+    assert (got[3].out_width, got[3].out_height, got[3].scale_pct) == (32, 256, 50)
+
+
+def test_sample_frames_every_nth_row_expansion(spark):
+    import hashlib
+
+    meta = spark.createDataFrame(
+        [(1, 9), (2, 2)], "doc_id long, n_bytes long"
+    )
+    rows = mm.sample_frames(meta, every_n=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # n_bytes=9 -> n_frames = 1 + 117 % 24 = 22 -> idx 0,4,8,12,16,20
+    assert [r.frame_idx for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [0, 4, 8, 12, 16, 20]
+    assert all(r.n_frames == 22 for r in by_doc[1])
+    # n_bytes=2 -> n_frames = 1 + 26 % 24 = 3 -> idx 0 only
+    assert [r.frame_idx for r in by_doc[2]] == [0]
+    tag = next(r.frame_tag for r in by_doc[1] if r.frame_idx == 4)
+    assert tag == hashlib.md5(b"1:4").hexdigest()[:8]
+
+
+def test_ivf_assignment_and_probe(spark):
+    # ids 0 and 1 seed the two clusters; 2,3 sit near 0 and 4,5 near 1.
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.0, 1.0], "a"),
+        (2, [0.9, 0.1], "a"),
+        (3, [0.8, 0.2], "a"),
+        (4, [0.1, 0.9], "a"),
+        (5, [0.2, 0.8], "a"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    cents = sim.ivf_centroids(emb, n_centroids=2)
+    assert [c[0] for c in cents] == [0, 1]
+    assigned = {
+        r.vec_id: r.cluster for r in sim.ivf_assign(emb, cents).collect()
+    }
+    assert assigned == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 1}
+    # driver-side twin agrees with the Spark expression
+    for vid, vec, _ in rows:
+        assert sim.ivf_cluster_of(vec, cents) == assigned[vid]
+    got = sim.ivf_topk(emb, query_vec_id=0, n_centroids=2, k=10).collect()
+    assert [r.vec_id for r in got] == [2, 3]  # only cluster 0, query excluded
+    assert got[0].cosine_sim > got[1].cosine_sim

@@ -225,3 +225,67 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         by_key[r.key] = (r.events_so_far, r.sum_so_far)
     assert by_key[1] == (3, 22.0)  # 2 events + 1 event across batches
     assert by_key[2] == (1, 1.0)
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """sessionize_stateful: gap logic inside a batch AND across batches —
+    an event within 30 min of the previous batch's last event must extend
+    that session, not start a new one."""
+    import json as _json
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        sessionize_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    d = tmp_path / "sess_state_in"
+    d.mkdir()
+    (d / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                # user 1: two events 10 min apart (1 session), then a 2h gap
+                {"user_id": 1, "event_id": 1, "ts": "2024-05-01T10:00:00"},
+                {"user_id": 1, "event_id": 2, "ts": "2024-05-01T10:10:00"},
+                {"user_id": 1, "event_id": 3, "ts": "2024-05-01T12:30:00"},
+                {"user_id": 2, "event_id": 4, "ts": "2024-05-01T09:00:00"},
+            ]
+        )
+    )
+    stream = read_stream(spark, "json", schema=schema, path=str(d))
+    sessions = sessionize_stateful(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_state_out")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: user 1 continues within 20 min of event 3 (same session);
+        # user 2 returns after 4 hours (new session)
+        (d / "b1.json").write_text(
+            "\n".join(
+                _json.dumps(r)
+                for r in [
+                    {"user_id": 1, "event_id": 5, "ts": "2024-05-01T12:50:00"},
+                    {"user_id": 2, "event_id": 6, "ts": "2024-05-01T13:00:00"},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_state_out").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in rows:  # cumulative: max per key is the final value
+        cur = final.get(r.key, (0, 0))
+        final[r.key] = (max(cur[0], r.n_sessions), max(cur[1], r.n_events))
+    assert final[1] == (2, 4)  # sessions: {e1,e2}, {e3,e5}
+    assert final[2] == (2, 2)  # two singleton sessions
