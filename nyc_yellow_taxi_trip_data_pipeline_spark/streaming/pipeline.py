@@ -270,6 +270,7 @@ def sessionize_stateful(
 
     def update(key, pdfs, state: "GroupState"):
         # Self-contained closure: executor workers can't import this repo.
+        import numpy as np
         import pandas as pd
 
         last_ts, n_sessions, n_events = (
@@ -278,13 +279,18 @@ def sessionize_stateful(
         pdf = pd.concat(list(pdfs))
         if len(pdf):
             pdf = pdf.sort_values(["__ts", "__ord"])
-            for ts in pdf["__ts"]:
-                t = int(ts.value // 1_000_000_000)
-                if last_ts is None or t - last_ts > gap_seconds:
-                    n_sessions += 1
-                n_events += 1
-                last_ts = t
-            state.update((int(last_ts), int(n_sessions), int(n_events)))
+            # Vectorized gap detection: whole-second timestamps, each
+            # compared to its predecessor (the carried last_ts for row 0;
+            # a sentinel far past forces a new session when state is empty).
+            ts = pdf["__ts"].astype("int64").to_numpy() // 1_000_000_000
+            # Sentinel just past the gap so row 0 opens a session when no
+            # state is carried (int64 min would overflow the subtraction).
+            prev0 = last_ts if last_ts is not None else int(ts[0]) - gap_seconds - 1
+            prev = np.concatenate(([prev0], ts[:-1]))
+            n_sessions += int((ts - prev > gap_seconds).sum())
+            n_events += len(ts)
+            last_ts = int(ts[-1])
+            state.update((last_ts, int(n_sessions), int(n_events)))
         yield pd.DataFrame(
             {
                 "key": [key[0]],
