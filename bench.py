@@ -41,11 +41,37 @@ def main() -> None:
         if os.environ.get("BENCH_QUERIES")
         else list(QUERIES)
     )
+    # Stateful streaming replays leave background state-store maintenance
+    # running briefly after they stop (local mode shares one JVM); run them
+    # LAST so that churn never inflates another query's measurement.
+    names.sort(key=lambda n: "streaming" in QUERIES[n].tags)
 
-    # Warm the JVM/codegen path so query #1 doesn't pay session startup.
+    # Warm the engine so query #1 doesn't pay session startup: one scan +
+    # shuffle + join (q05), one higher-order-function/explode pass over a
+    # small documents sample (codegen for the text/dedup family), and one
+    # Arrow round-trip (Python worker pool for the pandas-UDF family).
+    # Steady-state per-query latency is what the bench measures; cold-JVM
+    # cost would otherwise land entirely on whichever query runs first.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (  # noqa: E402
+        read_table,
+    )
+
     QUERIES["q05_route_topk"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    (
+        read_table(spark, sf_dir, "documents")
+        .limit(1000)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    spark.range(1000).toPandas()
 
     per_query: dict[str, float] = {}
     total = 0.0

@@ -9,8 +9,11 @@ package works in environments without fastapi installed.
 Run: ``uvicorn`` on ``create_app(spark, model)``. The reference decodes
 the upload with pandas then ``createDataFrame`` (main.py:65-67); here the
 upload is spooled to a temp file and read by Spark's CSV reader directly —
-same rows, no pandas hop, and the file path keeps the driver's memory
-footprint flat for large uploads.
+same rows, no pandas parse/convert hop. Note the handler still buffers
+the full upload bytes (``await file.read()``) and collect()s all
+prediction rows for the JSON response, so request/response size bounds
+the endpoint — for bulk scoring use ``operators.serving.predict_csv``
+against files on shared storage instead of HTTP uploads.
 """
 
 from __future__ import annotations

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -209,6 +210,8 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     scale: int = 1000,
+    emb_col: str = "embedding",
+    carry_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """Cluster id per vector — a MAP-ONLY projection, like ``srp_buckets``.
 
@@ -221,8 +224,12 @@ def ivf_assign(
     ``cluster`` so a probe scans one cluster's files only.
 
     scale=1000 keeps the worst case safely inside int64: dim * (2 *
-    scale * |v|max)^2 must stay < 2^63."""
-    vq = _quantize(F.col("embedding"), scale)
+    scale * |v|max)^2 must stay < 2^63.
+
+    ``emb_col``/``carry_cols`` parameterize the projection alongside
+    ``id_col`` so any embeddings table works, not just one with a
+    ``label`` column."""
+    vq = _quantize(F.col(emb_col), scale)
     choices = []
     for cid, cvec in centroids:
         cq_arr = F.array(
@@ -235,7 +242,9 @@ def ivf_assign(
         )
         choices.append(F.struct(dist.alias("d"), F.lit(cid).alias("cid")))
     best = F.array_min(F.array(*choices))
-    return emb.select(id_col, "label", "embedding", best["cid"].alias("cluster"))
+    return emb.select(
+        id_col, *carry_cols, emb_col, best["cid"].alias("cluster")
+    )
 
 
 def ivf_cluster_of(
@@ -352,6 +361,29 @@ def write_ann_index(
     writer.saveAsTable(table)
 
 
+@contextmanager
+def bucket_pruned_scan(spark):
+    """Scope ``autoBucketedScan=false`` around building AND executing a
+    filter-only read of a bucketed table.
+
+    Without a join/agg over the bucket key, Spark's planner deems the
+    bucketed scan unnecessary ("Bucketed: false (disabled by query
+    planner)") and drops bucket-file pruning with it — verified on this
+    Spark even when the query carries a literal bucket filter. The conf is
+    consumed at PHYSICAL planning (execution) time, so it must still be
+    off when the action runs; this context manager makes that scoping
+    explicit and restores the caller's value afterwards instead of
+    mutating the shared session permanently.
+    """
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(conf_key, prior)
+
+
 def ann_query_bucketed(
     spark,
     table: str,
@@ -363,12 +395,15 @@ def ann_query_bucketed(
     """ANN top-k against a ``write_ann_index`` table. The query's bucket is
     computed driver-side (``srp_bucket_of`` — no Spark job), so the scan
     carries a literal ``bucket = b`` filter that bucket-prunes to one file
-    bucket; exact cosine then scores only that bucket's vectors."""
-    # Without a join/agg over the bucket key, Spark's autoBucketedScan
-    # heuristic silently falls back to a plain scan ("Bucketed: false
-    # (disabled by query planner)") and the filter is only a rowgroup-stat
-    # pushdown. Pin it off so a filter-only read still bucket-prunes.
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    bucket (``SelectedBucketsCount: 1 out of N``); exact cosine then
+    scores only that bucket's vectors.
+
+    IMPORTANT: execute the returned DataFrame inside
+    ``with bucket_pruned_scan(spark):`` — Spark's planner otherwise
+    disables the bucketed scan for filter-only reads and the literal
+    filter degrades to a rowgroup-stat pushdown (correct results, full
+    file listing). Results are identical either way; only the scan
+    pruning differs."""
     qb = srp_bucket_of(query_vec, n_planes=n_planes)
     qv = F.array(*[F.lit(float(v)) for v in query_vec])
     qn = sum(float(v) * float(v) for v in query_vec) ** 0.5

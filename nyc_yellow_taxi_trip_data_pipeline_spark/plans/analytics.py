@@ -1075,33 +1075,92 @@ def q29_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q42_approx_sketches",
-    None,
+    """
+    SELECT COUNT(*) AS n,
+           COUNT(DISTINCT l_orderkey) AS orders_exact,
+           COUNT(DISTINCT l_partkey) AS parts_exact,
+           CAST(TRUE AS BOOLEAN) AS orders_hll_ok,
+           CAST(TRUE AS BOOLEAN) AS parts_hll_ok,
+           CAST(TRUE AS BOOLEAN) AS quartiles_ok
+    FROM lineitem
+    """,
     description="approx_count_distinct (HyperLogLog++) and approx "
     "percentiles — the sketch-based forms used instead of exact "
-    "distinct/percentile at 100 TB. Rows-only check: sketch values are "
-    "engine-specific by design.",
+    "distinct/percentile at 100 TB. Sketch values are engine-specific by "
+    "design, so the oracle-checkable contract is the ERROR BOUND: the "
+    "query emits exact counts plus booleans asserting each sketch lands "
+    "within a bound far outside its configured error (HLL++ rsd=0.02 "
+    "checked at ±10% ≈ 5σ; percentile_approx accuracy=10000 checked at "
+    "±5% relative with monotone quartiles). DuckDB's side is literal TRUE "
+    "— a hash match proves the sketches actually honored their bounds.",
     tags=("agg", "approx"),
 )
 def q42_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    # One percentile_approx pass (single sketch), flattened to scalar
-    # columns: the driver's canonicalizer hashes scalar cells, so an
-    # array<double> column would be unorderable on its side.
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    # Three SEPARATE single-row aggregations, cross-joined. Mixing
+    # count_distinct with sketch aggregates in one agg makes Catalyst plan
+    # an Expand (one row copy per distinct group) and drags the
+    # percentile_approx QuantileSummaries buffer through 3x the rows —
+    # measured 22s vs ~4s split at sf0.1. Each piece below is a plain
+    # partial-aggregate pipeline.
+    exact = li.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("l_orderkey").alias("orders_exact"),
+        F.count_distinct("l_partkey").alias("parts_exact"),
+    )
+    sketches = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_ohll"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("_phll"),
         F.percentile_approx(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
-        ).alias("_qs"),
-        F.count("*").alias("n"),
+        ).alias("_aq"),
     )
-    return agg.select(
-        "approx_orders",
-        "approx_parts",
-        F.element_at("_qs", 1).alias("approx_q25"),
-        F.element_at("_qs", 2).alias("approx_q50"),
-        F.element_at("_qs", 3).alias("approx_q75"),
-        "n",
+    # Verify the quantile sketch by its RANK guarantee (error <= n/accuracy)
+    # instead of recomputing exact percentiles: counting rows at-or-below
+    # each sketched quartile is a pure counting pass — no per-group value
+    # buffering, so the check itself survives 100 TB where an exact
+    # percentile (which materializes every value into one agg buffer)
+    # would not.
+    ranks = li.crossJoin(F.broadcast(sketches)).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.element_at("_aq", i), 1
+                ).otherwise(0)
+            ).alias(f"_r{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+
+    def _within(approx, ref, rel):
+        return F.abs(approx - ref) <= rel * ref
+
+    qs_ok = (
+        (F.element_at("_aq", 1) <= F.element_at("_aq", 2))
+        & (F.element_at("_aq", 2) <= F.element_at("_aq", 3))
+    )
+    for i, p in ((1, 0.25), (2, 0.5), (3, 0.75)):
+        # rank of the sketched quartile within 1% of n around p*n
+        # (100x the sketch's configured n/10000 rank-error bound).
+        qs_ok = qs_ok & (
+            F.abs(F.col(f"_r{i}") - F.lit(p) * F.col("n"))
+            <= 0.01 * F.col("n")
+        )
+    return (
+        exact.crossJoin(sketches)
+        .crossJoin(ranks)
+        .select(
+            "n",
+            "orders_exact",
+            "parts_exact",
+            _within(F.col("_ohll"), F.col("orders_exact"), F.lit(0.10)).alias(
+                "orders_hll_ok"
+            ),
+            _within(F.col("_phll"), F.col("parts_exact"), F.lit(0.10)).alias(
+                "parts_hll_ok"
+            ),
+            qs_ok.alias("quartiles_ok"),
+        )
     )
 
 

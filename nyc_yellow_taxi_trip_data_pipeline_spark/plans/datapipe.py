@@ -518,20 +518,14 @@ def q41_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "agg"),
 )
 def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # File streams take a DIRECTORY; select just the events file by glob.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        unload_state_stores,
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    stream = read_table_stream(spark, sf_dir, "events")
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -557,6 +551,7 @@ def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        unload_state_stores(spark)
     return spark.table(sink)
 
 
@@ -1311,23 +1306,15 @@ def q66_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "stateful", "sessionize", "pandas-udf"),
 )
 def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import uuid
 
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
         sessionize_stateful,
+        unload_state_stores,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_table_stream(spark, sf_dir, "events")
     sessions = sessionize_stateful(stream, gap_seconds=1800)
     sink = f"q67_out_{uuid.uuid4().hex[:8]}"
     q = (
@@ -1340,6 +1327,7 @@ def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        unload_state_stores(spark)
     # Cumulative emission: the final value per key is the max across
     # batches (single-batch replays emit exactly one row per key).
     return (

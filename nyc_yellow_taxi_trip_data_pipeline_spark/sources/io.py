@@ -46,22 +46,45 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one of the test tables from a scale-factor directory.
+def _nanos_ts_to_micros(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns (which Spark cannot represent)
+    arrive as nanosecond longs under ``spark.sql.legacy.parquet.nanosAsLong``;
+    convert to microsecond timestamps — the same truncation DuckDB and most
+    readers apply. Single definition shared by the batch and streaming
+    readers so the conversion cannot drift between paths."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    return df
 
-    TIMESTAMP(NANOS) parquet columns (which Spark cannot represent) arrive
-    as nanosecond longs via ``spark.sql.legacy.parquet.nanosAsLong`` and are
-    converted here to microsecond timestamps — the same truncation DuckDB
-    and most readers apply.
-    """
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the test tables from a scale-factor directory,
+    nanos-timestamp-safe (see ``_nanos_ts_to_micros``)."""
     # Runtime-settable; applied here so the engine works under any caller's
     # SparkSession (the driver builds its own), not just sessions from
     # session.get_spark().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _nanos_ts_to_micros(df)
     return df
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of ``read_table``: the same table replayed as a
+    bounded file stream, with the identical nanos→micros conversion.
+    File streams take a directory; ``pathGlobFilter`` selects one table's
+    file from the shared scale-factor dir."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events":
+        stream = _nanos_ts_to_micros(stream)
+    return stream
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

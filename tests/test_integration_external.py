@@ -89,10 +89,14 @@ def test_jdbc_append_then_partitioned_scan_roundtrip(spark):
         got = {(r.id, r.v) for r in back.collect()}
         assert got == {(i, i * 2.0) for i in range(100)}
     finally:
-        # best-effort cleanup through the same JDBC session
+        # Cleanup must go through a real statement: Spark's jdbc reader
+        # wraps `query` in a SELECT subquery, so DROP via spark.read fails
+        # on essentially every database. Use the JVM's DriverManager.
         try:
-            spark.read.format("jdbc").option("url", JDBC_URL).option(
-                "query", f"DROP TABLE {table}"
-            ).load()
+            conn = spark._jvm.java.sql.DriverManager.getConnection(JDBC_URL)
+            try:
+                conn.createStatement().executeUpdate(f"DROP TABLE {table}")
+            finally:
+                conn.close()
         except Exception:
-            pass
+            pass  # smoke table left behind; harmless in a scratch DB

@@ -114,8 +114,18 @@ def test_ann_bucketed_index_prunes_to_one_bucket(spark):
         got = sim.ann_query_bucketed(
             spark, table, query, k=5, n_planes=4
         )
-        plan = got._jdf.queryExecution().executedPlan().toString()
-        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        # Pruning requires the scoped conf at physical-planning time; the
+        # context manager restores the session value afterwards.
+        with sim.bucket_pruned_scan(spark):
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+            got_rows = [
+                (r.vec_id, r.cosine_sim) for r in got.collect() if r.vec_id != 0
+            ]
+        assert (
+            spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+            == "true"
+        ), "bucket_pruned_scan must restore the session conf"
 
         # driver-side bucket math is bit-identical to the Spark expression
         spark_buckets = {
@@ -127,7 +137,6 @@ def test_ann_bucketed_index_prunes_to_one_bucket(spark):
 
         # pruned result == inline ANN path restricted to the same bucket
         inline = sim.ann_candidates(emb, query_vec_id=0, n_planes=4).limit(5)
-        got_rows = [(r.vec_id, r.cosine_sim) for r in got.collect() if r.vec_id != 0]
         inline_rows = [(r.vec_id, r.cosine_sim) for r in inline.collect()]
         # got includes vec_id 0 itself (cosine 1.0 with its own vector)
         assert got_rows == inline_rows[: len(got_rows)]
