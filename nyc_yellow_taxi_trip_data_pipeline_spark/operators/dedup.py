@@ -224,6 +224,71 @@ def minhash_near_duplicates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    hash-min label propagation: every node's label converges to the
+    MINIMUM node id in its component — the canonical-document assignment
+    that turns near-dup PAIRS into dedup CLUSTERS.
+
+    Each round is one shuffle join (labels propagated along edges) + a
+    min-aggregate; rounds needed = graph diameter, and near-dup components
+    are near-cliques (diameter 1-2), so convergence is 2-3 rounds in
+    practice. ``localCheckpoint`` after every round truncates the lineage
+    — without it the plan doubles per iteration and the job dies on plan
+    explosion long before data size matters. At extreme scale the
+    round count is further cut by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce"),
+    which this deliberately keeps simpler than: diameter-bounded input
+    makes plain min-propagation the cheaper plan.
+
+    Returns (node, cluster) for every node appearing in ``pairs``;
+    singletons never enter the graph and keep themselves as canonical.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # materialize once; reused every round
+    )
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "lbl"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop, "u", "left")
+            # least() ignores NULL, so isolated rounds keep the old label
+            .select("u", F.least("lbl", "nlbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("u", F.col("lbl").alias("new_lbl"))
+            .join(labels, "u")
+            .filter(F.col("new_lbl") < F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("node"), F.col("lbl").alias("cluster")
+    )
+
+
 def simhash16(
     tokens: DataFrame, id_col: str = "doc_id", word_col: str = "w"
 ) -> DataFrame:

@@ -17,35 +17,39 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. Round 1
-# checked file-order q01-q43 + q51/q56-q63 + q30-q41; the 11 below never got
-# a row, and any query whose plan changed this round needs a fresh one — so
-# they are promoted to the front of the registry. Queries outside the window
-# remain parity-gated (tools/parity.py runs ALL of them).
+# order therefore decides which queries earn a hard external row. After
+# rounds 1+2, every query has at least one green row; round 3 promotes
+# (a) queries NEW this round, (b) queries whose plan/oracle changed this
+# round, (c) queries whose only green row dates back to round 1. Queries
+# outside the window remain parity-gated (tools/parity.py runs ALL of them).
 _PRIORITY = [
-    # never driver-checked in round 1:
-    "q44_streaming_hourly",
-    "q45_ngram_jaccard",
-    "q46_tfidf_topterms",
-    "q47_moving_avg",
-    "q48_grouped_quantiles",
-    "q49_unpivot",
-    "q50_correlation",
-    "q52_char_ngram_langid",
-    "q53_winnowing",
-    "q54_semi_anti_join",
-    "q55_constraint_audit",
-    # new this round, never driver-checked:
-    "q64_multimodal_resize",
-    "q65_frame_sample",
-    "q66_ivf_ann",
-    "q67_streaming_sessionize",
-    # red in round 1 (array column broke the driver canonicalizer), fixed:
+    # new this round:
+    "q68_dedup_clusters",
+    "q69_lookback_range_join",
+    "q70_stratified_sample",
+    "q71_token_counts",
+    "q72_incremental_rollup",
+    # changed this round (q42: rows-only -> real error-bound oracle;
+    # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",
-    # plans rewritten this round (re-blocked / re-projected), need re-check:
-    "q62_fuzzy_editdistance",
-    "q32_minhash_lsh_neardup",
-    "q36_ann_srp_bucket",
+    "q44_streaming_hourly",
+    "q67_streaming_sessionize",
+    # last driver-checked in round 1 only:
+    "q30_dedup_exact",
+    "q31_dedup_keep_first",
+    "q33_simhash",
+    "q34_embedding_topk",
+    "q35_embedding_neardup",
+    "q37_text_quality",
+    "q38_lang_id",
+    "q39_fingerprint",
+    "q40_multimodal_meta",
+    "q41_multimodal_decode",
+    "q56_regex_extract",
+    "q57_grouping_sets",
+    "q58_rank_family",
+    "q61_conditional_aggs",
+    "q63_date_math",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

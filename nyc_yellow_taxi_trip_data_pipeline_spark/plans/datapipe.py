@@ -1339,3 +1339,268 @@ def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("key").alias("user_id"), "n_sessions", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — near-dup CLUSTERS from the q32 pair graph: connected components by
+# iterative hash-min label propagation (operators/dedup.connected_components).
+# The oracle computes the same fixpoint with a recursive transitive-closure
+# CTE — min reachable id == converged min-label, so the iterative Spark
+# algorithm is hash-checked end-to-end against declarative SQL.
+# ---------------------------------------------------------------------------
+def _cc_sql() -> str:
+    return f"""
+    WITH RECURSIVE prs AS ({_mh_sql()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
+    )
+    SELECT doc_id, cluster,
+           COUNT(*) OVER (PARTITION BY cluster) AS n_members
+    FROM labels
+    """
+
+
+@register(
+    "q68_dedup_clusters",
+    _cc_sql(),
+    description="Dedup clusters: connected components over the MinHash-LSH "
+    "near-dup pair graph via iterative hash-min label propagation "
+    "(localCheckpoint per round to truncate lineage; rounds = component "
+    "diameter, 2-3 for near-clique dup groups). Canonical id = min doc_id "
+    "in the component. Oracle is a recursive transitive-closure CTE "
+    "computing the identical fixpoint.",
+    tags=("dedup", "clustering", "iterative"),
+)
+def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
+    ).select("doc_a", "doc_b")
+    cc = dd.connected_components(pairs)
+    return (
+        cc.select(F.col("node").alias("doc_id"), "cluster")
+        .withColumn(
+            "n_members", F.count("*").over(Window.partitionBy("cluster"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — lookback range join (attribution): for every error event, how many
+# views did the same user generate in the preceding 10 minutes? A raw
+# inequality join is a nested-loop O(n*m) plan; the operator rewrites it as
+# a binned equi-join (operators/joins.binned_lookback_join) — hash shuffle
+# on (user_id, time_bin), exact range check only on bucket survivors.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_lookback_range_join",
+    """
+    SELECT e.event_id, e.user_id,
+           COUNT(v.event_id) AS n_preceding_views
+    FROM events e
+    LEFT JOIN events v
+      ON v.user_id = e.user_id
+     AND v.event_type = 'view'
+     AND CAST(FLOOR(EPOCH(v.ts)) AS BIGINT)
+         >= CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) - 600
+     AND CAST(FLOOR(EPOCH(v.ts)) AS BIGINT)
+         < CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+    description="Interval/lookback range join via time-binning: errors "
+    "explode to the candidate 10-min bins, equi-join views on "
+    "(user_id, bin), exact half-open range filter after the hash join — "
+    "never a nested-loop inequality join. Left semantics keep zero-view "
+    "errors.",
+    tags=("join", "range", "interval"),
+)
+def q69_lookback_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.joins import (
+        binned_lookback_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    matched = binned_lookback_join(
+        errors, views, ["user_id"], "ts", "vts", lookback_s=600
+    ).groupBy("event_id", "user_id").agg(
+        F.count("view_id").alias("n_preceding_views")
+    )
+    # LEFT semantics: errors with no candidate bin match drop out of the
+    # join; restore them with zero counts via a cheap anti-side union.
+    return (
+        errors.select("event_id", "user_id")
+        .join(matched.select("event_id"), "event_id", "left_anti")
+        .withColumn("n_preceding_views", F.lit(0).cast("long"))
+        .unionByName(matched)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — deterministic stratified sampling. Spark's sample()/sampleBy() draw
+# from a seeded RNG whose stream depends on partitioning — not reproducible
+# across engines or re-partitions. The portable scale form: hash-mod on a
+# stable key (md5), which any engine reproduces bit-identically and which
+# keeps the SAME rows in the sample as the corpus grows.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_stratified_sample",
+    """
+    WITH s AS (
+      SELECT event_type, value
+      FROM events
+      WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 4) < '199a'
+    ),
+    tot AS (SELECT event_type, COUNT(*) AS n_total FROM events GROUP BY 1)
+    SELECT t.event_type, t.n_total,
+           COUNT(s.value) AS n_sample,
+           ROUND(COUNT(s.value) / CAST(t.n_total AS DOUBLE), 4) AS sample_rate,
+           {qavg} AS sample_avg_value
+    FROM tot t LEFT JOIN s ON s.event_type = t.event_type
+    GROUP BY 1, 2
+    """.format(
+        qavg="(CAST(SUM(CAST(FLOOR(s.value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " / 100.0 / COUNT(s.value))"
+    ),
+    description="Deterministic ~10% stratified sample per event_type via "
+    "md5 hash-mod on the row key (first 4 hex digits < 0x199a = 6554/65536)"
+    " — reproducible across engines, partitionings, and corpus growth, "
+    "unlike RNG-based sample(); per-stratum rate and quantized sample mean "
+    "verify the draw.",
+    tags=("sampling", "agg"),
+)
+def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import qavg
+
+    ev = read_table(spark, sf_dir, "events")
+    sample = ev.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 4) < "199a"
+    )
+    tot = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    samp = sample.groupBy("event_type").agg(
+        F.count("value").alias("n_sample"),
+        qavg(F.col("value")).alias("sample_avg_value"),
+    )
+    return (
+        tot.join(samp, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
+            F.round(
+                F.coalesce("n_sample", F.lit(0))
+                / F.col("n_total").cast("double"),
+                4,
+            ).alias("sample_rate"),
+            "sample_avg_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — token counting: whitespace tokens plus a BPE-ish subword segmentation
+# (letter runs / digit runs / single non-alphanumerics — the pre-merge
+# byte-pair vocabulary shape), the budget metric every LLM-corpus pipeline
+# reports. Pure columnar regexp work, whole-stage codegen, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "q71_token_counts",
+    """
+    WITH d AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS n_subwords
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 4)
+             AS avg_tokens_per_doc
+    FROM d
+    GROUP BY lang
+    """,
+    description="Per-language token budget: whitespace token counts and a "
+    "BPE-ish subword count (letter-run | digit-run | single symbol regex — "
+    "the pre-merge BPE vocabulary segmentation) summed per lang. Identical "
+    "regex semantics in Java regex and RE2 for this pattern class.",
+    tags=("text", "tokens", "agg"),
+)
+def q71_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+        ).alias("n_subwords"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_subwords").cast("long").alias("total_subwords"),
+        F.round(
+            F.sum("n_tokens") / F.count("*").cast("double"), 4
+        ).alias("avg_tokens_per_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — incremental rollup: monthly aggregates REAGGREGATED from daily
+# partials instead of rescanning raw events — the materialized-rollup
+# pattern (count and quantized sum are reaggregable; means derive at read
+# time). At 100 TB the daily table is written once per day and every
+# coarser granularity (week/month/quarter) is a cheap rollup over partials.
+# ---------------------------------------------------------------------------
+@register(
+    "q72_incremental_rollup",
+    """
+    SELECT date_trunc('week', ts) AS week,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            / 100.0) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    description="Weekly rollup computed from daily partial aggregates "
+    "(count + quantized integer sum are associative/commutative, so "
+    "merging partials is exact) — the oracle aggregates raw events "
+    "directly, proving partial-merge == direct aggregation.",
+    tags=("agg", "rollup", "incremental"),
+)
+def q72_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("qsum"),
+    )
+    return daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.sum("n_events").alias("n_events"),
+        (F.sum("qsum").cast("long") / 100.0).alias("sum_value"),
+    )

@@ -218,3 +218,55 @@ def test_ivf_assignment_and_probe(spark):
     got = sim.ivf_topk(emb, query_vec_id=0, n_centroids=2, k=10).collect()
     assert [r.vec_id for r in got] == [2, 3]  # only cluster 0, query excluded
     assert got[0].cosine_sim > got[1].cosine_sim
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (diameter 3 — needs >1 propagation round), a
+    2-clique, and an isolated pair all converge to min-id labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.node: r.cluster for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dd.connected_components(pairs).count() == 0
+
+
+def test_binned_lookback_join_boundaries(spark):
+    """Half-open window [t - lookback, t): a right row exactly lookback
+    seconds before matches; one at the left timestamp itself does not —
+    and bin-crossing candidates are found."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.joins import (
+        binned_lookback_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 10:10:00")], "id long, k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, 100, "2024-01-01 10:00:00"),  # exactly lookback before: IN
+            (11, 100, "2024-01-01 10:05:30"),  # inside, crosses bin: IN
+            (12, 100, "2024-01-01 10:10:00"),  # at left ts: OUT (half-open)
+            (13, 100, "2024-01-01 09:59:59"),  # 1s too early: OUT
+            (14, 999, "2024-01-01 10:05:00"),  # wrong key: OUT
+        ],
+        "rid long, k long, rts string",
+    ).withColumn("rts", F.to_timestamp("rts"))
+    got = sorted(
+        r.rid
+        for r in binned_lookback_join(
+            left, right, ["k"], "ts", "rts", lookback_s=600
+        ).collect()
+    )
+    assert got == [10, 11]
