@@ -32,6 +32,7 @@ _PRIORITY = [
     "q73_kmeans_step",
     "q74_reservoir_topn",
     "q75_embedding_quantize",
+    "q76_stream_stream_join",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

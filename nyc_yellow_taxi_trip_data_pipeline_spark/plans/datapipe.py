@@ -1777,3 +1777,90 @@ def q75_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — STREAM-STREAM interval join: the streamed twin of q69's batch range
+# join. Two filtered views of the same replayed event stream join on
+# user_id + a time-interval condition; watermarks bound the join state so
+# an unbounded run evicts rows older than the lookback. Bounded replay in
+# one micro-batch makes the append-mode output deterministic, so the
+# result is hash-checked against the batch inner-join SQL — the
+# streams-equals-batch guarantee for JOINS, not just aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "q76_stream_stream_join",
+    """
+    SELECT e.event_id, e.user_id,
+           COUNT(v.event_id) AS n_preceding_views
+    FROM events e
+    JOIN events v
+      ON v.user_id = e.user_id
+     AND v.event_type = 'view'
+     AND CAST(FLOOR(EPOCH(v.ts)) AS BIGINT)
+         >= CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) - 600
+     AND CAST(FLOOR(EPOCH(v.ts)) AS BIGINT)
+         < CAST(FLOOR(EPOCH(e.ts)) AS BIGINT)
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+    description="Stream-stream interval join (errors x views of the same "
+    "replayed stream): watermarks on both sides + a raw-timestamp interval "
+    "bound let Spark evict join state; the exact whole-second half-open "
+    "window is applied on top so semantics match the batch oracle. Raw "
+    "pairs land append-mode in the sink; the per-error counts equal q69's "
+    "inner rows.",
+    tags=("streaming", "join", "interval"),
+)
+def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        unload_state_stores,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    joined = errors.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id
+            AND vts >= ts - INTERVAL 11 MINUTES
+            AND vts <= ts
+            AND unix_timestamp(vts) >= unix_timestamp(ts) - 600
+            AND unix_timestamp(vts) < unix_timestamp(ts)
+            """
+        ),
+    ).select("event_id", "user_id", "view_id")
+    sink = f"q76_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        unload_state_stores(spark)
+    return (
+        spark.table(sink)
+        .groupBy("event_id", "user_id")
+        .agg(F.count("view_id").alias("n_preceding_views"))
+    )
