@@ -33,6 +33,8 @@ _PRIORITY = [
     "q74_reservoir_topn",
     "q75_embedding_quantize",
     "q76_stream_stream_join",
+    "q77_trimmed_mean_udaf",
+    "q78_chunk_windows_udtf",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

@@ -1864,3 +1864,131 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.count("view_id").alias("n_preceding_views"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — GROUPED_AGG pandas UDF: per-group 10% trimmed mean — a robust
+# statistic with no builtin expression. The whole group arrives as one
+# Arrow batch; sorting inside the UDF makes the float summation order
+# deterministic (the retained middle is the same multiset regardless of
+# tie order, so the trim itself is order-free). Completes the UDF surface:
+# scalar pandas_udf (q28), applyInPandas (q27), mapInPandas (q41),
+# applyInPandasWithState (q67), grouped-agg pandas_udf (here).
+# ---------------------------------------------------------------------------
+@register(
+    "q77_trimmed_mean_udaf",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_used,
+           ROUND(AVG(value), 4) AS trimmed_mean
+    FROM r
+    WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    GROUP BY event_type
+    """,
+    description="10% trimmed mean of value per event_type via a "
+    "GROUPED_AGG pandas UDF (Arrow, one batch per group — callers must "
+    "bound group size; for giant groups pre-aggregate or sample first). "
+    "Oracle trims by rank window; the retained multiset is identical.",
+    tags=("pandas-udf", "udaf", "agg"),
+)
+def q77_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _tmean(v):
+        s = v.sort_values()
+        k = int(len(s) // 10)
+        kept = s.iloc[k : len(s) - k] if k else s
+        return float(kept.mean())
+
+    def _tcount(v):
+        k = int(len(v) // 10)
+        return int(len(v) - 2 * k) if k else int(len(v))
+
+    # Real annotations: `from __future__ import annotations` in this
+    # module would stringify inline hints and break pandas_udf inspection.
+    _tmean.__annotations__ = {"v": pd.Series, "return": float}
+    _tcount.__annotations__ = {"v": pd.Series, "return": int}
+    tmean_udf = pandas_udf("double")(_tmean)
+    tcount_udf = pandas_udf("long")(_tcount)
+
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        tcount_udf("value").alias("n_used"),
+        F.round(tmean_udf("value"), 4).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — Python UDTF (table function): chunk each document into overlapping
+# training context windows (size 128 tokens, stride 64) via a LATERAL
+# table-function join — the one UDF shape (one row -> many rows with
+# per-call state) that scalar/grouped pandas UDFs cannot express.
+# Emits (chunk_idx, n_tokens, md5) per window; the md5 lets the oracle
+# verify the exact chunk CONTENT without shipping chunk text around.
+# ---------------------------------------------------------------------------
+@register(
+    "q78_chunk_windows_udtf",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, 64)) AS s FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 64 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(w, s, least(s + 127, len(w))))
+                AS INTEGER) AS n_tokens,
+           md5(array_to_string(
+             list_slice(w, s, least(s + 127, len(w))), ' '
+           )) AS chunk_md5
+    FROM g
+    """,
+    description="Training-window chunker as a Python UDTF in a LATERAL "
+    "join: 128-token windows at stride 64 per document, one output row "
+    "per window with an md5 content fingerprint. Arrow-batched UDTF "
+    "execution; at scale the chunk table is the unit that shuffles, "
+    "never the full document.",
+    tags=("udtf", "text", "chunking"),
+)
+def q78_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    class ChunkWindows:
+        def eval(self, doc_id, text):
+            # Self-contained: executor workers can't import this repo.
+            import hashlib
+
+            w = (text or "").split(" ")
+            for idx, s in enumerate(range(0, len(w), 64)):
+                chunk = w[s : s + 128]
+                yield (
+                    doc_id,
+                    idx,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    chunk_udtf = udtf(
+        ChunkWindows,
+        returnType="doc_id bigint, chunk_idx int, n_tokens int, "
+        "chunk_md5 string",
+    )
+    spark.udtf.register("chunk_windows", chunk_udtf)
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5
+        FROM documents d, LATERAL chunk_windows(d.doc_id, d.text) c
+        """
+    )
