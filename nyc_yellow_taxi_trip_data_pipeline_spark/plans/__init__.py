@@ -35,6 +35,7 @@ _PRIORITY = [
     "q76_stream_stream_join",
     "q77_trimmed_mean_udaf",
     "q78_chunk_windows_udtf",
+    "q79_curation_funnel",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

@@ -1992,3 +1992,80 @@ def q78_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL chunk_windows(d.doc_id, d.text) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — the end-to-end curation funnel, composed from the inventory's own
+# stages: language gate -> quality gate (length + lexical diversity) ->
+# exact near-dedup on normalized content -> token budget. One row per
+# kept language with the full funnel counts — the numbers a training-data
+# curation run reports. Every stage is the scale-shaped form: columnar
+# predicates, one md5 group-by for dedup (shuffles 16-byte keys, not
+# text), integer token sums.
+# ---------------------------------------------------------------------------
+@register(
+    "q79_curation_funnel",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+    ),
+    quality AS (
+      SELECT * FROM base
+      WHERE n_words >= 30 AND n_distinct * 1.0 / n_words >= 0.3
+    ),
+    uniq AS (
+      SELECT lang, md5(lower(text)) AS ck, MAX(n_words) AS n_words
+      FROM quality
+      GROUP BY 1, 2
+    )
+    SELECT t.lang,
+           t.n_total,
+           q.n_quality,
+           u.n_unique,
+           u.total_tokens
+    FROM (SELECT lang, COUNT(*) AS n_total FROM base GROUP BY 1) t
+    JOIN (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY 1) q
+      ON q.lang = t.lang
+    JOIN (SELECT lang, COUNT(*) AS n_unique,
+                 CAST(SUM(n_words) AS BIGINT) AS total_tokens
+          FROM uniq GROUP BY 1) u
+      ON u.lang = t.lang
+    """,
+    description="Curation funnel per language: lang gate -> quality gate "
+    "(>=30 words, >=0.3 distinct-word ratio) -> exact dedup on "
+    "md5(lower(text)) keep-one -> token budget. Funnel counts "
+    "(n_total/n_quality/n_unique/total_tokens) are the run report of a "
+    "corpus curation job.",
+    tags=("datapipe", "dedup", "text", "funnel"),
+)
+def q79_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de", "fr")
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_distinct"),
+    )
+    quality = base.filter(
+        (F.col("n_words") >= 30)
+        & (F.col("n_distinct") * 1.0 / F.col("n_words") >= 0.3)
+    )
+    uniq = quality.groupBy(
+        "lang", F.md5(F.lower("text")).alias("ck")
+    ).agg(F.max("n_words").alias("n_words"))
+    tot = base.groupBy("lang").agg(F.count("*").alias("n_total"))
+    qn = quality.groupBy("lang").agg(F.count("*").alias("n_quality"))
+    un = uniq.groupBy("lang").agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n_words").cast("long").alias("total_tokens"),
+    )
+    return tot.join(qn, "lang").join(un, "lang").select(
+        "lang", "n_total", "n_quality", "n_unique", "total_tokens"
+    )
