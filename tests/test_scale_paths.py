@@ -142,3 +142,34 @@ def test_ann_bucketed_index_prunes_to_one_bucket(spark):
         assert got_rows == inline_rows[: len(got_rows)]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_no_nested_loop_joins_in_scale_paths(spark):
+    """The queries that join at data scale must plan hash/sort-merge or
+    broadcast-hash joins — a BroadcastNestedLoopJoin or CartesianProduct
+    over a non-single-row side is the O(n*m) plan the binned/bucketed
+    rewrites exist to avoid. (1-row cross joins of global aggregates are
+    legitimate and excluded by query choice here.)"""
+    import re
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in (
+        "q69_lookback_range_join",
+        "q73_kmeans_step",
+        "q75_embedding_quantize",
+        "q32_minhash_lsh_neardup",
+        "q45_ngram_jaccard",
+        "q21_asof_join",
+        "q79_curation_funnel",
+    ):
+        plan = (
+            QUERIES[name]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        bad = re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)
+        assert not bad, f"{name} plans {bad}"
