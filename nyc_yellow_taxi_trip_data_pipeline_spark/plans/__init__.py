@@ -36,6 +36,7 @@ _PRIORITY = [
     "q77_trimmed_mean_udaf",
     "q78_chunk_windows_udtf",
     "q79_curation_funnel",
+    "q80_stream_static_join",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

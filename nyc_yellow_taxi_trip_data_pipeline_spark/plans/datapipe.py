@@ -2069,3 +2069,65 @@ def q79_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.join(qn, "lang").join(un, "lang").select(
         "lang", "n_total", "n_quality", "n_unique", "total_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — stream-STATIC enrichment join: the replayed event stream joins two
+# broadcast dimension tables (customer -> nation) micro-batch by
+# micro-batch — the dimension-enrichment shape every streaming ETL needs,
+# complementing q76's stream-stream join. Static sides broadcast once; no
+# join state accumulates (unlike stream-stream). Complete-mode grouped
+# aggregate over the enriched stream equals the batch star join.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_stream_static_join",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            / 100.0) AS sum_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+    description="Stream-static broadcast join: replayed events enriched "
+    "with customer->nation dims inside the streaming query (static sides "
+    "broadcast, zero join state), complete-mode per-nation aggregate — "
+    "final state hash-matches the batch star join.",
+    tags=("streaming", "join", "broadcast"),
+)
+def q80_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        unload_state_stores,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events").select("user_id", "value")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            / 100.0
+        ).alias("sum_value"),
+    )
+    sink = f"q80_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        unload_state_stores(spark)
+    return spark.table(sink)
