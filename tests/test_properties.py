@@ -74,3 +74,95 @@ def test_imputation_idempotent(spark):
     once = impute_numeric_nulls(df, ["x"])
     twice = impute_numeric_nulls(once, ["x"])
     assert once.collect() == twice.collect()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed hash-min propagation == classic driver-side union-find
+    on seeded random graphs (including multi-component, chains, cliques)."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        # canonical label = min node id in the component
+        comp: dict[int, list[int]] = {}
+        for x in nodes:
+            comp.setdefault(find(x), []).append(x)
+        expected = {
+            x: min(members) for members in comp.values() for x in members
+        }
+
+        from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.node: r.cluster for r in dd.connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_binned_lookback_join_matches_naive(spark):
+    """Binned equi-join + exact filter == naive cross-join range filter on
+    seeded random events, across bin sizes that do and don't divide the
+    lookback."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.joins import (
+        binned_lookback_join,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (i, rng.randrange(3), rng.randrange(0, 5000))
+        for i in range(120)
+    ]
+    base = spark.createDataFrame(rows, "id long, k long, sec long").withColumn(
+        "ts", F.timestamp_seconds(F.col("sec"))
+    )
+    left = base.select("id", "k", "ts")
+    right = base.select(
+        F.col("id").alias("rid"), F.col("k").alias("rk"), F.col("ts").alias("rts")
+    )
+    for lookback, bin_s in ((600, None), (600, 250), (997, 400)):
+        got = sorted(
+            (r.id, r.rid)
+            for r in binned_lookback_join(
+                left,
+                right.withColumnRenamed("rk", "k"),
+                ["k"],
+                "ts",
+                "rts",
+                lookback_s=lookback,
+                bin_s=bin_s,
+            ).collect()
+        )
+        naive = sorted(
+            (l[0], r[0])
+            for l in rows
+            for r in rows
+            if l[1] == r[1] and l[2] - lookback <= r[2] < l[2]
+        )
+        assert got == naive, f"lookback={lookback} bin={bin_s}"
