@@ -289,3 +289,36 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
         final[r.key] = (max(cur[0], r.n_sessions), max(cur[1], r.n_events))
     assert final[1] == (2, 4)  # sessions: {e1,e2}, {e3,e5}
     assert final[2] == (2, 2)  # two singleton sessions
+
+
+def test_malformed_envelope_yields_nulls_not_failure(spark, tmp_path):
+    """A malformed Kafka payload must not kill the stream: from_json
+    yields a null struct, so the row survives with null fields and the
+    pipeline keeps running (filter out or dead-letter downstream)."""
+    import json as jsonlib
+
+    from pyspark.sql import types as T
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        parse_json_envelope,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    payloads = spark.createDataFrame(
+        [
+            (jsonlib.dumps({"event_id": 1, "value": 2.5}).encode(),),
+            (b"{not valid json at all",),
+            (b"",),
+        ],
+        "value binary",
+    )
+    rows = parse_json_envelope(payloads, schema).collect()
+    assert len(rows) == 3
+    parsed = [tuple(r) for r in rows]
+    assert (1, 2.5) in parsed
+    assert parsed.count((None, None)) == 2
