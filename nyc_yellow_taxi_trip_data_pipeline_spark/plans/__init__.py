@@ -37,6 +37,7 @@ _PRIORITY = [
     "q78_chunk_windows_udtf",
     "q79_curation_funnel",
     "q80_stream_static_join",
+    "q81_streaming_dedup",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

@@ -2131,3 +2131,63 @@ def q80_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         unload_state_stores(spark)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q81 — STREAMING dedup within watermark: the at-least-once -> effectively-
+# once repair every streaming ingest needs. The replayed event stream is
+# unioned with itself (every event delivered twice — the redelivery
+# model), then dropDuplicatesWithinWatermark on event_id collapses the
+# duplicates while the watermark bounds dedup state (ids older than the
+# horizon are evicted — at 100 TB you cannot keep every-seen-id state).
+# The deduped per-type counts must equal the batch DISTINCT counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q81_streaming_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    description="Streaming dedup: stream unioned with itself (2x "
+    "delivery), dropDuplicatesWithinWatermark(event_id) with a 2h "
+    "watermark bounding state, append-mode sink; per-type counts equal "
+    "the batch DISTINCT — the effectively-once ingest guarantee.",
+    tags=("streaming", "dedup", "stateful"),
+)
+def q81_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        unload_state_stores,
+    )
+
+    once = read_table_stream(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    twice = once.unionByName(
+        read_table_stream(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts"
+        )
+    )
+    deduped = twice.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"q81_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        unload_state_stores(spark)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
