@@ -38,6 +38,7 @@ _PRIORITY = [
     "q79_curation_funnel",
     "q80_stream_static_join",
     "q81_streaming_dedup",
+    "q82_triangle_count",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

@@ -1886,7 +1886,8 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_used,
-           ROUND(AVG(value), 4) AS trimmed_mean
+           ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / 100.0 / COUNT(*), 4) AS trimmed_mean
     FROM r
     WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
       AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
@@ -1903,10 +1904,16 @@ def q77_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     def _tmean(v):
+        # Quantized mean (registry contract): integer sum of
+        # floor(v*100+0.5) is order-exact, so pandas' summation order and
+        # DuckDB's agree bit-for-bit — no float-accumulation tie risk.
+        import numpy as np
+
         s = v.sort_values()
         k = int(len(s) // 10)
         kept = s.iloc[k : len(s) - k] if k else s
-        return float(kept.mean())
+        q = np.floor(kept.to_numpy() * 100 + 0.5).astype("int64").sum()
+        return float(q) / 100.0 / len(kept)
 
     def _tcount(v):
         k = int(len(v) // 10)
@@ -2190,4 +2197,67 @@ def q81_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — triangle counting over the near-dup graph: the second distributed
+# graph primitive after q68's components. Canonical a<b<c orientation means
+# each triangle is ONE row of the 3-way self-join; joining the (already
+# oriented) pair list twice keeps the plan a pair of hash joins whose
+# intermediate is bounded by |E| * max-degree — with the LSH bucket cap
+# bounding degree, never quadratic. Triangle density separates true dup
+# CLUSTERS (cliques) from chains of borderline matches.
+# ---------------------------------------------------------------------------
+def _tri_sql() -> str:
+    return f"""
+    WITH prs AS ({_mh_sql()}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM prs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT COUNT(*) AS n_triangles,
+           (SELECT COUNT(*) FROM e) AS n_edges
+    FROM tri
+    """
+
+
+@register(
+    "q82_triangle_count",
+    _tri_sql(),
+    description="Triangle count over the MinHash-LSH near-dup pair graph: "
+    "pairs pre-oriented a<b, so two hash self-joins enumerate each "
+    "triangle exactly once (a<b<c); degree is bounded by the LSH bucket "
+    "cap, keeping the wedge intermediate linear-ish. Clique density "
+    "distinguishes dup clusters from borderline-match chains.",
+    tags=("dedup", "graph", "join"),
+)
+def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # One materialization serves all three join branches — recomputing the
+    # LSH pipeline 3x would triple the dominant cost.
+    e = pairs.localCheckpoint(eager=True)
+    e1 = e
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        e.agg(F.count("*").alias("n_edges"))
     )
