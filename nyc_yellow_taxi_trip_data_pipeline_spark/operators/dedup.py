@@ -194,6 +194,48 @@ def jaccard_on_pairs(
     )
 
 
+def sig_agreement_filter(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    min_agree: int,
+    n_hashes: int = 12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep candidate pairs whose MinHash signatures agree on at least
+    ``min_agree`` of ``n_hashes`` positions — the signature-based Jaccard
+    ESTIMATE (E[agreement fraction] = true Jaccard) used as a cheap
+    pre-verify gate.
+
+    Measured necessity: on a corpus with a large borderline-similarity
+    mass (10x replicas at Jaccard ~1/3), band collisions alone passed
+    555k candidates through the bucket cap, and exact verification
+    (candidates x shingles intersection join) dominated the whole
+    pipeline. The signature check costs 12 string equalities per pair on
+    a ~400-byte/doc join — orders of magnitude below the verify it
+    spares. The estimate is binomial-noisy (sigma ~ sqrt(j(1-j)/n)), so
+    ``min_agree`` must sit safely BELOW threshold*n_hashes to keep
+    borderline recall; it is a deterministic function of the signatures,
+    so an oracle reproduces the exact same survivor set."""
+    a = sigs.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(n_hashes)],
+    )
+    b = sigs.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(n_hashes)],
+    )
+    agree = None
+    for i in range(n_hashes):
+        term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(agree >= min_agree)
+        .select("doc_a", "doc_b")
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     threshold: float = 0.5,
@@ -203,22 +245,44 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int | None = None,
+    sig_agree_min: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signatures -> bands ->
-    candidate pairs -> exact-Jaccard verify -> threshold.
+    candidate pairs [-> signature-agreement pre-filter] -> exact-Jaccard
+    verify -> threshold.
 
-    The shingle set feeds four downstream subtrees (signatures, sizes, and
-    both sides of the intersection join). At cluster scale you materialize
-    the shingle table to parquet once per corpus snapshot; recomputing the
-    explode is measured-cheaper here than caching (and a persist held
-    across queries pressures the whole session)."""
-    sh = shingle_distinct(df, n=shingle_n, id_col=id_col, text_col=text_col)
-    sigs = minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col)
+    ``sig_agree_min`` enables the estimate gate between candidate
+    generation and exact verification (see ``sig_agreement_filter``) —
+    the defense against borderline-similarity blobs whose band collisions
+    survive the bucket cap but whose exact verification is wasted work.
+
+    The shingle table feeds 3 downstream subtrees (sizes + both sides of
+    the intersection join) and the signature table up to 4 (both band
+    self-join branches + both sides of the agreement gate). Both are
+    therefore materialized ONCE via eager localCheckpoint — at 10x corpus
+    the signature computation (n_hashes md5s per shingle) re-ran per
+    subtree and dominated the whole pipeline (measured 4-6x the useful
+    work). At cluster scale the same role is played by writing the
+    shingle/signature tables to parquet once per corpus snapshot."""
+    sh = shingle_distinct(
+        df, n=shingle_n, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(
+        sh, n_hashes=n_hashes, id_col=id_col
+    ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         lsh_bands(sigs, n_hashes=n_hashes, band_size=band_size, id_col=id_col),
         id_col=id_col,
         max_bucket=max_bucket,
     )
+    if sig_agree_min is not None:
+        cands = sig_agreement_filter(
+            cands, sigs, sig_agree_min, n_hashes=n_hashes, id_col=id_col
+        )
+    # Candidates are a small (doc_a, doc_b) set; pinning them stops the
+    # band-window/self-join/distinct chain from re-running inside the
+    # multi-branch verification join.
+    cands = cands.localCheckpoint(eager=True)
     return jaccard_on_pairs(cands, sh, id_col=id_col).filter(
         F.col("jaccard") >= threshold
     )

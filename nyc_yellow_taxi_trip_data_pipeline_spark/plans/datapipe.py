@@ -80,6 +80,14 @@ _MH_BAND = 3
 # scale. Over-cap buckets are dropped (their members belong to exact dedup,
 # not pairwise LSH). 64 is far above any organic bucket at test SFs.
 _MH_MAX_BUCKET = 64
+# Signature-agreement pre-verify gate: candidates whose signatures agree on
+# fewer than 5/12 positions (Jaccard estimate < ~0.42) skip the exact
+# intersection join. Measured on a 10x corpus with a borderline-similarity
+# blob (tools/scale_smoke.py): bucket-capped candidates still hit 555k and
+# exact verify dominated; the gate removes the sub-threshold mass for 12
+# string equalities per pair. Binomial noise: j=0.8 passes at 0.9995,
+# j=0.6 at 0.92, j=1/3 at 0.37 — recall loss concentrates below threshold.
+_MH_SIG_AGREE = 5
 
 def _mh_sql() -> str:
     sig_cols = ", ".join(
@@ -91,6 +99,9 @@ def _mh_sql() -> str:
             key=" || ".join(f"mh{b * _MH_BAND + j}" for j in range(_MH_BAND)),
         )
         for b in range(_MH_N // _MH_BAND)
+    )
+    agree_expr = " + ".join(
+        f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(_MH_N)
     )
     return f"""
     WITH w AS (
@@ -119,10 +130,17 @@ def _mh_sql() -> str:
       JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
                     AND a.doc_id < b.doc_id
     ),
+    candf AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+      WHERE ({agree_expr}) >= {_MH_SIG_AGREE}
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-      FROM cand c
+      FROM candf c
       JOIN sh x ON x.doc_id = c.doc_a
       JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
       GROUP BY 1, 2
@@ -154,6 +172,7 @@ def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_MH_BAND,
         shingle_n=2,
         max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SIG_AGREE,
     ).select("doc_a", "doc_b", "jaccard")
 
 
@@ -1400,6 +1419,7 @@ def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_MH_BAND,
         shingle_n=2,
         max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SIG_AGREE,
     ).select("doc_a", "doc_b")
     cc = dd.connected_components(pairs)
     return (
@@ -2244,6 +2264,7 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_size=_MH_BAND,
         shingle_n=2,
         max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SIG_AGREE,
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # One materialization serves all three join branches — recomputing the
     # LSH pipeline 3x would triple the dominant cost.

@@ -1,0 +1,122 @@
+"""10x scale smoke: replicate the sf0.1 tables to ~sf1 in /tmp and measure
+how the core query families scale.
+
+A query whose cost model is right for 100 TB should scale ~linearly in
+rows here (scan/agg/window/join families) or stay bounded by its caps
+(LSH bucket cap, block caps). A super-linear ratio flags a plan that
+would not survive a real scale-up.
+
+Replication keeps semantics honest:
+- events/lineitem: pure row replication with key offsets (aggregates
+  scale linearly; join fan-outs preserved because foreign keys keep
+  their original domain).
+- documents: doc_id offset + a per-copy marker token interleaved every
+  2 words, so replicas are NOT near-duplicates of each other (Jaccard
+  vs original ~0.2 < thresholds) and dedup queries see a 10x corpus,
+  not a 10x duplicate blob.
+
+Usage: python tools/scale_smoke.py [factor] [out_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SRC = "/root/testdata/sf0.1"
+QUERIES_TO_RUN = [
+    "q01_pricing_summary",   # wide hash aggregate
+    "q05_route_topk",        # broadcast dim join + topk
+    "q30_dedup_exact",       # content-hash group-by
+    "q39_fingerprint",       # md5 projection scan
+    "q47_moving_avg",        # per-key window
+    "q69_lookback_range_join",  # binned range join
+    "q71_token_counts",      # regexp columnar
+    "q32_minhash_lsh_neardup",  # LSH (bucket-capped)
+]
+
+
+def build(out: Path, factor: int) -> None:
+    out.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO 16")
+    copies = ", ".join(str(i) for i in range(factor))
+    for t, idcol, keyspan in (
+        ("events", "event_id", 10_000_000),
+        ("lineitem", "l_orderkey", 100_000_000),
+    ):
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE ({idcol} + c * {keyspan} AS {idcol})
+              FROM read_parquet('{SRC}/{t}.parquet'), unnest([{copies}]) AS u(c)
+            ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+            """
+        )
+    # documents: interleave a copy marker every 2 words so replicas are
+    # not near-duplicates (they share <25% of shingles with the source).
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + c * 10_000_000 AS doc_id,
+                 CASE WHEN c = 0 THEN text
+                      ELSE array_to_string(
+                        list_transform(string_split(text, ' '),
+                          (w, i) -> CASE WHEN i % 2 = 0
+                                    THEN w || ' x' || c THEN_ELSE_MARKER
+                                    ELSE w END),
+                        ' ')
+                 END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{SRC}/documents.parquet'), unnest([{copies}]) AS u(c)
+        ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+        """.replace("THEN_ELSE_MARKER", "")
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled")
+    if not (out / "events.parquet").exists():
+        t0 = time.perf_counter()
+        build(out, factor)
+        print(f"built {out} (factor {factor}) in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from nyc_yellow_taxi_trip_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-smoke")
+    print(f"{'query':32s} {'sf0.1':>8s} {'x' + str(factor):>8s} {'ratio':>7s}")
+    for name in QUERIES_TO_RUN:
+        times = {}
+        for label, sf_dir in (("base", SRC), ("big", str(out))):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            times[label] = best
+        r = times["big"] / times["base"]
+        print(
+            f"{name:32s} {times['base']:8.2f} {times['big']:8.2f} {r:7.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
