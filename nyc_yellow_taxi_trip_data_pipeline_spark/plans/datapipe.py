@@ -2282,3 +2282,75 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         e.agg(F.count("*").alias("n_edges"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q83 — blocked embedding near-dup with a COMPOUND block key: natural key
+# (label) x SRP sign bucket. q35's single-key blocks grow with the corpus
+# and its per-block O(block^2) BLAS matmul turns quadratic (measured 8.2x
+# wall at 10x rows — tools/scale_smoke.py); compounding with the md5-seeded
+# SRP bucket re-bounds block size at the standard LSH recall trade-off
+# (pairs split across sign buckets are missed). Same md5/quantized bucket
+# math as q36, so the oracle reproduces blocks AND results exactly.
+# ---------------------------------------------------------------------------
+def _srp_blocked_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    quant AS (
+      SELECT vec_id, j, CAST(FLOOR(v * {_SRP_SCALE} + 0.5) AS BIGINT) AS vq
+      FROM comps
+    ),
+    planes AS (
+      SELECT p, j,
+             CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
+      FROM generate_series(0, {_SRP_PLANES - 1}) t(p)
+      CROSS JOIN (SELECT DISTINCT j FROM comps) u
+    ),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.vq * pl.sign) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM quant q JOIN planes pl ON q.j = pl.j
+      GROUP BY q.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    eb AS (
+      SELECT e.vec_id, e.label, b.bucket, e.ev
+      FROM e JOIN buckets b ON b.vec_id = e.vec_id
+    )
+    SELECT a.label, a.bucket,
+           a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.ev, b.ev)
+                 / (SQRT(list_dot_product(a.ev, a.ev))
+                    * SQRT(list_dot_product(b.ev, b.ev))), 6) AS cosine_sim
+    FROM eb a
+    JOIN eb b ON a.label = b.label AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id
+    ORDER BY cosine_sim DESC, vec_a, vec_b
+    LIMIT 20
+    """
+
+
+@register(
+    "q83_blocked_neardup_srp",
+    _srp_blocked_sql(),
+    description="Top-20 most-similar pairs within (label, SRP-bucket) "
+    "compound blocks: the bounded-block scale form of q35 — block size "
+    "stays O(corpus / (labels * 2^planes)) as data grows, per-block BLAS "
+    "matmul stays constant-bounded; recall dial is the SRP bucket split.",
+    tags=("similarity", "dedup", "lsh", "pandas-udf"),
+)
+def q83_blocked_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = sim.srp_buckets(emb, n_planes=_SRP_PLANES, scale=_SRP_SCALE)
+    embb = emb.join(buckets, "vec_id")
+    return sim.blocked_neardup_topk(
+        embb, k=20, block_col=["label", "bucket"]
+    )

@@ -77,8 +77,21 @@ def build(out: Path, factor: int) -> None:
         ) TO '{out}/documents.parquet' (FORMAT PARQUET)
         """.replace("THEN_ELSE_MARKER", "")
     )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "embeddings"):
+    # embeddings: replicate with a small deterministic per-copy, per-
+    # component perturbation so replicas are distinct vectors (not exact
+    # copies whose cosine-1.0 pairs would swamp near-dup top-ks).
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + c * 10_000_000 AS vec_id, label,
+                 list_transform(embedding,
+                   (x, i) -> CAST(x + c * 0.003 * (((i * 7919) % 13) - 6)
+                             AS FLOAT)) AS embedding
+          FROM read_parquet('{SRC}/embeddings.parquet'), unnest([{copies}]) AS u(c)
+        ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
             f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
