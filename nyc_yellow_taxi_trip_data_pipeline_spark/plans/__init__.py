@@ -41,10 +41,14 @@ _PRIORITY = [
     "q82_triangle_count",
     "q83_blocked_neardup_srp",
     # changed this round (q42: rows-only -> real error-bound oracle;
-    # q44/q67: shared streaming reader + state-store cleanup):
+    # q44/q67: shared streaming reader + state-store cleanup; q32: new
+    # signature-agreement gate in plan AND oracle; q35: blocked_neardup
+    # refactored for compound keys):
     "q42_approx_sketches",
     "q44_streaming_hourly",
     "q67_streaming_sessionize",
+    "q32_minhash_lsh_neardup",
+    "q35_embedding_neardup",
     # last driver-checked in round 1 only:
     "q30_dedup_exact",
     "q31_dedup_keep_first",
