@@ -2008,6 +2008,10 @@ def q78_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ChunkWindows,
         returnType="doc_id bigint, chunk_idx int, n_tokens int, "
         "chunk_md5 string",
+        # Arrow-serialized exchange (ArrowEvalPythonUDTF); without it the
+        # UDTF runs row-at-a-time pickling (BatchEvalPythonUDTF) — the
+        # plan-audit flags that as the slow path.
+        useArrow=True,
     )
     spark.udtf.register("chunk_windows", chunk_udtf)
     from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import register_views
