@@ -2297,6 +2297,15 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pairs split across sign buckets are missed). Same md5/quantized bucket
 # math as q36, so the oracle reproduces blocks AND results exactly.
 # ---------------------------------------------------------------------------
+# q83 uses fewer planes than the ANN index (q36): bucket count should
+# track corpus size (planes ~ log2(n / target_block_size)) — 2^8 buckets
+# over a few thousand vectors leaves ~1-vector blocks (all overhead, no
+# recall), while 2^4 gives usefully-sized bounded blocks at every tested
+# scale. At a real 100 TB corpus this constant comes from the corpus
+# stats, not a guess.
+_Q83_PLANES = 4
+
+
 def _srp_blocked_sql() -> str:
     return f"""
     WITH e AS (
@@ -2312,7 +2321,7 @@ def _srp_blocked_sql() -> str:
     planes AS (
       SELECT p, j,
              CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
-      FROM generate_series(0, {_SRP_PLANES - 1}) t(p)
+      FROM generate_series(0, {_Q83_PLANES - 1}) t(p)
       CROSS JOIN (SELECT DISTINCT j FROM comps) u
     ),
     bits AS (
@@ -2353,7 +2362,7 @@ def _srp_blocked_sql() -> str:
 )
 def q83_blocked_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    buckets = sim.srp_buckets(emb, n_planes=_SRP_PLANES, scale=_SRP_SCALE)
+    buckets = sim.srp_buckets(emb, n_planes=_Q83_PLANES, scale=_SRP_SCALE)
     embb = emb.join(buckets, "vec_id")
     return sim.blocked_neardup_topk(
         embb, k=20, block_col=["label", "bucket"]
