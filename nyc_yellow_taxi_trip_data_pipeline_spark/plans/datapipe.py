@@ -2367,3 +2367,50 @@ def q83_blocked_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.blocked_neardup_topk(
         embb, k=20, block_col=["label", "bucket"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — PER-GROUP quantile sketches with per-group rank verification: the
+# grouped twin of q42's global sketch contract (and the scale form of
+# q48's exact grouped quantiles — exact percentile buffers every value
+# per group; the sketch holds a fixed-size summary). Each group's sketched
+# median is verified by counting rows at-or-below it: a pure counting
+# pass, scale-safe, and the booleans are what the oracle hash-matches.
+# ---------------------------------------------------------------------------
+@register(
+    "q84_grouped_sketch_quantiles",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(TRUE AS BOOLEAN) AS median_rank_ok
+    FROM events
+    GROUP BY 1
+    """,
+    description="percentile_approx median per event_type (accuracy 5000, "
+    "fixed-size sketch per group) verified by its rank guarantee: "
+    "count(value <= sketched median) within 2% of n/2 per group — far "
+    "outside the sketch's n/5000 rank-error bound. Oracle side is exact "
+    "counts + literal TRUE.",
+    tags=("agg", "approx", "groupby"),
+)
+def q84_grouped_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("value", 0.5, 5000).alias("_amed"),
+    )
+    ranks = (
+        ev.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("_amed"), 1).otherwise(0)
+            ).alias("_rank")
+        )
+    )
+    return sk.join(ranks, "event_type").select(
+        "event_type",
+        "n",
+        (
+            F.abs(F.col("_rank") - 0.5 * F.col("n")) <= 0.02 * F.col("n")
+        ).alias("median_rank_ok"),
+    )
