@@ -322,3 +322,67 @@ def test_malformed_envelope_yields_nulls_not_failure(spark, tmp_path):
     parsed = [tuple(r) for r in rows]
     assert (1, 2.5) in parsed
     assert parsed.count((None, None)) == 2
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """The core watermark semantic needs multiple micro-batches: batch 1
+    advances the watermark past a window's end; a row for that window
+    arriving in batch 2 is LATE and must be dropped deterministically,
+    and the finalized (append-mode) window must not include it."""
+    import os
+    import time as _time
+
+    events_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    d = tmp_path / "late_in"
+    d.mkdir()
+    batch1 = [
+        {"ts": "2024-01-01T10:05:00", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T10:20:00", "user_id": 1, "value": 2.0},
+        # advances event-time watermark to 11:30 (= 12:00 - 30min)
+        {"ts": "2024-01-01T12:00:00", "user_id": 2, "value": 7.0},
+    ]
+    # Watermark/eviction lag one batch behind the data that advanced
+    # them: batch 2 runs WITH watermark 11:30, finalizes + emits the
+    # 10:00 window, and advances the watermark to 12:00.
+    batch2 = [
+        {"ts": "2024-01-01T12:30:00", "user_id": 2, "value": 8.0},
+    ]
+    batch3 = [
+        # LATE: 10:40 is below watermark 12:00 and its window state was
+        # evicted last batch -> dropped (numRowsDroppedByWatermark)
+        {"ts": "2024-01-01T10:40:00", "user_id": 1, "value": 99.0},
+    ]
+    (d / "a.json").write_text("\n".join(json.dumps(r) for r in batch1))
+    (d / "b.json").write_text("\n".join(json.dumps(r) for r in batch2))
+    (d / "c.json").write_text("\n".join(json.dumps(r) for r in batch3))
+    os.utime(d / "a.json", (1000, 1000))  # strict mtime order a < b < c
+    os.utime(d / "b.json", (2000, 2000))
+    os.utime(d / "c.json", (3000, 3000))
+    _time.sleep(0.1)
+
+    stream = read_stream(
+        spark,
+        "json",
+        schema=events_schema,
+        path=str(d),
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    )
+    agg = hourly_windowed_agg(stream, watermark="30 minutes")
+    q = start_memory_sink(agg, "late_out", output_mode="append")
+    try:
+        q.processAllAvailable()
+        rows = {
+            r.window_start.isoformat(): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+    finally:
+        q.stop()
+    # Only the 10:00 window is finalized; the late 10:40/99.0 row is NOT
+    # in it. The 12:00 window stays open (watermark 12:00 < its end).
+    assert rows == {"2024-01-01T10:00:00": (2, 3.0)}
