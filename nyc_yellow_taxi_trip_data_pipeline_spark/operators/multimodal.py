@@ -172,3 +172,47 @@ def sample_frames(
             )
 
     return df.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, n_bytes long, ahash long, mean_px int"
+
+
+def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual average-hash (aHash) 'feature extraction' via mapInPandas
+    — the media-dedup feature: near-identical images collide on (or sit a
+    small Hamming distance from) the same hash.
+
+    The pixel sampling is STUBBED like ``decode_images``: a deterministic
+    7x8 grid of pseudo-pixels derived from the byte length (a real
+    implementation decodes the payload, grayscales, downsamples to the
+    grid, and the bit/threshold math below is unchanged). 56 bits keeps
+    the hash comfortably inside a signed int64. All-integer arithmetic,
+    vectorized over the Arrow batch; the closure is self-contained
+    (executor workers cannot import this package).
+    """
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def grid(n: "np.ndarray") -> "np.ndarray":
+            # (batch, 56) pseudo-pixel grid: pixel i of a payload with n
+            # bytes = (n * (i + 3) * 2654435761) % 256
+            i = np.arange(56, dtype="int64")
+            return (n[:, None] * (i[None, :] + 3) * 2654435761) % 256
+
+        for pdf in batches:
+            n = pdf["n_bytes"].astype("int64").to_numpy()
+            px = grid(n)
+            mean = px.sum(axis=1) // 56
+            bits = (px > mean[:, None]).astype("int64")
+            ahash = (bits << np.arange(56, dtype="int64")[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n,
+                    "ahash": ahash,
+                    "mean_px": mean.astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(hash_batches, schema=AHASH_SCHEMA)

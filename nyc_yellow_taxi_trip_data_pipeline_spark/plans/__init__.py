@@ -41,6 +41,7 @@ _PRIORITY = [
     "q82_triangle_count",
     "q83_blocked_neardup_srp",
     "q84_grouped_sketch_quantiles",
+    "q85_multimodal_phash",
     # changed this round (q42: rows-only -> real error-bound oracle;
     # q44/q67: shared streaming reader + state-store cleanup; q32: new
     # signature-agreement gate in plan AND oracle; q35: blocked_neardup

@@ -2414,3 +2414,62 @@ def q84_grouped_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_rank") - 0.5 * F.col("n")) <= 0.02 * F.col("n")
         ).alias("median_rank_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q85 — multimodal feature extraction: perceptual average-hash (aHash) per
+# media payload via mapInPandas, completing the multimodal surface
+# (metadata q40, decode q41, resize q64, frame-sample q65, feature/hash
+# q85). The oracle reproduces the stubbed pixel-grid arithmetic with
+# generate_series integer math, so the whole Arrow stage (schema, batch
+# shape, bit math) is verified end to end; equal hashes then group into
+# media-dup buckets exactly like text fingerprints do.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_multimodal_phash",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n_bytes, i,
+             (n_bytes * (i + 3) * 2654435761) % 256 AS p
+      FROM d, generate_series(0, 55) t(i)
+    ),
+    m AS (
+      SELECT doc_id,
+             -- // : DuckDB integer '/' yields DOUBLE and CAST rounds;
+             -- floor-division matches the Python stage's // exactly
+             CAST(SUM(p) // 56 AS BIGINT) AS mean_px
+      FROM px GROUP BY doc_id
+    ),
+    h AS (
+      SELECT px.doc_id,
+             CAST(SUM(CASE WHEN px.p > m.mean_px
+                           THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM px JOIN m ON m.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    )
+    SELECT d.doc_id, d.n_bytes, h.ahash, CAST(m.mean_px AS INTEGER) AS mean_px,
+           COUNT(*) OVER (PARTITION BY h.ahash) AS n_hash_dups
+    FROM d JOIN h ON h.doc_id = d.doc_id JOIN m ON m.doc_id = d.doc_id
+    """,
+    description="Perceptual average-hash per media payload (stubbed 7x8 "
+    "pixel grid, 56-bit hash, all-integer math) via an Arrow-batched "
+    "mapInPandas stage; hash-equality groups are the media-dedup "
+    "buckets. Oracle rebuilds the identical grid/threshold/bit math.",
+    tags=("multimodal", "dedup", "pandas-udf"),
+)
+def q85_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = mm.phash_images(
+        mm.payload_metadata(mm.attach_binary_payload(docs))
+    )
+    return hashed.withColumn(
+        "n_hash_dups", F.count("*").over(Window.partitionBy("ahash"))
+    )
