@@ -325,20 +325,24 @@ def connected_components(
         .select("u", F.least("u", "mv").alias("lbl"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    def _hop(lbls):
         prop = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), "lbl"), "v"
-            )
+            edges.join(lbls.select(F.col("u").alias("v"), "lbl"), "v")
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(prop, "u", "left")
+        return (
+            lbls.join(prop, "u", "left")
             # least() ignores NULL, so isolated rounds keep the old label
             .select("u", F.least("lbl", "nlbl").alias("lbl"))
-            .localCheckpoint(eager=True)
         )
+
+    for _ in range(max_iters):
+        # Two edge-hops per materialization/convergence check: the fixed
+        # per-round cost (checkpoint + count job) is paid half as often
+        # for the same propagation distance — near-clique dup components
+        # converge in ONE round.
+        new_labels = _hop(_hop(labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.select("u", F.col("lbl").alias("new_lbl"))
             .join(labels, "u")
