@@ -37,7 +37,10 @@ QUERIES_TO_RUN = [
     "q47_moving_avg",        # per-key window
     "q69_lookback_range_join",  # binned range join
     "q71_token_counts",      # regexp columnar
-    "q32_minhash_lsh_neardup",  # LSH (bucket-capped)
+    "q32_minhash_lsh_neardup",  # LSH (bucket-capped, sig-gated)
+    "q34_embedding_topk",    # brute cosine (map-only)
+    "q36_ann_srp_bucket",    # SRP-bucket ANN
+    "q83_blocked_neardup_srp",  # compound-block near-dup (bounded blocks)
 ]
 
 
