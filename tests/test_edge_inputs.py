@@ -72,3 +72,52 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert n == 1000
     assert before >= 16 and after <= 2
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_unicode_text_md5_and_bytes_portable(spark):
+    """The md5-portability contract must hold for non-ASCII text: both
+    engines hash UTF-8 BYTES, and byte-length metadata (the multimodal
+    stubs' seed) counts bytes, not codepoints."""
+    import duckdb
+
+    texts = [
+        "café au lait déjà vu",          # latin-1 accents (2-byte)
+        "日本語 テキスト 処理",            # CJK (3-byte)
+        "emoji 🚀 in 🧪 text",            # astral (4-byte)
+        "mixed ascii + ümlaut + 汉字",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.h, r.nb)
+        for r in df.selectExpr(
+            "doc_id", "md5(concat('0:', text)) AS h",
+            "octet_length(encode(text, 'UTF-8')) AS nb",
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        h, nb = con.execute(
+            "SELECT md5('0:' || ?), octet_length(encode(?))", [t, t]
+        ).fetchone()
+        assert got[i] == (h, nb), f"unicode md5/bytes diverged for {t!r}"
+
+
+def test_minhash_near_dup_on_unicode_docs(spark):
+    """The LSH pipeline end-to-end on non-ASCII docs: identical unicode
+    texts are found as near-dups with jaccard 1.0; unrelated ones are
+    not paired."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (0, "日本語 の テキスト を 処理 する エンジン です"),
+            (1, "日本語 の テキスト を 処理 する エンジン です"),
+            (2, "completely unrelated english words here now friends"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 1): 1.0}
