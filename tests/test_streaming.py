@@ -386,3 +386,28 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # Only the 10:00 window is finalized; the late 10:40/99.0 row is NOT
     # in it. The 12:00 window stays open (watermark 12:00 < its end).
     assert rows == {"2024-01-01T10:00:00": (2, 3.0)}
+
+
+def test_rate_source_produces_rows(spark):
+    """The 'rate' source path in read_stream: synthetic load generator
+    with the documented (timestamp, value) schema — the no-dependency way
+    to soak-test a streaming pipeline's throughput."""
+    import time
+
+    stream = read_stream(
+        spark, "rate", options={"rowsPerSecond": "50"}
+    )
+    assert dict(stream.dtypes) == {"timestamp": "timestamp", "value": "bigint"}
+    q = start_memory_sink(stream, "rate_out")
+    try:
+        deadline = time.time() + 15
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM rate_out").first().n
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0, "rate source produced no rows within 15s"
