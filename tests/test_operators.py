@@ -270,3 +270,53 @@ def test_binned_lookback_join_boundaries(spark):
         ).collect()
     )
     assert got == [10, 11]
+
+
+def test_incremental_rollup_partials_append_and_merge(spark, tmp_path):
+    """The materialized-rollup maintenance loop: daily partials written to
+    parquet once, a new day APPENDED (not recomputed), weekly totals
+    re-merged from partials — must equal a full recompute over raw rows.
+    Count + quantized integer sum are the reaggregable pair."""
+    store = str(tmp_path / "daily_partials")
+
+    def partials(df):
+        return df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("qsum"),
+        )
+
+    def weekly(from_partials):
+        return (
+            from_partials.groupBy(F.date_trunc("week", "day").alias("week"))
+            .agg(
+                F.sum("n").alias("n"),
+                (F.sum("qsum").cast("long") / 100.0).alias("sum_value"),
+            )
+        )
+
+    day1 = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1.25), ("2024-01-01 11:00:00", 2.5)],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    day2 = spark.createDataFrame(
+        [("2024-01-02 09:00:00", 4.75), ("2024-01-08 09:00:00", 8.0)],
+        "ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    partials(day1).write.mode("overwrite").parquet(store)
+    partials(day2).write.mode("append").parquet(store)  # incremental step
+
+    merged = {
+        r.week.date().isoformat(): (r.n, r.sum_value)
+        for r in weekly(spark.read.parquet(store)).collect()
+    }
+    full = {
+        r.week.date().isoformat(): (r.n, r.sum_value)
+        for r in weekly(partials(day1.unionByName(day2))).collect()
+    }
+    assert merged == full == {
+        "2024-01-01": (3, 8.5),
+        "2024-01-08": (1, 8.0),
+    }
