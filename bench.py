@@ -58,20 +58,23 @@ def main() -> None:
         read_table,
     )
 
-    QUERIES["q05_route_topk"].spark(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    (
-        read_table(spark, sf_dir, "documents")
-        .limit(1000)
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .groupBy("w")
-        .count()
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
-    spark.range(1000).toPandas()
+    try:
+        QUERIES["q05_route_topk"].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        (
+            read_table(spark, sf_dir, "documents")
+            .limit(1000)
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .groupBy("w")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        spark.range(1000).toPandas()
+    except Exception:  # noqa: BLE001 — warmup is best-effort, never fatal
+        pass
 
     # Per-query MIN over up to BENCH_REPS passes (default 2). The host's
     # CPU availability swings >2x between runs (shared virtualization);
@@ -80,17 +83,28 @@ def main() -> None:
     # time budget, so worst-case wall time stays bounded.
     reps = int(os.environ.get("BENCH_REPS", "2"))
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    # One failing query must never cost the run its other timings (round 5
+    # lost the whole benchmark to a single AnalysisException): record the
+    # error, keep going.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     passes_done = 0
     t_bench = time.perf_counter()
     for rep in range(reps):
         if rep > 0 and time.perf_counter() - t_bench > budget_s:
             break
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                per_query.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
@@ -107,6 +121,8 @@ def main() -> None:
         "reps": passes_done,
         "agg": "min",
     }
+    if errors:
+        result["errors"] = errors
 
     if os.environ.get("BENCH_ML") == "1":
         from pyspark.sql import functions as F  # noqa: PLC0415

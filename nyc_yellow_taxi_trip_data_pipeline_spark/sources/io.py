@@ -47,13 +47,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _nanos_ts_to_micros(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns (which Spark cannot represent)
-    arrive as nanosecond longs under ``spark.sql.legacy.parquet.nanosAsLong``;
-    convert to microsecond timestamps — the same truncation DuckDB and most
-    readers apply. Single definition shared by the batch and streaming
-    readers so the conversion cannot drift between paths."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Normalize the event-time column to plain ``timestamp`` regardless of
+    how the parquet writer encoded it. Two historical encodings of the
+    testdata are handled:
+
+    - TIMESTAMP(NANOS) (which Spark cannot represent) arrives as nanosecond
+      longs under ``spark.sql.legacy.parquet.nanosAsLong``; convert to
+      microsecond timestamps — the same truncation DuckDB applies.
+    - timestamp[us] with no timezone is inferred as ``TIMESTAMP_NTZ`` under
+      Spark 4's inferTimestampNTZType; ``withWatermark`` rejects NTZ event
+      time, so cast to ``timestamp``. The callers pin
+      ``spark.sql.session.timeZone=UTC`` so the NTZ→LTZ cast is
+      value-preserving and deterministic under any caller's session.
+
+    Single definition shared by the batch and streaming readers so the
+    conversion cannot drift between paths."""
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 
@@ -62,8 +75,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos-timestamp-safe (see ``_nanos_ts_to_micros``)."""
     # Runtime-settable; applied here so the engine works under any caller's
     # SparkSession (the driver builds its own), not just sessions from
-    # session.get_spark().
+    # session.get_spark(). The UTC pin keeps the NTZ→timestamp cast in
+    # _nanos_ts_to_micros value-preserving.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _nanos_ts_to_micros(df)
@@ -76,6 +91,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     File streams take a directory; ``pathGlobFilter`` selects one table's
     file from the shared scale-factor dir."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
     stream = (
         spark.readStream.schema(raw_schema)

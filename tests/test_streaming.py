@@ -411,3 +411,36 @@ def test_rate_source_produces_rows(spark):
     finally:
         q.stop()
     assert n > 0, "rate source produced no rows within 15s"
+
+
+def test_real_testdata_streams_with_watermark(spark):
+    """Regression guard against testdata-encoding drift (round-5 breakage).
+
+    Every other streaming test builds its own fixtures, so a change in how
+    the shipped ``events.parquet`` encodes its timestamp column (nanos-as-
+    bigint in early rounds, timestamp[us]→TIMESTAMP_NTZ now) can break the
+    driver gate while pytest stays green. This test runs a real watermark
+    query end-to-end against the shipped testdata through read_table_stream.
+    """
+    import os
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table,
+        read_table_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        pytest.skip("testdata not present")
+
+    # Both readers must surface plain TIMESTAMP (withWatermark rejects NTZ).
+    assert dict(read_table(spark, sf_dir, "events").dtypes)["ts"] == "timestamp"
+    assert (
+        dict(read_table_stream(spark, sf_dir, "events").dtypes)["ts"]
+        == "timestamp"
+    )
+
+    # And the full watermark query must run to completion on the real files.
+    out = QUERIES["q44_streaming_hourly"].spark(spark, sf_dir)
+    assert out.count() >= 0
