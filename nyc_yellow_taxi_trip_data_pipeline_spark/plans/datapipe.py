@@ -245,31 +245,94 @@ def q34_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q35 — embedding near-dup: most-similar within-block pairs.
+# q35 — embedding near-dup: most-similar within-block pairs, blocked by
+# the COMPOUND label × SRP-bucket key. A single natural key alone grows
+# with the corpus and the per-block O(block²) matmul turns quadratic
+# (measured 8-12x wall at 10x rows before round 6); compounding with the
+# md5-seeded sign-projection bucket re-bounds block size at the standard
+# LSH recall trade-off. Output keeps the legacy single `block` (=label)
+# column — the bucket is internal blocking, exposed by q83 for auditing.
 # ---------------------------------------------------------------------------
-@register(
-    "q35_embedding_neardup",
+_SRP_SCALE = 1000000
+# Near-dup blocking planes: bucket count should track corpus size
+# (planes ~ log2(n / target_block_size)) — 2^8 buckets over a few
+# thousand vectors leaves ~1-vector blocks (all overhead, no recall),
+# while 2^4 gives usefully-sized bounded blocks at every tested scale.
+# At a real 100 TB corpus this constant comes from corpus stats.
+_NEARDUP_PLANES = 4
+
+
+def _srp_blocked_sql(planes: int, expose_bucket: bool) -> str:
+    """Oracle for within-(label × SRP-bucket) top-20 near-dup pairs.
+
+    Same md5-seeded ±1 planes and quantized-integer bucket math as q36's
+    ANN oracle, so DuckDB reproduces the Spark blocks AND results exactly.
+    ``expose_bucket`` controls whether the bucket is projected (q83) or
+    kept internal with the legacy single `block` output column (q35).
     """
+    sel = "a.label, a.bucket," if expose_bucket else "a.label AS block,"
+    return f"""
     WITH e AS (
-      SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS ev
-      FROM embeddings
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    quant AS (
+      SELECT vec_id, j, CAST(FLOOR(v * {_SRP_SCALE} + 0.5) AS BIGINT) AS vq
+      FROM comps
+    ),
+    planes AS (
+      SELECT p, j,
+             CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
+      FROM generate_series(0, {planes - 1}) t(p)
+      CROSS JOIN (SELECT DISTINCT j FROM comps) u
+    ),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.vq * pl.sign) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM quant q JOIN planes pl ON q.j = pl.j
+      GROUP BY q.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    eb AS (
+      SELECT e.vec_id, e.label, b.bucket, e.ev
+      FROM e JOIN buckets b ON b.vec_id = e.vec_id
     )
-    SELECT a.block, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT {sel}
+           a.vec_id AS vec_a, b.vec_id AS vec_b,
            ROUND(list_dot_product(a.ev, b.ev)
-                 / (SQRT(list_dot_product(a.ev, a.ev)) * SQRT(list_dot_product(b.ev, b.ev))),
-                 6) AS cosine_sim
-    FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+                 / (SQRT(list_dot_product(a.ev, a.ev))
+                    * SQRT(list_dot_product(b.ev, b.ev))), 6) AS cosine_sim
+    FROM eb a
+    JOIN eb b ON a.label = b.label AND a.bucket = b.bucket
+              AND a.vec_id < b.vec_id
     ORDER BY cosine_sim DESC, vec_a, vec_b
     LIMIT 20
-    """,
-    description="Embedding-cosine near-dup candidates: pairwise join blocked "
-    "by label (the block key bounds the quadratic term, as LSH buckets "
-    "would), top-20 most-similar pairs.",
-    tags=("similarity", "dedup"),
+    """
+
+
+@register(
+    "q35_embedding_neardup",
+    _srp_blocked_sql(_NEARDUP_PLANES, expose_bucket=False),
+    description="Embedding-cosine near-dup candidates: top-20 most-similar "
+    "pairs within label × SRP-bucket compound blocks (bucket internal; "
+    "block size stays O(corpus / (labels · 2^planes)) as data grows — "
+    "the recall dial is the SRP bucket split).",
+    tags=("similarity", "dedup", "lsh"),
 )
 def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return sim.blocked_neardup_topk(emb, k=20)
+    buckets = sim.srp_buckets(emb, n_planes=_NEARDUP_PLANES, scale=_SRP_SCALE)
+    embb = emb.join(buckets, "vec_id")
+    return sim.blocked_neardup_topk(
+        embb, k=20, block_col=["label", "bucket"]
+    ).select(
+        F.col("label").alias("block"), "vec_a", "vec_b", "cosine_sim"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +341,6 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucket assignment engine-exact, so even this is oracle-checkable.
 # ---------------------------------------------------------------------------
 _SRP_PLANES = 8
-_SRP_SCALE = 1000000
 
 def _srp_sql() -> str:
     return f"""
@@ -1887,13 +1949,14 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q77 — GROUPED_AGG pandas UDF: per-group 10% trimmed mean — a robust
-# statistic with no builtin expression. The whole group arrives as one
-# Arrow batch; sorting inside the UDF makes the float summation order
-# deterministic (the retained middle is the same multiset regardless of
-# tie order, so the trim itself is order-free). Completes the UDF surface:
-# scalar pandas_udf (q28), applyInPandas (q27), mapInPandas (q41),
-# applyInPandasWithState (q67), grouped-agg pandas_udf (here).
+# q77 — per-group 10% trimmed mean, expressed NATIVELY as a rank-window
+# trim + quantized integer aggregation. This is the scale path: the window
+# sort is Tungsten sort-based and spills to disk, so an arbitrarily large
+# event_type group degrades gracefully — unlike a grouped-agg Arrow batch,
+# which must hold the whole group in one executor allocation (that UDF
+# form lives on in q86 on a bounded event_type × day key). The trimmed
+# multiset is tie-order-free, so row_number tie assignment cannot change
+# the result.
 # ---------------------------------------------------------------------------
 @register(
     "q77_trimmed_mean_udaf",
@@ -1913,13 +1976,77 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
     GROUP BY event_type
     """,
-    description="10% trimmed mean of value per event_type via a "
-    "GROUPED_AGG pandas UDF (Arrow, one batch per group — callers must "
-    "bound group size; for giant groups pre-aggregate or sample first). "
-    "Oracle trims by rank window; the retained multiset is identical.",
-    tags=("pandas-udf", "udaf", "agg"),
+    description="10% trimmed mean of value per event_type as a native "
+    "rank-window trim (spill-safe at any group size) with quantized "
+    "integer summation; the GROUPED_AGG pandas-UDF formulation is q86, "
+    "registered only on a bounded key.",
+    tags=("window", "agg", "robust-stats"),
 )
 def q77_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_grp = Window.partitionBy("event_type")
+    k = F.floor(F.col("n") * 0.1).cast("bigint")
+    return (
+        ev.select("event_type", "value")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_grp))
+        .filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_used"),
+            F.round(
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+                .cast("bigint")
+                / F.lit(100.0)
+                / F.count("*"),
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — GROUPED_AGG pandas UDF: the same 10% trimmed mean, on the BOUNDED
+# event_type × day key. A grouped-agg UDF ships each whole group as one
+# Arrow batch, so it is only registered where group size has a hard bound
+# (one key-day of events); q77 is the unbounded-group scale form.
+# Completes the UDF surface: scalar pandas_udf (q28), applyInPandas (q27),
+# mapInPandas (q41), applyInPandasWithState (q67), UDTF (q78),
+# grouped-agg pandas_udf (here).
+# ---------------------------------------------------------------------------
+@register(
+    "q86_trimmed_mean_udaf_bounded",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, CAST(ts AS DATE) ORDER BY value
+             ) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY event_type, CAST(ts AS DATE)
+             ) AS n
+      FROM events
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_used,
+           ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                      AS BIGINT) / 100.0 / COUNT(*), 4) AS trimmed_mean
+    FROM r
+    WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    GROUP BY event_type, day
+    """,
+    description="10% trimmed mean via GROUPED_AGG pandas UDF on the "
+    "bounded event_type × day key (one Arrow batch per group — the key "
+    "bound is what makes this safe; see q77 for unbounded groups). "
+    "Quantized integer summation inside the UDF matches the oracle "
+    "bit-for-bit.",
+    tags=("pandas-udf", "udaf", "agg"),
+)
+def q86_trimmed_mean_udaf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -1947,9 +2074,13 @@ def q77_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tcount_udf = pandas_udf("long")(_tcount)
 
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        tcount_udf("value").alias("n_used"),
-        F.round(tmean_udf("value"), 4).alias("trimmed_mean"),
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(
+            tcount_udf("value").alias("n_used"),
+            F.round(tmean_udf("value"), 4).alias("trimmed_mean"),
+        )
     )
 
 
@@ -2297,63 +2428,14 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (pairs split across sign buckets are missed). Same md5/quantized bucket
 # math as q36, so the oracle reproduces blocks AND results exactly.
 # ---------------------------------------------------------------------------
-# q83 uses fewer planes than the ANN index (q36): bucket count should
-# track corpus size (planes ~ log2(n / target_block_size)) — 2^8 buckets
-# over a few thousand vectors leaves ~1-vector blocks (all overhead, no
-# recall), while 2^4 gives usefully-sized bounded blocks at every tested
-# scale. At a real 100 TB corpus this constant comes from the corpus
-# stats, not a guess.
-_Q83_PLANES = 4
-
-
-def _srp_blocked_sql() -> str:
-    return f"""
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-    ),
-    comps AS (
-      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
-    ),
-    quant AS (
-      SELECT vec_id, j, CAST(FLOOR(v * {_SRP_SCALE} + 0.5) AS BIGINT) AS vq
-      FROM comps
-    ),
-    planes AS (
-      SELECT p, j,
-             CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
-      FROM generate_series(0, {_Q83_PLANES - 1}) t(p)
-      CROSS JOIN (SELECT DISTINCT j FROM comps) u
-    ),
-    bits AS (
-      SELECT q.vec_id, pl.p,
-             CASE WHEN SUM(q.vq * pl.sign) >= 0 THEN 1 ELSE 0 END AS bit
-      FROM quant q JOIN planes pl ON q.j = pl.j
-      GROUP BY q.vec_id, pl.p
-    ),
-    buckets AS (
-      SELECT vec_id, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
-      FROM bits GROUP BY vec_id
-    ),
-    eb AS (
-      SELECT e.vec_id, e.label, b.bucket, e.ev
-      FROM e JOIN buckets b ON b.vec_id = e.vec_id
-    )
-    SELECT a.label, a.bucket,
-           a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.ev, b.ev)
-                 / (SQRT(list_dot_product(a.ev, a.ev))
-                    * SQRT(list_dot_product(b.ev, b.ev))), 6) AS cosine_sim
-    FROM eb a
-    JOIN eb b ON a.label = b.label AND a.bucket = b.bucket
-              AND a.vec_id < b.vec_id
-    ORDER BY cosine_sim DESC, vec_a, vec_b
-    LIMIT 20
-    """
+# Shares _NEARDUP_PLANES / _srp_blocked_sql with q35 (defined there):
+# q35 is the user-facing near-dup query (bucket internal), q83 exposes
+# the compound key for block-size auditing.
 
 
 @register(
     "q83_blocked_neardup_srp",
-    _srp_blocked_sql(),
+    _srp_blocked_sql(_NEARDUP_PLANES, expose_bucket=True),
     description="Top-20 most-similar pairs within (label, SRP-bucket) "
     "compound blocks: the bounded-block scale form of q35 — block size "
     "stays O(corpus / (labels * 2^planes)) as data grows, per-block BLAS "
@@ -2362,7 +2444,7 @@ def _srp_blocked_sql() -> str:
 )
 def q83_blocked_neardup_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    buckets = sim.srp_buckets(emb, n_planes=_Q83_PLANES, scale=_SRP_SCALE)
+    buckets = sim.srp_buckets(emb, n_planes=_NEARDUP_PLANES, scale=_SRP_SCALE)
     embb = emb.join(buckets, "vec_id")
     return sim.blocked_neardup_topk(
         embb, k=20, block_col=["label", "bucket"]
