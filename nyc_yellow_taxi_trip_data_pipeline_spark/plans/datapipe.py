@@ -89,19 +89,29 @@ _MH_MAX_BUCKET = 64
 # j=0.6 at 0.92, j=1/3 at 0.37 — recall loss concentrates below threshold.
 _MH_SIG_AGREE = 5
 
-def _mh_sql() -> str:
+def _mh_sql(
+    n_hashes: int = _MH_N,
+    band_size: int = _MH_BAND,
+    max_bucket: int = _MH_MAX_BUCKET,
+    sig_agree: int = _MH_SIG_AGREE,
+) -> str:
+    """Generated MinHash+LSH oracle, parameterized on the same dials as
+    ``dedup.minhash_near_duplicates`` so any configuration (e.g. the
+    n_hashes=24 sharpened gate for blob-heavy corpora,
+    ARCHITECTURE.md §scale) can be oracle-verified, not just the
+    registered default."""
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_MH_N)
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(n_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(
             b=b,
-            key=" || ".join(f"mh{b * _MH_BAND + j}" for j in range(_MH_BAND)),
+            key=" || ".join(f"mh{b * band_size + j}" for j in range(band_size)),
         )
-        for b in range(_MH_N // _MH_BAND)
+        for b in range(n_hashes // band_size)
     )
     agree_expr = " + ".join(
-        f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(_MH_N)
+        f"CAST(sa.mh{i} = sb.mh{i} AS INTEGER)" for i in range(n_hashes)
     )
     return f"""
     WITH w AS (
@@ -122,7 +132,7 @@ def _mh_sql() -> str:
         SELECT doc_id, band_id, band_key,
                COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
         FROM bands
-      ) WHERE bn <= {_MH_MAX_BUCKET}
+      ) WHERE bn <= {max_bucket}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -135,7 +145,7 @@ def _mh_sql() -> str:
       FROM cand c
       JOIN sigs sa ON sa.doc_id = c.doc_a
       JOIN sigs sb ON sb.doc_id = c.doc_b
-      WHERE ({agree_expr}) >= {_MH_SIG_AGREE}
+      WHERE ({agree_expr}) >= {sig_agree}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
