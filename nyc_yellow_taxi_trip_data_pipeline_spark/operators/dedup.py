@@ -337,6 +337,7 @@ def connected_components(
             .select("u", F.least("lbl", "nlbl").alias("lbl"))
         )
 
+    changed = -1
     for _ in range(max_iters):
         # Two edge-hops per materialization/convergence check: the fixed
         # per-round cost (checkpoint + count job) is paid half as often
@@ -352,6 +353,19 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silent exit here would return plausible-but-WRONG labels for
+        # any component wider than 2*max_iters hops (e.g. a long chain of
+        # borderline matches). Wrong cluster assignments poison downstream
+        # dedup decisions invisibly; fail loudly and let the caller raise
+        # max_iters (or switch to star-contraction for pathological
+        # diameters) instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"iterations ({2 * max_iters} edge-hops): {changed} labels "
+            "still changing — component diameter exceeds the hop budget; "
+            "raise max_iters or use star-contraction for chain-shaped graphs"
+        )
     return labels.select(
         F.col("u").alias("node"), F.col("lbl").alias("cluster")
     )

@@ -196,9 +196,13 @@ def phash_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         def grid(n: "np.ndarray") -> "np.ndarray":
             # (batch, 56) pseudo-pixel grid: pixel i of a payload with n
-            # bytes = (n * (i + 3) * 2654435761) % 256
+            # bytes = (n * (i + 3) * 2654435761) % 256. Reduce n mod 256
+            # FIRST — identical result mod 256, but the unreduced product
+            # exceeds int64 for payloads over ~59 MB, where numpy would
+            # wrap silently while an oracle's BIGINT raises (divergence,
+            # not an error).
             i = np.arange(56, dtype="int64")
-            return (n[:, None] * (i[None, :] + 3) * 2654435761) % 256
+            return ((n % 256)[:, None] * (i[None, :] + 3) * 2654435761) % 256
 
         for pdf in batches:
             n = pdf["n_bytes"].astype("int64").to_numpy()

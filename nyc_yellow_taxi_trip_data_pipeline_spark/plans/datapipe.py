@@ -2537,7 +2537,9 @@ def q84_grouped_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     px AS (
       SELECT doc_id, n_bytes, i,
-             (n_bytes * (i + 3) * 2654435761) % 256 AS p
+             -- n_bytes reduced mod 256 first, mirroring the Python stage:
+             -- the unreduced product overflows BIGINT past ~59 MB payloads
+             ((n_bytes % 256) * (i + 3) * 2654435761) % 256 AS p
       FROM d, generate_series(0, 55) t(i)
     ),
     m AS (

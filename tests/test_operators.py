@@ -320,3 +320,59 @@ def test_incremental_rollup_partials_append_and_merge(spark, tmp_path):
         "2024-01-01": (3, 8.5),
         "2024-01-08": (1, 8.0),
     }
+
+
+def test_phash_no_int64_overflow_for_giant_payloads(spark):
+    # The pseudo-pixel product n * (i+3) * 2654435761 exceeds int64 for
+    # payloads over ~59 MB; numpy would wrap silently where an oracle's
+    # BIGINT raises — divergence, not an error. The stage reduces n mod
+    # 256 first (value-identical mod 256), so a 100 GB payload must hash
+    # identically to its n % 256 twin.
+    giant = 100 * 10**9 + 123
+    small = giant % 256
+    df = spark.createDataFrame(
+        [(1, giant), (2, small)], "doc_id long, n_bytes long"
+    )
+    rows = {r.doc_id: r for r in mm.phash_images(df).collect()}
+    assert rows[1].ahash == rows[2].ahash
+    assert rows[1].mean_px == rows[2].mean_px
+    # And the Python stage agrees with DuckDB's BIGINT evaluation of the
+    # same reduced formula for the giant payload.
+    import duckdb
+
+    duck = duckdb.sql(
+        f"""
+        WITH px AS (
+          SELECT i, (({giant} % 256) * (i + 3) * 2654435761) % 256 AS p
+          FROM generate_series(0, 55) t(i)
+        ),
+        m AS (SELECT CAST(SUM(p) // 56 AS BIGINT) AS mean_px FROM px)
+        SELECT CAST(SUM(CASE WHEN px.p > m.mean_px
+                             THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                    AS BIGINT) AS ahash,
+               CAST(ANY_VALUE(m.mean_px) AS INTEGER) AS mean_px
+        FROM px, m
+        """
+    ).fetchone()
+    assert rows[1].ahash == duck[0]
+    assert rows[1].mean_px == duck[1]
+
+
+def test_connected_components_long_chain_converges(spark):
+    # A 30-node path graph has diameter 29: needs ~15 doubled-hop rounds.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "doc_a long, doc_b long"
+    )
+    out = dd.connected_components(chain, max_iters=20).collect()
+    assert len(out) == 30
+    assert {r.cluster for r in out} == {0}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # Same chain with a hop budget too small for its diameter: silent exit
+    # would hand back wrong labels; the guard must raise instead.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iters=2)
