@@ -17,56 +17,67 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. After
-# rounds 1+2, every query has at least one green row; round 3 promotes
-# (a) queries NEW this round, (b) queries whose plan/oracle changed this
-# round, (c) queries whose only green row dates back to round 1. Queries
+# order therefore decides which queries earn a hard external row. Round 6
+# promotes (a) every query whose plan or oracle changed this round —
+# NTZ-fixed streaming (q44/q76/q81), scoped-partition replays (q67/q80),
+# the native q77 rewrite + new q86, compound-key q35 + shared-oracle q83,
+# mod-reduced q85, parameterized-oracle q32/q68/q82 — then (b) queries
+# whose latest green row is oldest (absent from the r5 window). Queries
 # outside the window remain parity-gated (tools/parity.py runs ALL of them).
 _PRIORITY = [
-    # new this round:
-    "q68_dedup_clusters",
-    "q69_lookback_range_join",
-    "q70_stratified_sample",
-    "q71_token_counts",
-    "q72_incremental_rollup",
-    "q73_kmeans_step",
-    "q74_reservoir_topn",
-    "q75_embedding_quantize",
-    "q76_stream_stream_join",
-    "q77_trimmed_mean_udaf",
-    "q78_chunk_windows_udtf",
-    "q79_curation_funnel",
-    "q80_stream_static_join",
-    "q81_streaming_dedup",
-    "q82_triangle_count",
-    "q83_blocked_neardup_srp",
-    "q84_grouped_sketch_quantiles",
-    "q85_multimodal_phash",
-    # changed this round (q42: rows-only -> real error-bound oracle;
-    # q44/q67: shared streaming reader + state-store cleanup; q32: new
-    # signature-agreement gate in plan AND oracle; q35: blocked_neardup
-    # refactored for compound keys):
-    "q42_approx_sketches",
+    # (a) changed in round 6:
     "q44_streaming_hourly",
+    "q76_stream_stream_join",
+    "q81_streaming_dedup",
     "q67_streaming_sessionize",
+    "q80_stream_static_join",
+    "q77_trimmed_mean_udaf",
+    "q86_trimmed_mean_udaf_bounded",
+    "q35_embedding_neardup",
+    "q83_blocked_neardup_srp",
+    "q85_multimodal_phash",
     "q32_minhash_lsh_neardup",
-    "q35_embedding_neardup",
-    # last driver-checked in round 1 only:
-    "q30_dedup_exact",
-    "q31_dedup_keep_first",
-    "q33_simhash",
-    "q34_embedding_topk",
-    "q35_embedding_neardup",
-    "q37_text_quality",
-    "q38_lang_id",
-    "q39_fingerprint",
-    "q40_multimodal_meta",
-    "q41_multimodal_decode",
-    "q56_regex_extract",
-    "q57_grouping_sets",
-    "q58_rank_family",
-    "q61_conditional_aggs",
-    "q63_date_math",
+    "q68_dedup_clusters",
+    "q82_triangle_count",
+    # (b) last green row predates round 5:
+    "q14_ordered_limit",
+    "q15_label_map",
+    "q16_top_customers",
+    "q17_priority_rollup",
+    "q18_topk_per_segment",
+    "q19_set_ops",
+    "q20_sessionization",
+    "q21_asof_join",
+    "q22_pivot_counts",
+    "q23_hourly_rollup",
+    "q24_revenue_by_nation",
+    "q25_salted_agg",
+    "q26_status_cube",
+    "q27_grouped_zscore",
+    "q28_pandas_udf_bucketing",
+    "q29_json_roundtrip",
+    "q36_ann_srp_bucket",
+    "q43_sql_api",
+    "q45_ngram_jaccard",
+    "q46_tfidf_topterms",
+    "q47_moving_avg",
+    "q48_grouped_quantiles",
+    "q49_unpivot",
+    "q50_correlation",
+    "q51_upsert_merge",
+    "q52_char_ngram_langid",
+    "q53_winnowing",
+    "q54_semi_anti_join",
+    "q55_constraint_audit",
+    "q62_fuzzy_editdistance",
+    "q64_multimodal_resize",
+    "q65_frame_sample",
+    "q66_ivf_ann",
+    # flagship + sketch contracts round out the window:
+    "q01_pricing_summary",
+    "q02_clean_features",
+    "q42_approx_sketches",
+    "q84_grouped_sketch_quantiles",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -170,7 +170,11 @@ def _mh_sql(
     description="MinHash(12 md5-hashes)+LSH(4 bands of 3) near-dup pipeline over "
     "bigram shingles: signatures in one agg pass, candidates from a band "
     "equi-join (never O(n^2)) with a bucket-size cap so a hot band key "
-    "cannot emit a quadratic straggler, exact Jaccard only on candidates.",
+    "cannot emit a quadratic straggler, exact Jaccard only on candidates. "
+    "Known recall bound the oracle MIRRORS (so it cannot see it): the "
+    "agreement gate (>=5/12) rejects ~19% of true j=0.5 at-threshold "
+    "pairs (binomial tail); the n_hashes=24/agree-10 dial halves that "
+    "sigma — oracle-verified at both settings in test_minhash_dial.py.",
     tags=("dedup", "minhash", "lsh"),
 )
 def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -173,3 +173,41 @@ def test_no_nested_loop_joins_in_scale_paths(spark):
         )
         bad = re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", plan)
         assert not bad, f"{name} plans {bad}"
+
+
+def test_partition_pruning_end_to_end_on_events(spark, tmp_path):
+    """The dashboard's year/month filter, executed the way 100 TB demands:
+    events written partitionBy(year, month, day), one day selected — the
+    EXECUTED scan must prove it touched exactly one partition (runtime
+    numPartitions/numFiles metrics, not just the static plan string)."""
+    import glob
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table,
+        write_parquet,
+    )
+
+    ev = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+    )
+    path = str(tmp_path / "events_partitioned")
+    write_parquet(ev, path, partition_by=["year", "month", "day"])
+    n_partitions = len(glob.glob(path + "/year=*/month=*/day=*"))
+    assert n_partitions > 1, "need multiple partitions to prove pruning"
+
+    back = spark.read.parquet(path).filter("year = 2024 AND month = 1 AND day = 15")
+    rows = back.collect()
+    assert len(rows) > 0
+
+    qe = back._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "(year" in plan.split("PartitionFilters")[1][:250]
+    # Runtime proof, not plan text: the scan's executed metrics must show
+    # exactly ONE of the N partitions (and its single file) was read.
+    leaf = qe.executedPlan().collectLeaves().apply(0)
+    assert leaf.metrics().apply("numPartitions").value() == 1
+    assert leaf.metrics().apply("numFiles").value() == 1
