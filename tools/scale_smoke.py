@@ -40,6 +40,7 @@ QUERIES_TO_RUN = [
     "q32_minhash_lsh_neardup",  # LSH (bucket-capped, sig-gated)
     "q34_embedding_topk",    # brute cosine (map-only)
     "q36_ann_srp_bucket",    # SRP-bucket ANN
+    "q35_embedding_neardup",    # compound-block near-dup (legacy output)
     "q83_blocked_neardup_srp",  # compound-block near-dup (bounded blocks)
 ]
 
