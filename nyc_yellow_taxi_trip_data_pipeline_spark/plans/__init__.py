@@ -25,7 +25,9 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # whose latest green row is oldest (absent from the r5 window). Queries
 # outside the window remain parity-gated (tools/parity.py runs ALL of them).
 _PRIORITY = [
-    # (a) changed in round 6:
+    # (a) new or changed in round 6:
+    "q87_sequence_packing",
+    "q88_pii_redaction_audit",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",
@@ -73,11 +75,9 @@ _PRIORITY = [
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
-    # flagship + sketch contracts round out the window:
+    # flagship rounds out the window:
     "q01_pricing_summary",
     "q02_clean_features",
-    "q42_approx_sketches",
-    "q84_grouped_sketch_quantiles",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

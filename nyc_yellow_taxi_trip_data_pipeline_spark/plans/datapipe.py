@@ -2581,3 +2581,190 @@ def q85_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.withColumn(
         "n_hash_dups", F.count("*").over(Window.partitionBy("ahash"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — SEQUENCE PACKING: greedy first-fit of documents into fixed
+# token-budget training bins — the op that turns a curated corpus into
+# dense training batches. Packing is inherently sequential, so the scale
+# is hash-chunked: docs land in chunks by doc_id % N (bounded groups,
+# embarrassingly parallel), each chunk packs independently in doc_id
+# order via one Arrow batch. Bin quality loses only the cross-chunk
+# boundary bins (N-1 partially-filled bins per N chunks); chunk count
+# scales with the corpus so group size stays bounded. The oracle walks
+# the identical greedy recurrence with a recursive CTE.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+_PACK_CHUNKS = 8
+
+
+@register(
+    "q87_sequence_packing",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, doc_id % {_PACK_CHUNKS} AS chunk,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % {_PACK_CHUNKS}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack(chunk, rn, doc_id, n_tokens, bin_idx, fill) AS (
+      SELECT chunk, rn, doc_id, n_tokens, 0, n_tokens
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.chunk, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {_PACK_BUDGET}
+                  THEN p.bin_idx + 1 ELSE p.bin_idx END,
+             CASE WHEN p.fill > 0 AND p.fill + t.n_tokens > {_PACK_BUDGET}
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM pack p JOIN t ON t.chunk = p.chunk AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, chunk, CAST(bin_idx AS INTEGER) AS bin_idx, n_tokens
+    FROM pack
+    """,
+    description=f"Greedy first-fit sequence packing into {_PACK_BUDGET}-token "
+    f"training bins, hash-chunked (doc_id % {_PACK_CHUNKS}) so each chunk "
+    "packs independently in one bounded Arrow batch — the parallel form of "
+    "an inherently sequential op (cost: only the per-chunk boundary bins "
+    "pack sub-optimally). Oracle replays the same recurrence as a "
+    "recursive CTE.",
+    tags=("pandas-udf", "packing", "training-data"),
+)
+def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_CHUNKS).alias("chunk"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    budget = _PACK_BUDGET
+
+    def pack_chunk(pdf):
+        # Self-contained closure: executor workers can't import this repo.
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        bins, fills = [], 0
+        bin_idx = 0
+        fill = 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if not first and fill > 0 and fill + n > budget:
+                bin_idx += 1
+                fill = n
+            else:
+                fill += n
+            first = False
+            bins.append(bin_idx)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "chunk": pdf["chunk"],
+                "bin_idx": pd.array(bins, dtype="int32"),
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    return sized.groupBy("chunk").applyInPandas(
+        pack_chunk, schema="doc_id long, chunk long, bin_idx int, n_tokens long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — PII detection/redaction audit: plant deterministic synthetic PII
+# (emails on every 5th doc, phone numbers on every 7th), then detect and
+# redact with columnar regexp — the safety scrub every training corpus
+# needs before the tokenizer sees it. Everything stays JVM-side
+# (regexp_count/regexp_replace); the per-source md5 probe over the
+# redacted text proves the REPLACEMENT itself matches the oracle, not
+# just the counts. On a real corpus the planting stage is dropped.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q88_pii_redaction_audit",
+    f"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || doc_id || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-4567'
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    scanned AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+             md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+      FROM planted
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_emails > 0 AS BIGINT)) AS n_with_email,
+           SUM(CAST(n_phones > 0 AS BIGINT)) AS n_with_phone,
+           SUM(n_emails) AS total_emails,
+           SUM(n_phones) AS total_phones,
+           MIN(redacted_md5) AS redaction_probe
+    FROM scanned
+    GROUP BY source
+    """,
+    description="PII scrub audit: synthetic emails/phones planted "
+    "deterministically, detected with columnar regexp_count and redacted "
+    "with regexp_replace (all JVM-side, no Python); per-source counts "
+    "plus an md5 probe over the redacted text verify the replacement "
+    "byte-for-byte against the oracle.",
+    tags=("text", "safety", "training-data"),
+)
+def q88_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit("-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = planted.select(
+        "source",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_emails") > 0).cast("long")).alias("n_with_email"),
+        F.sum((F.col("n_phones") > 0).cast("long")).alias("n_with_phone"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.min("redacted_md5").alias("redaction_probe"),
+    )
