@@ -28,6 +28,8 @@ _PRIORITY = [
     # (a) new or changed in round 6:
     "q87_sequence_packing",
     "q88_pii_redaction_audit",
+    "q89_cross_source_contamination",
+    "q90_domain_mix_budget",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",
@@ -75,9 +77,6 @@ _PRIORITY = [
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
-    # flagship rounds out the window:
-    "q01_pricing_summary",
-    "q02_clean_features",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

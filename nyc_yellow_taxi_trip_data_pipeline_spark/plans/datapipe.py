@@ -2768,3 +2768,129 @@ def q88_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_phones").alias("total_phones"),
         F.min("redacted_md5").alias("redaction_probe"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — CROSS-SOURCE CONTAMINATION: identical normalized content appearing
+# under more than one source — the train/benchmark-overlap check every
+# training corpus needs before eval numbers mean anything. One md5
+# fingerprint pass, distinct (source, fp), then a fp self-join with
+# source_a < source_b. The join key is the fingerprint: per-fp fan-out is
+# bounded by the SOURCE count (not corpus size), so a boilerplate text
+# shared by every source costs C(n_sources, 2) rows, never O(docs²).
+# ---------------------------------------------------------------------------
+@register(
+    "q89_cross_source_contamination",
+    """
+    WITH fp AS (
+      SELECT DISTINCT source, 'exact' AS kind, md5(lower(text)) AS fp
+      FROM documents
+      UNION
+      SELECT DISTINCT source, 'lead8' AS kind,
+             md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b, a.kind,
+           COUNT(*) AS n_shared
+    FROM fp a
+    JOIN fp b ON a.kind = b.kind AND a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2, 3
+    """,
+    description="Train/benchmark contamination check at two granularities "
+    "— exact normalized content and an 8-word lead fingerprint "
+    "(boilerplate overlap) — distinct fingerprints shared across source "
+    "pairs via one md5 pass + a fingerprint equi-join (per-key fan-out "
+    "bounded by the source count, never O(docs²)).",
+    tags=("dedup", "contamination", "training-data"),
+)
+def q89_cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    exact = docs.select(
+        "source",
+        F.lit("exact").alias("kind"),
+        F.md5(F.lower("text")).alias("fp"),
+    )
+    lead = docs.select(
+        "source",
+        F.lit("lead8").alias("kind"),
+        F.md5(
+            F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 8), " ")
+        ).alias("fp"),
+    )
+    fp = exact.unionByName(lead).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "kind", "fp")
+    b = fp.select(F.col("source").alias("source_b"), "kind", "fp")
+    return (
+        a.join(b, ["kind", "fp"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "kind")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q90 — DOMAIN MIXING under a token budget: deterministic per-source
+# sampling to a fixed token allowance — how a training mix hits target
+# domain proportions without an RNG. Docs are ordered inside each source
+# by md5(doc_id) (uniform pseudo-random, engine-portable, partition-
+# independent) and kept while the running token sum stays inside the
+# per-source budget. One window per source — a single shuffle on the
+# mixing key at any corpus size.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET_TOKENS = 3000
+
+
+@register(
+    "q90_domain_mix_budget",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM sized
+    )
+    SELECT source,
+           COUNT(*) AS n_docs_kept,
+           SUM(n_tokens) AS tokens_kept
+    FROM runs
+    WHERE cum_tokens <= {_MIX_BUDGET_TOKENS}
+    GROUP BY source
+    """,
+    description=f"Deterministic domain mixing: per-source docs ordered by "
+    "md5(doc_id) (RNG-free, partition-independent) and kept while the "
+    f"running token sum stays within a {_MIX_BUDGET_TOKENS}-token "
+    "per-source allowance — one window shuffle on the mixing key.",
+    tags=("sampling", "window", "training-data"),
+)
+def q90_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        runs.filter(F.col("cum_tokens") <= _MIX_BUDGET_TOKENS)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
