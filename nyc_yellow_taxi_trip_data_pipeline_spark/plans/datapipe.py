@@ -2587,26 +2587,36 @@ def q85_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q87 — SEQUENCE PACKING: greedy first-fit of documents into fixed
 # token-budget training bins — the op that turns a curated corpus into
 # dense training batches. Packing is inherently sequential, so the scale
-# is hash-chunked: docs land in chunks by doc_id % N (bounded groups,
-# embarrassingly parallel), each chunk packs independently in doc_id
-# order via one Arrow batch. Bin quality loses only the cross-chunk
-# boundary bins (N-1 partially-filled bins per N chunks); chunk count
-# scales with the corpus so group size stays bounded. The oracle walks
-# the identical greedy recurrence with a recursive CTE.
+# design is hash-chunked: docs land in chunks by doc_id % N (bounded
+# groups, embarrassingly parallel), each chunk packs independently in
+# doc_id order via one Arrow batch. Bin quality loses only the
+# cross-chunk boundary bins (N-1 partially-filled bins per N chunks).
+# N is DERIVED FROM THE CORPUS — ceil(n_docs / 64), floor 8 — so chunk
+# size stays bounded (~64 docs) no matter how the corpus grows; a fixed
+# N would recreate exactly the unbounded-Arrow-group OOM q77 had. Both
+# engines compute N from the same table (Spark: one count() job at plan
+# build; oracle: scalar subquery), so the assignment is identical. The
+# oracle walks the identical greedy recurrence with a recursive CTE
+# (recursion depth = chunk size, also bounded by the same dial).
 # ---------------------------------------------------------------------------
 _PACK_BUDGET = 512
-_PACK_CHUNKS = 8
+_PACK_CHUNK_DOCS = 64  # target docs per chunk; n_chunks = ceil(n/64), min 8
 
 
 @register(
     "q87_sequence_packing",
     f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, doc_id % {_PACK_CHUNKS} AS chunk,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY doc_id % {_PACK_CHUNKS}
-                                ORDER BY doc_id) AS rn
+    WITH RECURSIVE n AS (
+      SELECT GREATEST(8, CAST(CEIL(COUNT(*) / {_PACK_CHUNK_DOCS}.0) AS BIGINT))
+             AS n_chunks
       FROM documents
+    ),
+    t AS (
+      SELECT doc_id, doc_id % n.n_chunks AS chunk,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % n.n_chunks
+                                ORDER BY doc_id) AS rn
+      FROM documents, n
     ),
     pack(chunk, rn, doc_id, n_tokens, bin_idx, fill) AS (
       SELECT chunk, rn, doc_id, n_tokens, 0, n_tokens
@@ -2623,18 +2633,25 @@ _PACK_CHUNKS = 8
     FROM pack
     """,
     description=f"Greedy first-fit sequence packing into {_PACK_BUDGET}-token "
-    f"training bins, hash-chunked (doc_id % {_PACK_CHUNKS}) so each chunk "
-    "packs independently in one bounded Arrow batch — the parallel form of "
-    "an inherently sequential op (cost: only the per-chunk boundary bins "
-    "pack sub-optimally). Oracle replays the same recurrence as a "
-    "recursive CTE.",
+    "training bins, hash-chunked with a corpus-derived chunk count "
+    f"(ceil(n_docs/{_PACK_CHUNK_DOCS}), floor 8) so each chunk packs "
+    "independently in one Arrow batch BOUNDED at any corpus size — the "
+    "parallel form of an inherently sequential op (cost: only the "
+    "per-chunk boundary bins pack sub-optimally). Oracle replays the same "
+    "recurrence as a recursive CTE with the same derived chunk count.",
     tags=("pandas-udf", "packing", "training-data"),
 )
 def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     docs = read_table(spark, sf_dir, "documents")
+    # One cheap count() at plan build keeps chunk size bounded forever;
+    # parquet row-group metadata makes this a metadata-only scan.
+    n_docs = docs.count()
+    n_chunks = max(8, math.ceil(n_docs / _PACK_CHUNK_DOCS))
     sized = docs.select(
         "doc_id",
-        (F.col("doc_id") % _PACK_CHUNKS).alias("chunk"),
+        (F.col("doc_id") % n_chunks).alias("chunk"),
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     budget = _PACK_BUDGET
