@@ -100,3 +100,86 @@ def test_jdbc_append_then_partitioned_scan_roundtrip(spark):
                 conn.close()
         except Exception:
             pass  # smoke table left behind; harmless in a scratch DB
+
+
+# ---------------------------------------------------------------------------
+# Live JDBC round-trips against EMBEDDED Derby (bundled with Spark for the
+# Hive metastore — no external service needed). These run unconditionally:
+# they execute the exact S3/S8 code paths (write_jdbc_append, partitioned
+# read_jdbc, foreachBatch JDBC writer) against a real JDBC database, which
+# the env-gated Postgres smokes above can't do in this container. In-memory
+# Derby is per-JVM; local mode shares the JVM, so executor-side JDBC tasks
+# hit the same database.
+# ---------------------------------------------------------------------------
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _derby_url() -> str:
+    return f"jdbc:derby:memory:smoke{uuid.uuid4().hex[:8]};create=true"
+
+
+def test_jdbc_append_then_partitioned_scan_embedded_derby(spark):
+    """S8 -> S3 live: append (auto-creating the table), read back through
+    the partitioned parallel scan, compare values including nulls."""
+    url = _derby_url()
+    df = spark.createDataFrame(
+        [(i, float(i) * 2.0 if i % 10 else None, f"n{i}") for i in range(100)],
+        "id long, v double, name string",
+    )
+    eio.write_jdbc_append(df, url, "SMOKE_T", DERBY_PROPS)
+    back = eio.read_jdbc(
+        spark,
+        url,
+        "SMOKE_T",
+        DERBY_PROPS,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    got = {(r.id, r.v, r.name) for r in back.collect()}
+    want = {
+        (i, float(i) * 2.0 if i % 10 else None, f"n{i}") for i in range(100)
+    }
+    assert got == want
+    # Appending again must append, not replace.
+    eio.write_jdbc_append(df.limit(5), url, "SMOKE_T", DERBY_PROPS)
+    assert eio.read_jdbc(spark, url, "SMOKE_T", DERBY_PROPS).count() == 105
+
+
+def test_streaming_foreach_batch_jdbc_embedded_derby(spark, tmp_path):
+    """S13 -> S8 live: a file stream lands in a real JDBC table through
+    foreach_batch_jdbc_writer, batch counts reported via on_batch."""
+    import json as jsonlib
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_jdbc_writer,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [{"id": i, "v": i * 1.5} for i in range(20)]
+    (src / "a.json").write_text("\n".join(jsonlib.dumps(r) for r in rows))
+
+    url = _derby_url()
+    seen = []
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .json(str(src))
+    )
+    q = stream.writeStream.foreachBatch(
+        foreach_batch_jdbc_writer(
+            url,
+            "STREAM_T",
+            DERBY_PROPS,
+            on_batch=lambda bid, n: seen.append((bid, n)),
+        )
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sum(n for _, n in seen) == 20
+    got = {(r.id, r.v) for r in eio.read_jdbc(spark, url, "STREAM_T", DERBY_PROPS).collect()}
+    assert got == {(i, i * 1.5) for i in range(20)}
