@@ -42,6 +42,10 @@ QUERIES_TO_RUN = [
     "q36_ann_srp_bucket",    # SRP-bucket ANN
     "q35_embedding_neardup",    # compound-block near-dup (legacy output)
     "q83_blocked_neardup_srp",  # compound-block near-dup (bounded blocks)
+    "q87_sequence_packing",     # corpus-derived chunked packing
+    "q88_pii_redaction_audit",  # columnar regexp scrub
+    "q89_cross_source_contamination",  # fingerprint equi-join
+    "q90_domain_mix_budget",    # per-source budget window
 ]
 
 
