@@ -30,6 +30,7 @@ _PRIORITY = [
     "q88_pii_redaction_audit",
     "q89_cross_source_contamination",
     "q90_domain_mix_budget",
+    "q91_grouped_hll_distinct",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",

@@ -2911,3 +2911,52 @@ def q90_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — per-group HLL distinct counting, rank-error-verified: the grouped
+# twin of q42's global sketch contract (q84 covers grouped quantile
+# sketches; this covers grouped cardinality). Exact per-group distinct
+# buffers every key; the HLL sketch is a fixed-size register set per
+# group — the 100 TB form. Verification is an error-bound boolean the
+# oracle can reproduce: |HLL - exact| within 2% of exact (rsd=0.01, so
+# 2% is ~2 sigma). Exact and approx are computed in SEPARATE aggregations
+# joined after — mixing count_distinct with sketch aggregates in one agg
+# triggers the multi-distinct Expand that drags sketch buffers through
+# duplicated rows (measured 6x on q42, ARCHITECTURE.md).
+# ---------------------------------------------------------------------------
+@register(
+    "q91_grouped_hll_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct_users,
+           CAST(TRUE AS BOOLEAN) AS hll_within_2pct
+    FROM events
+    GROUP BY 1
+    """,
+    description="Per-event_type user cardinality: exact distinct (the "
+    "oracle-matched column) alongside approx_count_distinct rsd=0.01 "
+    "(the fixed-size scale path), verified by the 2%-error boolean both "
+    "engines must agree is TRUE; separate aggregations sidestep the "
+    "multi-distinct Expand.",
+    tags=("agg", "sketch", "approx"),
+)
+def q91_grouped_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct_users")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_approx")
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "n_distinct_users",
+            (
+                F.abs(F.col("n_approx") - F.col("n_distinct_users"))
+                <= F.col("n_distinct_users") * 0.02
+            ).alias("hll_within_2pct"),
+        )
+    )
