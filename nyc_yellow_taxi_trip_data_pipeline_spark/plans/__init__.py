@@ -43,7 +43,6 @@ _PRIORITY = [
     "q85_multimodal_phash",
     "q32_minhash_lsh_neardup",
     "q68_dedup_clusters",
-    "q82_triangle_count",
     # (b) last green row predates round 5:
     "q14_ordered_limit",
     "q15_label_map",

@@ -46,6 +46,11 @@ def register(
     """Decorator: register a (spark_fn, oracle_sql) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]) -> Callable:
+        if name in QUERIES:
+            # A silent overwrite would drop a query from the inventory
+            # without any gate noticing (the replaced query simply stops
+            # being verified) — fail at import time instead.
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = QuerySpec(
             name=name, spark=fn, oracle=oracle, description=description, tags=tags
         )
