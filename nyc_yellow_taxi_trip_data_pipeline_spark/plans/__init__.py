@@ -31,6 +31,7 @@ _PRIORITY = [
     "q89_cross_source_contamination",
     "q90_domain_mix_budget",
     "q91_grouped_hll_distinct",
+    "q92_simhash_neardup",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",
@@ -41,7 +42,6 @@ _PRIORITY = [
     "q35_embedding_neardup",
     "q83_blocked_neardup_srp",
     "q85_multimodal_phash",
-    "q32_minhash_lsh_neardup",
     "q68_dedup_clusters",
     # (b) last green row predates round 5:
     "q14_ordered_limit",

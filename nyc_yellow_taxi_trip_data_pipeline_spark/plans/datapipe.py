@@ -2960,3 +2960,110 @@ def q91_grouped_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_2pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — SimHash Hamming-LSH near-dup PAIRS: completes the dedup matrix
+# (MinHash-LSH gives Jaccard pairs q32; SimHash previously stopped at
+# fingerprints q33). The fingerprint is 60-bit (vs q33's legacy 16-bit
+# fingerprint table): band-bucket count is 2^(bits/bands), so width must
+# track ~2*log2(corpus) — the 16-bit form measured a 15x wall ratio at a
+# 10x corpus because its 256-bucket bands saturate. 4 bands of 15 bits
+# give FULL recall for Hamming radius 3 (pigeonhole: d < n_bands) and
+# 32768 buckets per band; exact bit_count(xor) verifies the radius on
+# candidates only. Same shape as q32: band equi-join, never O(n²).
+# ---------------------------------------------------------------------------
+_SH_BITS = 60
+_SH_BANDS = 4
+_SH_RADIUS = 3
+_SH_MAX_BUCKET = 64
+
+
+def _simhash_wide_sql(n_bits: int) -> str:
+    """DuckDB twin of ``dedup.simhash_fingerprints``: n-bit md5-derived
+    SimHash (hex-digit positional arithmetic, +1/-1 bit votes)."""
+    hex_chars = n_bits // 4
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i + 1}, 1)) - 1)"
+        f" * {1 << (4 * (hex_chars - 1 - i))}"
+        for i in range(hex_chars)
+    )
+    sums = ", ".join(
+        f"SUM(CASE WHEN CAST(FLOOR(hw / {1 << j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(n_bits)
+    )
+    return f"""
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM (
+      SELECT doc_id, {sums} FROM (
+        SELECT doc_id, ({hv}) AS hw FROM (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        )
+      ) GROUP BY doc_id
+    )
+    """
+
+
+def _simhash_pairs_sql(
+    n_bits: int, n_bands: int, max_hamming: int, max_bucket: int
+) -> str:
+    bw = n_bits // n_bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash // {1 << (bw * b)}) % {1 << bw} AS band_key FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH fp AS ({_simhash_wide_sql(n_bits)}),
+    bands AS ({band_rows}),
+    capped AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands
+      ) WHERE bn <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a
+      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(CAST(xor(fa.simhash, fb.simhash) AS BIGINT))
+                AS INTEGER) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(CAST(xor(fa.simhash, fb.simhash) AS BIGINT)) <= {max_hamming}
+    """
+
+
+@register(
+    "q92_simhash_neardup",
+    _simhash_pairs_sql(_SH_BITS, _SH_BANDS, _SH_RADIUS, _SH_MAX_BUCKET),
+    description=f"SimHash near-dup pairs within Hamming distance {_SH_RADIUS}: "
+    f"{_SH_BITS}-bit fingerprints, {_SH_BANDS}-band Hamming-LSH (full "
+    "recall by pigeonhole, 2^15 buckets per band so the equi-join stays "
+    "bounded — the 16-bit form saturates and goes quadratic), the same "
+    "hot-bucket cap as q32 (boilerplate masses belong to exact dedup), "
+    "and exact bit_count(xor) verification on candidates — the "
+    "bit-sampling twin of q32's MinHash band join.",
+    tags=("dedup", "simhash", "lsh"),
+)
+def q92_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fp = dd.simhash_fingerprints(
+        dd.tokenize_distinct(docs), n_bits=_SH_BITS
+    ).localCheckpoint(eager=True)  # feeds bands + both verify sides
+    return dd.simhash_near_duplicates(
+        fp,
+        n_bits=_SH_BITS,
+        n_bands=_SH_BANDS,
+        max_hamming=_SH_RADIUS,
+        max_bucket=_SH_MAX_BUCKET,
+    )

@@ -108,3 +108,35 @@ def test_24_hash_gate_is_sharper_on_borderline_pairs(spark):
     b12 = len(s12 & border_pairs)
     b24 = len(s24 & border_pairs)
     assert b24 < b12, f"24-hash gate not sharper: {b24} vs {b12} borderline"
+
+
+def test_simhash_wide_bands_full_recall_within_radius(spark):
+    """Pigeonhole property of the Hamming-LSH banding: every pair within
+    the radius (max_hamming < n_bands) must be found — construct
+    fingerprints at known distances and check recall/exclusion."""
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    rows = [
+        (0, base),
+        (1, base ^ 0b111),            # hamming 3 (all in band 0) -> found
+        (2, base ^ (1 | 1 << 20 | 1 << 40)),  # hamming 3 spread over 3 bands -> found
+        (3, base ^ 0b11110000),       # hamming 4 -> excluded by exact check
+    ]
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_near_duplicates(
+            fp, n_bits=60, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got[(0, 1)] == 3
+    assert got[(0, 2)] == 3
+    assert (0, 3) not in got
+    # bucket cap drops a boilerplate blob but keeps the distinct pair
+    blob = [(10 + i, base ^ (1 << 59)) for i in range(30)]
+    fp2 = spark.createDataFrame(rows[:2] + blob, "doc_id long, simhash long")
+    capped = dd.simhash_near_duplicates(
+        fp2, n_bits=60, n_bands=4, max_hamming=3, max_bucket=10
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in capped}
+    assert (0, 1) in pairs
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)

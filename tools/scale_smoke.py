@@ -46,6 +46,7 @@ QUERIES_TO_RUN = [
     "q88_pii_redaction_audit",  # columnar regexp scrub
     "q89_cross_source_contamination",  # fingerprint equi-join
     "q90_domain_mix_budget",    # per-source budget window
+    "q92_simhash_neardup",      # 60-bit Hamming-LSH (capped buckets)
 ]
 
 
