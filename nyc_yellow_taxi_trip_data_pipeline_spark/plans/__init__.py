@@ -32,6 +32,7 @@ _PRIORITY = [
     "q90_domain_mix_budget",
     "q91_grouped_hll_distinct",
     "q92_simhash_neardup",
+    "q93_conversion_funnel",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",

@@ -3067,3 +3067,86 @@ def q92_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=_SH_RADIUS,
         max_bucket=_SH_MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — sequenced CONVERSION FUNNEL: view → click → purchase with strict
+# temporal ordering per user (each stage's timestamp must follow the
+# previous stage's). Three stacked whole-partition window minima over ONE
+# user_id exchange — each stage references the previous stage's column,
+# and Catalyst reuses the same hash partitioning for all three Window
+# operators, so the funnel costs one shuffle at any event volume. The
+# oracle mirrors the identical nested-window formulation.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_conversion_funnel",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
+    ),
+    w2 AS (
+      SELECT user_id, event_type, ts, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT user_id, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    per_user AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+    SELECT COUNT(*) AS n_users,
+           COUNT(t1) AS n_viewed,
+           COUNT(t2) AS n_clicked_after_view,
+           COUNT(t3) AS n_purchased_after_click
+    FROM per_user
+    """,
+    description="Strictly-ordered view→click→purchase funnel per user: "
+    "three stacked whole-partition window minima (each stage gated on "
+    "the previous stage's timestamp) over a single user_id exchange; "
+    "final counts are the per-stage surviving users.",
+    tags=("window", "funnel", "agg"),
+)
+def q93_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "t1", "t2", "t3").distinct()
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked_after_view"),
+        F.count("t3").alias("n_purchased_after_click"),
+    )
