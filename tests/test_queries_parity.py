@@ -46,3 +46,45 @@ def test_every_query_has_description_and_entry():
     for name, spec in QUERIES.items():
         assert spec.description, name
         assert callable(spec.spark), name
+
+
+def test_q87_packing_invariants(spark):
+    """Structural invariants the hash-match can't express: no bin exceeds
+    the budget unless it is a single oversized doc, and bin indices are
+    contiguous non-decreasing in doc order within each chunk."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _PACK_BUDGET,
+    )
+
+    rows = (
+        QUERIES["q87_sequence_packing"]
+        .spark(spark, SF_DIR)
+        .orderBy("chunk", "doc_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    counts = defaultdict(int)
+    last_bin = {}
+    for r in rows:
+        key = (r.chunk, r.bin_idx)
+        fills[key] += r.n_tokens
+        counts[key] += 1
+        prev = last_bin.get(r.chunk, 0)
+        assert r.bin_idx in (prev, prev + 1), "bins must be contiguous"
+        last_bin[r.chunk] = r.bin_idx
+    for key, fill in fills.items():
+        assert fill <= _PACK_BUDGET or counts[key] == 1, (
+            f"bin {key} over budget with {counts[key]} docs"
+        )
+
+
+def test_q90_budget_invariant(spark):
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _MIX_BUDGET_TOKENS,
+    )
+
+    for r in QUERIES["q90_domain_mix_budget"].spark(spark, SF_DIR).collect():
+        assert r.tokens_kept <= _MIX_BUDGET_TOKENS
+        assert r.n_docs_kept >= 1
