@@ -23,6 +23,9 @@ SUBSET = [
     "q34_embedding_topk",
     "q37_text_quality",
     "q41_multimodal_decode",
+    "q87_sequence_packing",
+    "q92_simhash_neardup",
+    "q93_conversion_funnel",
 ]
 
 
