@@ -70,19 +70,33 @@ def _nanos_ts_to_micros(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to plain TIMESTAMP. The testdata's
+    timestamp[us]-no-tz columns (events.ts, lineitem.l_shipdate,
+    orders.o_orderdate) infer as NTZ under Spark 4; the engine's contract
+    is uniform TIMESTAMP with session timeZone pinned to UTC, so the cast
+    is value-preserving and watermarks/date-math behave identically on
+    every column."""
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the test tables from a scale-factor directory,
-    nanos-timestamp-safe (see ``_nanos_ts_to_micros``)."""
+    timestamp-encoding-safe (see ``_nanos_ts_to_micros`` and
+    ``_normalize_ntz``)."""
     # Runtime-settable; applied here so the engine works under any caller's
     # SparkSession (the driver builds its own), not just sessions from
-    # session.get_spark(). The UTC pin keeps the NTZ→timestamp cast in
-    # _nanos_ts_to_micros value-preserving.
+    # session.get_spark(). The UTC pin keeps the NTZ→timestamp casts
+    # value-preserving.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _nanos_ts_to_micros(df)
-    return df
+    return _normalize_ntz(df)
 
 
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -100,7 +114,7 @@ def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
     if name == "events":
         stream = _nanos_ts_to_micros(stream)
-    return stream
+    return _normalize_ntz(stream)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
