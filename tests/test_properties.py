@@ -166,3 +166,96 @@ def test_binned_lookback_join_matches_naive(spark):
             if l[1] == r[1] and l[2] - lookback <= r[2] < l[2]
         )
         assert got == naive, f"lookback={lookback} bin={bin_s}"
+
+
+def test_sequence_packing_matches_reference_packer(spark):
+    """q87's distributed chunked packer == a pure-Python greedy reference
+    on seeded random corpora (doc counts straddling the chunk-count
+    floor, token counts straddling the budget)."""
+    import math
+    import random
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _PACK_BUDGET,
+        _PACK_CHUNK_DOCS,
+        q87_sequence_packing,
+    )
+
+    rng = random.Random(4321)
+    for trial in range(3):
+        n_docs = rng.choice([5, 200, 700])
+        docs = [
+            (i, " ".join("w" for _ in range(rng.randint(1, 700))))
+            for i in range(n_docs)
+        ]
+
+        # pure-python reference: same chunking, same greedy recurrence
+        n_chunks = max(8, math.ceil(n_docs / _PACK_CHUNK_DOCS))
+        expected = {}
+        chunks: dict[int, list[tuple[int, int]]] = {}
+        for doc_id, text in docs:
+            chunks.setdefault(doc_id % n_chunks, []).append(
+                (doc_id, len(text.split(" ")))
+            )
+        for chunk, members in chunks.items():
+            bin_idx, fill, first = 0, 0, True
+            for doc_id, n in sorted(members):
+                if not first and fill > 0 and fill + n > _PACK_BUDGET:
+                    bin_idx += 1
+                    fill = n
+                else:
+                    fill += n
+                first = False
+                expected[doc_id] = (chunk, bin_idx, n)
+
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+                os.path.join(td, "documents.parquet")
+            )
+            got = {
+                r.doc_id: (r.chunk, r.bin_idx, r.n_tokens)
+                for r in q87_sequence_packing(spark, td).collect()
+            }
+        assert got == expected, f"trial {trial} ({n_docs} docs)"
+
+
+def test_simhash_banding_matches_bruteforce_hamming(spark):
+    """Hamming-LSH banding (uncapped) == brute-force all-pairs within
+    radius on seeded random 60-bit fingerprints — full-recall pigeonhole
+    property on arbitrary inputs, not just constructed cases."""
+    import random
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+
+    rng = random.Random(99)
+    fps = []
+    for i in range(60):
+        if i % 3 == 0 or not fps:
+            fps.append((i, rng.getrandbits(60)))
+        else:
+            # perturb an earlier fingerprint by 0-5 random bits so pairs
+            # exist at and around the radius boundary
+            base = fps[rng.randrange(len(fps))][1]
+            for _ in range(rng.randint(0, 5)):
+                base ^= 1 << rng.randrange(60)
+            fps.append((i, base))
+
+    expected = {
+        (a, b): bin(fa ^ fb).count("1")
+        for ai, (a, fa) in enumerate(fps)
+        for b, fb in fps[ai + 1:]
+        if bin(fa ^ fb).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dd.simhash_near_duplicates(
+            spark.createDataFrame(fps, "doc_id long, simhash long"),
+            n_bits=60,
+            n_bands=4,
+            max_hamming=3,
+        ).collect()
+    }
+    assert got == expected
