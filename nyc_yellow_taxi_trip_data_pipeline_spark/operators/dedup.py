@@ -526,3 +526,33 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def lsh_candidate_pairs_asymmetric(
+    bands_query: DataFrame,
+    bands_index: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Asymmetric LSH candidate join: QUERY docs against an INDEX corpus
+    (incremental-ingest dedup — new batch vs everything already accepted)
+    instead of the self-join form. Returns (doc_a=query, doc_b=index)
+    pairs sharing a band. The cap bounds INDEX-side bucket fan-out: a new
+    doc colliding with a boilerplate index bucket would otherwise emit
+    O(bucket) rows per query doc; over-cap index buckets are dropped (a
+    query doc matching mass boilerplate is caught by exact dedup).
+    """
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        bands_index = (
+            bands_index.withColumn("__bn", F.count("*").over(w))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+    a = bands_query.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
+    b = bands_index.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

@@ -3150,3 +3150,128 @@ def q93_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").alias("n_clicked_after_view"),
         F.count("t3").alias("n_purchased_after_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — INCREMENTAL ingest dedup: a new batch (doc_id % 10 = 0, the
+# simulated crawl delta) deduped against the already-accepted INDEX
+# (everything else) — the production shape where dedup is new-vs-corpus,
+# not corpus-vs-itself. Exact layer: md5 anti-join against the index.
+# Near-dup layer: the SAME MinHash signatures/bands as q32, but the
+# candidate join is ASYMMETRIC (query bands x index bands) so candidate
+# count scales with |delta| x collision rate, never |corpus|²; the
+# bucket cap bounds index-side fan-out. Output: accepted new docs.
+# ---------------------------------------------------------------------------
+def _incremental_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_MH_N)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"mh{b * _MH_BAND + j}" for j in range(_MH_BAND)),
+        )
+        for b in range(_MH_N // _MH_BAND)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS s
+      FROM w
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh0),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    idx_bands AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands WHERE doc_id % 10 <> 0
+      ) WHERE bn <= {_MH_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN idx_bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    neardup AS (
+      SELECT DISTINCT i.doc_a FROM (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.doc_a
+        JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+      ) i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE (i.n_common / (sa.n + sb.n - i.n_common)) >= 0.5
+    ),
+    exactdup AS (
+      SELECT DISTINCT n.doc_id
+      FROM documents n
+      JOIN documents x ON md5(lower(n.text)) = md5(lower(x.text))
+                      AND x.doc_id % 10 <> 0
+      WHERE n.doc_id % 10 = 0
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM exactdup)
+      AND d.doc_id NOT IN (SELECT doc_a FROM neardup)
+    """
+
+
+@register(
+    "q94_incremental_dedup",
+    _incremental_sql(),
+    description="Incremental ingest dedup: the new batch (doc_id % 10 = 0) "
+    "deduped against the accepted index via an md5 exact anti-join plus an "
+    "ASYMMETRIC MinHash band join (query bands x capped index bands — "
+    "candidates scale with the delta, never the corpus squared); "
+    "accepted new docs survive both layers.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    new_docs = docs.filter(is_new)
+    index_docs = docs.filter(~is_new)
+
+    # Shared shingle/signature tables (one pass over the full corpus; in
+    # production the index side is a materialized signature table and only
+    # the delta is computed fresh).
+    sh = dd.shingle_distinct(docs, n=2).localCheckpoint(eager=True)
+    sigs = dd.minhash_signatures(sh, n_hashes=_MH_N).localCheckpoint(eager=True)
+    bands = dd.lsh_bands(sigs, n_hashes=_MH_N, band_size=_MH_BAND)
+    bands_new = bands.join(new_docs.select("doc_id"), "doc_id")
+    bands_idx = bands.join(index_docs.select("doc_id"), "doc_id")
+    cand = dd.lsh_candidate_pairs_asymmetric(
+        bands_new, bands_idx, max_bucket=_MH_MAX_BUCKET
+    ).localCheckpoint(eager=True)
+    neardup_new = (
+        dd.jaccard_on_pairs(cand, sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    exactdup_new = (
+        new_docs.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+        .join(
+            index_docs.select(F.md5(F.lower("text")).alias("fp")).distinct(),
+            "fp",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        new_docs.select("doc_id", "lang", "source")
+        .join(exactdup_new, "doc_id", "left_anti")
+        .join(neardup_new, "doc_id", "left_anti")
+    )
