@@ -34,6 +34,7 @@ _PRIORITY = [
     "q92_simhash_neardup",
     "q93_conversion_funnel",
     "q94_incremental_dedup",
+    "q95_streaming_incremental_dedup",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",

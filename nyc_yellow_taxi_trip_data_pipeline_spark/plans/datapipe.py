@@ -3275,3 +3275,71 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exactdup_new, "doc_id", "left_anti")
         .join(neardup_new, "doc_id", "left_anti")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — STREAMING incremental dedup: the crawl-delta stream anti-joined
+# against the STATIC accepted-fingerprint index inside the streaming
+# query — q94's ingest layer as it actually deploys (the delta arrives
+# as a stream; the index is a table). Stream-static LEFT ANTI join is
+# stateless (no watermark, no join state — the static side broadcasts),
+# so the only state is the final per-source counting aggregate. The
+# final complete-mode state equals the batch anti-join, and the oracle
+# proves it.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_streaming_incremental_dedup",
+    """
+    SELECT d.source, COUNT(*) AS n_accepted
+    FROM documents d
+    WHERE d.doc_id % 10 = 0
+      AND md5(lower(d.text)) NOT IN (
+        SELECT md5(lower(x.text)) FROM documents x WHERE x.doc_id % 10 <> 0
+      )
+    GROUP BY d.source
+    """,
+    description="Streaming ingest dedup: the new-batch stream LEFT ANTI "
+    "joined against the static accepted-fingerprint index inside the "
+    "streaming query (stateless — static side broadcast, zero join "
+    "state), per-source accepted counts in complete mode hash-match the "
+    "batch anti-join.",
+    tags=("streaming", "dedup", "join"),
+)
+def q95_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table_stream,
+    )
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    delta = (
+        read_table_stream(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("source", F.md5(F.lower("text")).alias("fp"))
+    )
+    index = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5(F.lower("text")).alias("fp"))
+        .distinct()
+    )
+    accepted = delta.join(F.broadcast(index), "fp", "left_anti")
+    agg = accepted.groupBy("source").agg(F.count("*").alias("n_accepted"))
+    sink = f"q95_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    return spark.table(sink)
