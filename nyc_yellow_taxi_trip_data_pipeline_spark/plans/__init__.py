@@ -35,6 +35,7 @@ _PRIORITY = [
     "q93_conversion_funnel",
     "q94_incremental_dedup",
     "q95_streaming_incremental_dedup",
+    "q96_recency_weighted_score",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",

@@ -3343,3 +3343,66 @@ def q95_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFra
             q.stop()
             unload_state_stores(spark)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q96 — recency-weighted engagement score: per-user sum of event values
+# decayed by hours-since-corpus-max — the time-decay feature every
+# recommendation/training pipeline derives. Determinism contract: the
+# decay weight uses RATIONAL decay value/(1+hours) (a single IEEE
+# divide, bit-identical across engines — exp()/pow() differ in final
+# ulps between libm implementations), quantized per-row to integer
+# units BEFORE the sum so aggregation order cannot matter. The corpus
+# max-ts is a scalar subquery both engines evaluate identically.
+# ---------------------------------------------------------------------------
+@register(
+    "q96_recency_weighted_score",
+    """
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    scored AS (
+      SELECT user_id,
+             CAST(FLOOR(
+               value * 10000.0
+               / (1.0 + (CAST(FLOOR(epoch(mx.tmax)) AS BIGINT)
+                         - CAST(FLOOR(epoch(ts)) AS BIGINT)) / 3600.0)
+               + 0.5) AS BIGINT) AS wq
+      FROM events, mx
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(wq) AS BIGINT) / 10000.0 AS recency_score
+    FROM scored
+    GROUP BY user_id
+    """,
+    description="Per-user recency-weighted engagement: rational decay "
+    "value/(1+hours_since_max) — one IEEE divide, bit-identical across "
+    "engines where exp/pow are not; epoch seconds FLOORed on both sides "
+    "because unix_timestamp truncates where a bare BIGINT cast rounds — "
+    "(order-independent), scaled back after. One shuffle on user_id.",
+    tags=("agg", "feature", "time-decay"),
+)
+def q96_recency_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    scored = ev.crossJoin(F.broadcast(tmax)).select(
+        "user_id",
+        F.floor(
+            F.col("value")
+            * F.lit(10000.0)
+            / (
+                F.lit(1.0)
+                + (
+                    F.unix_timestamp("tmax").cast("long")
+                    - F.unix_timestamp("ts").cast("long")
+                )
+                / F.lit(3600.0)
+            )
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.sum("wq").cast("long") / F.lit(10000.0)).alias("recency_score"),
+    )
