@@ -39,8 +39,6 @@ _PRIORITY = [
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",
-    "q67_streaming_sessionize",
-    "q80_stream_static_join",
     "q77_trimmed_mean_udaf",
     "q86_trimmed_mean_udaf_bounded",
     "q35_embedding_neardup",
