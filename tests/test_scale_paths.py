@@ -211,3 +211,59 @@ def test_partition_pruning_end_to_end_on_events(spark, tmp_path):
     leaf = qe.executedPlan().collectLeaves().apply(0)
     assert leaf.metrics().apply("numPartitions").value() == 1
     assert leaf.metrics().apply("numFiles").value() == 1
+
+
+def test_incremental_dedup_with_materialized_signature_index(spark, tmp_path):
+    """q94's production cost model, executed: the index's MinHash
+    signatures are materialized to parquet once, and the per-batch job
+    computes signatures only for the DELTA, joining its bands against
+    bands derived from the loaded index signatures. The candidate set
+    must equal the cold full-recompute path, and the batch plan must
+    scan the signature table, not the index documents."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    delta, index = docs.filter(is_new), docs.filter(~is_new)
+
+    # one-time index build (per corpus snapshot)
+    sig_path = str(tmp_path / "index_sigs")
+    dd.minhash_signatures(dd.shingle_distinct(index, n=2)).write.parquet(sig_path)
+
+    # per-batch job: delta signatures fresh, index signatures LOADED
+    sigs_delta = dd.minhash_signatures(dd.shingle_distinct(delta, n=2))
+    sigs_index = spark.read.parquet(sig_path)
+    cand_warm = dd.lsh_candidate_pairs_asymmetric(
+        dd.lsh_bands(sigs_delta, band_size=3),
+        dd.lsh_bands(sigs_index, band_size=3),
+        max_bucket=64,
+    )
+    warm = {(r.doc_a, r.doc_b) for r in cand_warm.collect()}
+
+    # cold path: everything recomputed from raw text
+    sh_all = dd.shingle_distinct(docs, n=2)
+    bands_all = dd.lsh_bands(dd.minhash_signatures(sh_all), band_size=3)
+    new_ids = delta.select("doc_id")
+    idx_ids = index.select("doc_id")
+    cold = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs_asymmetric(
+            bands_all.join(new_ids, "doc_id"),
+            bands_all.join(idx_ids, "doc_id"),
+            max_bucket=64,
+        ).collect()
+    }
+    assert warm == cold and len(warm) > 0
+
+    # The warm plan's scans: the index side reads the 12 signature hash
+    # columns from parquet; raw document text is scanned exactly once —
+    # for the DELTA — never for the index.
+    plan = cand_warm._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive "Initial Plan"; count scans
+    # only in the final plan section.
+    plan = plan.split("== Initial Plan ==")[0]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any("mh0:string" in ln for ln in scans), scans
+    text_scans = [ln for ln in scans if "text:string" in ln]
+    assert len(text_scans) == 1, text_scans
