@@ -308,3 +308,36 @@ def schema_to_ddl(schema: T.StructType, table: str, lowercase: bool = True) -> s
         sql_type = _SQL_TYPES.get(type(field.dataType), "VARCHAR(255)")
         cols.append(f"{name} {sql_type}")
     return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention/TTL enforcement for a ``partitionBy`` parquet table:
+    drop every ``{partition_col}=value`` directory with value strictly
+    below ``keep_from`` (lexicographic, which matches numeric/ISO-date
+    partition values as Spark writes them). Returns the dropped values.
+
+    This is the partition-pruned DELETE: at 100 TB, retention must be a
+    metadata operation (drop whole directories) — a filtered rewrite of
+    the surviving 99% would cost a full-table pass. Uses the Hadoop
+    FileSystem API, so it runs on any HDFS-compatible store; each
+    directory delete is atomic per-partition, and readers planning from
+    the file index simply stop listing the removed partitions.
+    """
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    dropped: list[str] = []
+    prefix = f"{partition_col}="
+    for status in fs.listStatus(jpath(path)):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            value = name[len(prefix):]
+            if value < keep_from:
+                fs.delete(status.getPath(), True)
+                dropped.append(value)
+    return sorted(dropped)

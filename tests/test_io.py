@@ -113,3 +113,24 @@ def test_json_and_orc_round_trip(spark, tmp_path):
     assert sorted(tuple(r) for r in back_o.collect()) == want
     # nullability flags differ after a write/read cycle; types must not
     assert back_o.dtypes == df.dtypes
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        expire_partitions,
+        write_parquet,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01", 1.0), ("2024-02", 2.0), ("2024-03", 3.0)],
+        "month string, v double",
+    )
+    path = str(tmp_path / "retained")
+    write_parquet(df, path, partition_by=["month"])
+    dropped = expire_partitions(spark, path, "month", keep_from="2024-02")
+    assert dropped == ["2024-01"]
+    back = spark.read.parquet(path)
+    assert {r.month for r in back.select("month").distinct().collect()} == {
+        "2024-02",
+        "2024-03",
+    }
