@@ -38,6 +38,7 @@ _PRIORITY = [
     "q94_incremental_dedup",
     "q95_streaming_incremental_dedup",
     "q96_recency_weighted_score",
+    "q97_grouped_mad_outliers",
     "q44_streaming_hourly",
     "q76_stream_stream_join",
     "q81_streaming_dedup",

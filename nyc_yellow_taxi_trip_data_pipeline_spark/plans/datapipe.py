@@ -3415,3 +3415,74 @@ def q96_recency_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.sum("wq").cast("long") / F.lit(10000.0)).alias("recency_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — grouped MAD outlier audit: median absolute deviation per
+# event_type, the robust-statistics outlier gate (3-sigma via the 1.4826
+# normal-consistency constant) that survives the heavy tails that break
+# mean/stddev fences. Two grouped percentile passes (median, then median
+# of |x - med|) + one counting pass — three aggregations on the SAME
+# event_type key, so AQE reuses the partitioning; exact interpolated
+# percentile matches DuckDB's continuous median bit-for-bit (the q48
+# equivalence), and the final counts are integers — no float hashing.
+# ---------------------------------------------------------------------------
+@register(
+    "q97_grouped_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY 1
+    ),
+    mad AS (
+      SELECT e.event_type, MEDIAN(ABS(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY 1
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(m.med, 4) AS med,
+           ROUND(d.mad, 4) AS mad,
+           SUM(CAST(ABS(e.value - m.med) > 3 * 1.4826 * d.mad AS BIGINT))
+             AS n_outliers
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+    description="Per-event_type MAD outlier audit: exact interpolated "
+    "median, median absolute deviation, and the 3-sigma-equivalent "
+    "(1.4826·MAD) outlier count — the robust fence heavy tails cannot "
+    "break; three aggregations sharing one grouping key.",
+    tags=("agg", "robust-stats", "quality"),
+)
+def q97_grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
