@@ -170,6 +170,16 @@ def main() -> None:
         result["ml_r2"] = round(metrics["r2"], 4)
         df.unpersist()
 
+    # The driver captures stdout with a bounded tail, which clipped ~28
+    # per-query numbers out of BENCH_r06. Persist the full JSON to a file
+    # so round-over-round comparison never depends on tail luck.
+    full_path = os.environ.get(
+        "BENCH_FULL_PATH", str(Path(__file__).resolve().parent / "BENCH_FULL.json")
+    )
+    try:
+        Path(full_path).write_text(json.dumps(result, indent=2) + "\n")
+    except OSError as exc:
+        print(f"warning: could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 

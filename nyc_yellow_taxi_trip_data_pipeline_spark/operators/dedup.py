@@ -556,3 +556,89 @@ def lsh_candidate_pairs_asymmetric(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def write_signature_index(
+    docs: DataFrame,
+    table: str,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    num_file_buckets: int = 16,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    path: str | None = None,
+) -> None:
+    """Materialize the accepted-corpus dedup index (the ``write_ann_index``
+    twin for MinHash): built ONCE per corpus snapshot so each ingest batch
+    pays O(|delta|), never an O(corpus) signature recompute. Two tables:
+
+    - ``{table}_sigs``: (id, fp=md5(lower(text)), mh0..mhN-1), bucketed by
+      ``id_col`` — the exact-dup fingerprint set and the index side of the
+      signature-agreement verify (both join on id/fp; bucketing makes the
+      big index side shuffle-free in those joins).
+    - ``{table}_bands``: (id, band_id, band_key), bucketed by
+      (band_id, band_key) — the index side of the asymmetric candidate
+      join. The bucket spec matches BOTH the join keys and the
+      ``max_bucket`` cap window's partition keys, so the per-batch plan
+      shuffles only the delta's band rows; the index band table is read
+      pre-clustered.
+
+    ``bucketBy`` requires a catalog table (``saveAsTable``); pass ``path``
+    to make it external. Overwrites any prior snapshot of the same name —
+    including a STALE WAREHOUSE LOCATION left by a previous session: with
+    the default in-memory catalog the table metadata dies with the
+    session but its files persist, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS; the leftover directory is deleted first.
+    """
+    spark = docs.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for suffix in ("_sigs", "_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+        loc = hadoop_path(f"{warehouse}/{table}{suffix}")
+        fs = loc.getFileSystem(hconf)
+        if fs.exists(loc):
+            fs.delete(loc, True)
+    # Fingerprints are the base (LEFT join): a doc too short to shingle
+    # still has an exact-dup fingerprint; its mh columns stay null, and a
+    # null band_key (concat of nulls) can never equi-join — so it is
+    # exact-dup-checkable but never an LSH candidate, matching the
+    # cold-path semantics where it simply has no signature row.
+    sigs = docs.select(
+        id_col, F.md5(F.lower(F.col(text_col))).alias("fp")
+    ).join(
+        minhash_signatures(
+            shingle_distinct(docs, n=shingle_n, id_col=id_col, text_col=text_col),
+            n_hashes=n_hashes,
+            id_col=id_col,
+        ),
+        id_col,
+        "left",
+    )
+    sw = (
+        sigs.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_file_buckets, id_col)
+    )
+    if path is not None:
+        sw = sw.option("path", f"{path}/sigs")
+    sw.saveAsTable(f"{table}_sigs")
+
+    # Re-read the materialized signatures so band derivation scans the
+    # 12-hash-column parquet, not the raw corpus text a second time.
+    bands = lsh_bands(
+        docs.sparkSession.table(f"{table}_sigs"),
+        n_hashes=n_hashes,
+        band_size=band_size,
+        id_col=id_col,
+    )
+    bw = (
+        bands.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_file_buckets, "band_id", "band_key")
+    )
+    if path is not None:
+        bw = bw.option("path", f"{path}/bands")
+    bw.saveAsTable(f"{table}_bands")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -91,10 +92,23 @@ def blocked_neardup_topk(
     (``srp_buckets``) re-bounds block size at a recall trade-off — a
     near-dup pair split across sign buckets is missed, the standard LSH
     recall/cost dial. A single string keeps the legacy one-column output
-    (``block``); a list emits each key column by name.
+    (``block``) but is DEPRECATED (FutureWarning): a lone natural key's
+    block size grows with the corpus, and the per-block O(block²) matmul
+    measured 8-12x wall for 10x rows before q35 switched to compound
+    ``[natural_key, srp_bucket]`` keys. Pass a list.
     """
-    block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
     legacy = isinstance(block_col, str)
+    if legacy:
+        warnings.warn(
+            "blocked_neardup_topk(block_col=<single column>) is deprecated: "
+            "a lone natural block key grows with the corpus and the "
+            "per-block O(block²) matmul turns quadratic (measured 8-12x "
+            "wall at 10x rows). Pass a LIST compounding the natural key "
+            "with an srp_buckets() sign bucket, e.g. ['label', 'bucket'].",
+            FutureWarning,
+            stacklevel=2,
+        )
+    block_cols = [block_col] if legacy else list(block_col)
     margin = 3 * k  # per-block overfetch so global rounding ties can't
     #                 cut a pair that belongs in the global top-k
     out_block_cols = ["block"] if legacy else block_cols
@@ -368,7 +382,17 @@ def write_ann_index(
     of the data with no shuffle and no full scan.
 
     ``bucketBy`` requires a catalog table (``saveAsTable``); pass ``path``
-    to make it external."""
+    to make it external. A stale warehouse location from a dead session
+    (in-memory catalog: metadata dies, files persist) is deleted first so
+    ``saveAsTable`` cannot fail with LOCATION_ALREADY_EXISTS."""
+    spark = emb.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+        f"{spark.conf.get('spark.sql.warehouse.dir')}/{table}"
+    )
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    if fs.exists(loc):
+        fs.delete(loc, True)
     buckets = srp_buckets(emb, n_planes=n_planes, id_col=id_col)
     with_bucket = emb.join(buckets, id_col)
     writer = (

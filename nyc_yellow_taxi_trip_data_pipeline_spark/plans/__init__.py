@@ -17,71 +17,73 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. Round 6
-# promotes (a) queries NEW this round (q86-q96) and queries whose plan or
-# oracle changed — NTZ-fixed streaming (q44/q76/q81), the native q77
-# rewrite, compound-key q35 + shared-oracle q83, mod-reduced q85,
-# CC-guarded q68 — then (b) queries whose latest green row is oldest
-# (absent from the r5 window). Results-identical knob changes (q67/q80
-# partition scoping; q32/q82 oracle-generator parameterization with
-# unchanged SQL) stay outside to free slots; every query remains
+# order therefore decides which queries earn a hard external row. Round 7
+# promotes (a) the three round-6 reds, now environment-proofed (HUGEINT
+# SUM downcast per registry rule 3 — the one construct all three shared —
+# plus quantized-BIGINT med/mad, length-arithmetic token counts, and a
+# regexp_replace-only PII count), (b) queries NEW this round (q98-q100),
+# then (c) queries whose latest green row is OLDEST: q64-q66 last
+# verified in r2 (they were rows 51-53 of the r6 window and fell off the
+# driver's 50-row budget), then the r5-green pool. Exactly one r5 query
+# must sit out (50-slot budget): q30 — the most trivially-oracled query
+# in that pool (plain GROUP BY), unit-tested, and its semantics are
+# re-exercised every round through q31/q89/q94/q98. Every query remains
 # parity-gated regardless (tools/parity.py runs ALL of them).
 _PRIORITY = [
-    # (a) new or changed in round 6:
-    "q87_sequence_packing",
+    # (a) round-6 reds, fixed this round:
     "q88_pii_redaction_audit",
-    "q89_cross_source_contamination",
     "q90_domain_mix_budget",
-    "q91_grouped_hll_distinct",
-    "q92_simhash_neardup",
-    "q93_conversion_funnel",
-    "q94_incremental_dedup",
-    "q95_streaming_incremental_dedup",
-    "q96_recency_weighted_score",
     "q97_grouped_mad_outliers",
-    "q44_streaming_hourly",
-    "q76_stream_stream_join",
-    "q81_streaming_dedup",
-    "q77_trimmed_mean_udaf",
-    "q86_trimmed_mean_udaf_bounded",
-    "q35_embedding_neardup",
-    "q83_blocked_neardup_srp",
-    "q85_multimodal_phash",
-    "q68_dedup_clusters",
-    # (b) last green row predates round 5:
-    "q14_ordered_limit",
-    "q15_label_map",
-    "q16_top_customers",
-    "q17_priority_rollup",
-    "q18_topk_per_segment",
-    "q19_set_ops",
-    "q20_sessionization",
-    "q21_asof_join",
-    "q22_pivot_counts",
-    "q23_hourly_rollup",
-    "q24_revenue_by_nation",
-    "q25_salted_agg",
-    "q26_status_cube",
-    "q27_grouped_zscore",
-    "q28_pandas_udf_bucketing",
-    "q29_json_roundtrip",
-    "q36_ann_srp_bucket",
-    "q43_sql_api",
-    "q45_ngram_jaccard",
-    "q46_tfidf_topterms",
-    "q47_moving_avg",
-    "q48_grouped_quantiles",
-    "q49_unpivot",
-    "q50_correlation",
-    "q51_upsert_merge",
-    "q52_char_ngram_langid",
-    "q53_winnowing",
-    "q54_semi_anti_join",
-    "q55_constraint_audit",
-    "q62_fuzzy_editdistance",
+    # (b) new in round 7:
+    "q98_incremental_dedup_indexed",
+    "q99_quantiles_iqr_sketch",
+    "q100_summary_stats_sketch",
+    # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
+    # (c) last green row is r5:
+    "q01_pricing_summary",
+    "q02_clean_features",
+    "q03_filter_group_count",
+    "q04_null_counts",
+    "q05_route_topk",
+    "q06_left_join_dim",
+    "q07_daily_multi_agg",
+    "q08_argmax_day",
+    "q09_quantiles_iqr",
+    "q10_histogram",
+    "q11_summary_stats",
+    "q12_error_metrics",
+    "q13_distinct_months",
+    "q31_dedup_keep_first",
+    "q32_minhash_lsh_neardup",
+    "q33_simhash",
+    "q34_embedding_topk",
+    "q37_text_quality",
+    "q38_lang_id",
+    "q39_fingerprint",
+    "q40_multimodal_meta",
+    "q41_multimodal_decode",
+    "q42_approx_sketches",
+    "q56_regex_extract",
+    "q57_grouping_sets",
+    "q58_rank_family",
+    "q61_conditional_aggs",
+    "q63_date_math",
+    "q67_streaming_sessionize",
+    "q69_lookback_range_join",
+    "q70_stratified_sample",
+    "q71_token_counts",
+    "q72_incremental_rollup",
+    "q73_kmeans_step",
+    "q74_reservoir_topn",
+    "q75_embedding_quantize",
+    "q78_chunk_windows_udtf",
+    "q79_curation_funnel",
+    "q80_stream_static_join",
+    "q82_triangle_count",
+    "q84_grouped_sketch_quantiles",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -1479,3 +1479,140 @@ def q63_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
         F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — q09's 100x scale form: the exact interpolated percentile (A4/A5)
+# materializes every value into one sort buffer — fine at judged SFs,
+# impossible at 100 TB. This twin swaps in percentile_approx (KLL-style
+# fixed-size sketch, accuracy 5000 => rank error n/5000) and verifies
+# each sketched quartile by its RANK GUARANTEE with a pure counting
+# pass: count(value <= sketched q) must sit within 2% of phi*n — 100x
+# looser than the sketch's bound, so the boolean is deterministically
+# TRUE in any engine, which is exactly what the oracle hash-matches
+# (the q42/q84 sketch-verification contract, now registered for the
+# global-quantile family instead of living in ARCHITECTURE.md prose).
+# ---------------------------------------------------------------------------
+@register(
+    "q99_quantiles_iqr_sketch",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(TRUE AS BOOLEAN) AS q1_rank_ok,
+           CAST(TRUE AS BOOLEAN) AS median_rank_ok,
+           CAST(TRUE AS BOOLEAN) AS q3_rank_ok
+    FROM lineitem
+    """,
+    description="Sketch-based quartiles over l_extendedprice "
+    "(percentile_approx, fixed-size summary — the 100x path for q09's "
+    "exact sort-buffer percentiles) verified by rank counting: "
+    "count(value <= sketched quartile) within 2% of phi*n, far outside "
+    "the sketch's n/5000 rank-error bound.",
+    tags=("agg", "quantile", "approx", "scale-twin"),
+)
+def q99_quantiles_iqr_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice")
+    sk = li.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            p, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(5000)
+        ).alias("qs"),
+    )
+    # Tie-aware rank check: with duplicated values, count(<= q) can sit
+    # far above phi*n even for a correct quantile — the element's rank
+    # INTERVAL is [count(< q), count(<= q)], so the guarantee is
+    # count(< q) <= (phi+tol)*n AND count(<= q) >= (phi-tol)*n.
+    ranks = (
+        li.crossJoin(F.broadcast(sk))
+        .agg(
+            *[
+                F.sum(F.when(p < F.col("qs")[i], 1).otherwise(0)).alias(f"lt{i}")
+                for i in range(3)
+            ],
+            *[
+                F.sum(F.when(p <= F.col("qs")[i], 1).otherwise(0)).alias(f"le{i}")
+                for i in range(3)
+            ],
+        )
+    )
+    return sk.crossJoin(ranks).select(
+        "n",
+        *[
+            (
+                (F.col(f"lt{i}") <= (phi + 0.02) * F.col("n"))
+                & (F.col(f"le{i}") >= (phi - 0.02) * F.col("n"))
+            ).alias(name)
+            for i, (phi, name) in enumerate(
+                [(0.25, "q1_rank_ok"), (0.5, "median_rank_ok"), (0.75, "q3_rank_ok")]
+            )
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100 — q11's 100x scale form (A13): count/mean/min/max are single-pass
+# streaming aggregates that scale as-is, so they stay ORACLE-EXACT
+# (mean via quantized integer sum per the registry contract); only the
+# median — the one column whose exact form buffers every value — becomes
+# a rank-verified sketch. Strictly stronger than a booleans-only twin:
+# four of five columns still hash-match exact values at any scale.
+# ---------------------------------------------------------------------------
+def _summary_sketch_block_sql(col: str, scale: int = 100) -> str:
+    return f"""
+      SELECT '{col}' AS column_name, COUNT({col}) AS n,
+             {sql_qavg(col, scale)} AS mean_value,
+             MIN({col}) AS min_value, MAX({col}) AS max_value,
+             CAST(TRUE AS BOOLEAN) AS median_rank_ok
+      FROM lineitem
+    """
+
+
+@register(
+    "q100_summary_stats_sketch",
+    " UNION ALL ".join(
+        _summary_sketch_block_sql(c)
+        for c in ("l_quantity", "l_extendedprice", "l_discount")
+    ),
+    description="describe()-style summary at sketch scale: exact "
+    "count/quantized-mean/min/max (single-pass, scale-safe, still "
+    "oracle-exact) with the median replaced by a percentile_approx "
+    "sketch verified by its rank guarantee (count <= sketched median "
+    "within 2% of n/2).",
+    tags=("agg", "summary", "approx", "scale-twin"),
+)
+def q100_summary_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def block(col: str) -> DataFrame:
+        c = F.col(col)
+        sk = li.agg(
+            F.lit(col).alias("column_name"),
+            F.count(c).alias("n"),
+            qavg(c).alias("mean_value"),
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
+            F.percentile_approx(c, F.lit(0.5), F.lit(5000)).alias("_amed"),
+        )
+        # Tie-aware (see q99): l_discount has ~11 distinct values, so the
+        # median's rank is an interval [count(<), count(<=)] — the
+        # guarantee holds iff that interval overlaps [0.48n, 0.52n].
+        rank = li.crossJoin(F.broadcast(sk.select("_amed"))).agg(
+            F.sum(F.when(c < F.col("_amed"), 1).otherwise(0)).alias("_lt"),
+            F.sum(F.when(c <= F.col("_amed"), 1).otherwise(0)).alias("_le"),
+        )
+        return sk.crossJoin(rank).select(
+            "column_name",
+            "n",
+            "mean_value",
+            "min_value",
+            "max_value",
+            (
+                (F.col("_lt") <= 0.52 * F.col("n"))
+                & (F.col("_le") >= 0.48 * F.col("n"))
+            ).alias("median_rank_ok"),
+        )
+
+    out = block("l_quantity")
+    for col in ("l_extendedprice", "l_discount"):
+        out = out.unionByName(block(col))
+    return out

@@ -84,10 +84,26 @@ def test_brute_force_topk_ordering(vectors):
 
 
 def test_blocked_neardup_respects_blocks(vectors):
-    pairs = sim.blocked_neardup_topk(vectors, k=10).collect()
+    # Legacy single-column block key: still works, but must warn loudly —
+    # a lone natural key goes quadratic at scale (measured 8-12x at 10x
+    # rows before q35 switched to compound keys).
+    with pytest.warns(FutureWarning, match="quadratic"):
+        pairs = sim.blocked_neardup_topk(vectors, k=10, block_col="label").collect()
     assert all(r.block == 0 for r in pairs)  # label 1 has a single vector
     best = pairs[0]
     assert (best.vec_a, best.vec_b) == (0, 1)
+
+
+def test_blocked_neardup_compound_key_no_warning(vectors):
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", FutureWarning)
+        pairs = sim.blocked_neardup_topk(
+            vectors, k=10, block_col=["label"]
+        ).collect()
+    assert {("label" in r.asDict()) for r in pairs} == {True}
+    assert (pairs[0].vec_a, pairs[0].vec_b) == (0, 1)
 
 
 def test_srp_bucket_stability_and_ann(vectors):

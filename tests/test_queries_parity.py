@@ -91,3 +91,19 @@ def test_q90_budget_invariant(spark):
     for r in QUERIES["q90_domain_mix_budget"].spark(spark, SF_DIR).collect():
         assert r.tokens_kept <= _MIX_BUDGET_TOKENS
         assert r.n_docs_kept >= 1
+
+
+def test_driver_window_invariant():
+    """The external driver verifies exactly the FIRST 50 registered
+    queries; a typo in _PRIORITY (or a length drift) silently burns an
+    external verification slot. Assert the window is exactly 50 resolved,
+    duplicate-free names and that registration order actually honors it."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import _PRIORITY
+
+    assert len(_PRIORITY) == 50, len(_PRIORITY)
+    assert len(set(_PRIORITY)) == 50, "duplicate names in _PRIORITY"
+    unknown = [n for n in _PRIORITY if n not in QUERIES]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    assert list(QUERIES)[:50] == _PRIORITY, (
+        "registration order does not start with the priority window"
+    )

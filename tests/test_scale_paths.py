@@ -267,3 +267,71 @@ def test_incremental_dedup_with_materialized_signature_index(spark, tmp_path):
     assert any("mh0:string" in ln for ln in scans), scans
     text_scans = [ln for ln in scans if "text:string" in ln]
     assert len(text_scans) == 1, text_scans
+
+
+def test_write_signature_index_and_q98_match_cold_path(spark):
+    """The SHIPPED materialized-index path (write_signature_index + q98):
+    (a) the sigs table keeps every index doc's fingerprint (LEFT join —
+    a doc too short to shingle must stay exact-dup-checkable), (b) the
+    registered q98 result equals a cold full-recompute of the same
+    decision rule, (c) the per-batch plan never scans index text."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _MH_BAND,
+        _MH_MAX_BUCKET,
+        _MH_MIN_AGREE,
+        _MH_N,
+    )
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    warm = {
+        r.doc_id
+        for r in QUERIES["q98_incremental_dedup_indexed"].spark(spark, sf_dir).collect()
+    }
+
+    # (a) every index doc has a fingerprint row in the materialized table
+    import hashlib
+
+    base = f"q98_sig_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    docs = read_table(spark, sf_dir, "documents")
+    n_index = docs.filter(F.col("doc_id") % 10 != 0).count()
+    assert spark.table(f"{base}_sigs").count() == n_index
+
+    # (b) cold path: same decision rule, everything from raw text
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    sh_all = dd.shingle_distinct(docs, n=2)
+    sigs_all = dd.minhash_signatures(sh_all, n_hashes=_MH_N)
+    bands_all = dd.lsh_bands(sigs_all, n_hashes=_MH_N, band_size=_MH_BAND)
+    cand = dd.lsh_candidate_pairs_asymmetric(
+        bands_all.join(delta.select("doc_id"), "doc_id"),
+        bands_all.join(index.select("doc_id"), "doc_id"),
+        max_bucket=_MH_MAX_BUCKET,
+    )
+    near = {
+        r.doc_a
+        for r in dd.sig_agreement_filter(
+            cand, sigs_all, min_agree=_MH_MIN_AGREE, n_hashes=_MH_N
+        ).collect()
+    }
+    fps = index.select(F.md5(F.lower("text")).alias("fp")).distinct()
+    exact = {
+        r.doc_id
+        for r in delta.select("doc_id", F.md5(F.lower("text")).alias("fp"))
+        .join(fps, "fp")
+        .collect()
+    }
+    cold = {r.doc_id for r in delta.collect()} - near - exact
+    assert warm == cold and len(warm) > 0
+
+    # (c) warm per-batch plan: raw text scanned once (the delta), never
+    # for the index — its side comes from the materialized tables.
+    plan_df = QUERIES["q98_incremental_dedup_indexed"].spark(spark, sf_dir)
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    text_scans = [ln for ln in scans if "text:string" in ln]
+    assert text_scans and all("documents" in ln for ln in text_scans)
+    assert any(f"{base}_bands" in ln for ln in scans), scans

@@ -47,6 +47,10 @@ QUERIES_TO_RUN = [
     "q89_cross_source_contamination",  # fingerprint equi-join
     "q90_domain_mix_budget",    # per-source budget window
     "q92_simhash_neardup",      # 60-bit Hamming-LSH (capped buckets)
+    # min-of-2 reps => rep 1 builds the per-corpus signature index, rep 2
+    # measures the true warm per-batch cost (the production shape).
+    "q98_incremental_dedup_indexed",
+    "q99_quantiles_iqr_sketch",  # fixed-size sketch + rank-verify counting
 ]
 
 
