@@ -184,18 +184,29 @@ def _plane_signs(n_planes: int, dim: int) -> list[list[int]]:
 
 
 def srp_buckets(
-    emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id", scale: int = 1000000
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    scale: int = 1000000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Signed-random-projection bucket per vector — a MAP-ONLY projection.
 
     Vector components are quantized to integers (floor(v*scale+0.5)), the
     signed sums fold against literal ±1 arrays, and the bucket is the sign
     bit pattern. No shuffle, no Python, exact integer math end-to-end.
+
+    Pass ``dim`` (the embedding dimensionality) when the caller knows it —
+    array columns don't carry their length in the schema, so discovering
+    it otherwise costs a small plan-build-time Spark job. A ``dim``
+    smaller than a vector's true length would silently truncate the
+    projection (different buckets), so the lookup default stays max(size).
     """
-    # max(size) is deterministic (first() depends on scan order) and the
-    # None guard handles an empty table. NOTE: this runs a small Spark job
-    # at plan-build time — acceptable for a dimension lookup.
-    dim = emb.agg(F.max(F.size("embedding"))).first()[0]
+    if dim is None:
+        # max(size) is deterministic (first() depends on scan order) and
+        # the None guard handles an empty table. NOTE: this runs a small
+        # Spark job at plan-build time — acceptable for a dim lookup.
+        dim = emb.agg(F.max(F.size("embedding"))).first()[0]
     if dim is None:
         return emb.select(id_col, F.lit(0).cast("int").alias("bucket")).limit(0)
     signs = _plane_signs(n_planes, dim)

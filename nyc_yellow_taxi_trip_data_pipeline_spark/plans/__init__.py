@@ -24,11 +24,12 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # regexp_replace-only PII count), (b) queries NEW this round (q98-q100),
 # then (c) queries whose latest green row is OLDEST: q64-q66 last
 # verified in r2 (they were rows 51-53 of the r6 window and fell off the
-# driver's 50-row budget), then the r5-green pool. Exactly one r5 query
-# must sit out (50-slot budget): q30 — the most trivially-oracled query
-# in that pool (plain GROUP BY), unit-tested, and its semantics are
-# re-exercised every round through q31/q89/q94/q98. Every query remains
-# parity-gated regardless (tools/parity.py runs ALL of them).
+# driver's 50-row budget), then the r5-green pool. Three r5 queries must
+# sit out (50-slot budget): q30/q31/q13 — the most trivially-oracled of
+# that pool (plain GROUP BY / keep-first window / distinct+sort), each
+# unit-tested, with semantics re-exercised through q89/q94/q98 (q30),
+# q18/q74 windows (q31) and q03/q07 date grouping (q13). Every query
+# remains parity-gated regardless (tools/parity.py runs ALL of them).
 _PRIORITY = [
     # (a) round-6 reds, fixed this round:
     "q88_pii_redaction_audit",
@@ -38,6 +39,8 @@ _PRIORITY = [
     "q98_incremental_dedup_indexed",
     "q99_quantiles_iqr_sketch",
     "q100_summary_stats_sketch",
+    "q101_minhash_neardup_sharp",
+    "q102_corpus_snapshot_diff",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -55,8 +58,6 @@ _PRIORITY = [
     "q10_histogram",
     "q11_summary_stats",
     "q12_error_metrics",
-    "q13_distinct_months",
-    "q31_dedup_keep_first",
     "q32_minhash_lsh_neardup",
     "q33_simhash",
     "q34_embedding_topk",

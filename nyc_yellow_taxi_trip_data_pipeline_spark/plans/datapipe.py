@@ -3666,3 +3666,117 @@ def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(exactdup_new, "doc_id", "left_anti")
         .join(neardup_new, "doc_id", "left_anti")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — the MinHash n_hashes=24 dial as a REGISTERED query: q32's known
+# recall bound (the >=5/12 agreement gate rejects ~19% of true j=0.5
+# at-threshold pairs, and 12 hashes cannot separate the j~1/3 borderline
+# mass of blob-heavy corpora — the documented 20x LSH frontier) is
+# mitigated by doubling the signature (24 hashes, agreement >=10/24:
+# same ~0.42 relative gate at half the estimator sigma, 2x signature
+# cost). Previously oracle-verified only inside test_minhash_dial.py;
+# registering it gives the mitigation its own driver row, so the scale
+# knob the architecture recommends for exactly the corpora that break
+# q32 is externally hash-verified every round it's in the window.
+# ---------------------------------------------------------------------------
+_MH_SHARP_N = 24
+_MH_SHARP_AGREE = 10
+
+
+@register(
+    "q101_minhash_neardup_sharp",
+    _mh_sql(_MH_SHARP_N, _MH_BAND, _MH_MAX_BUCKET, _MH_SHARP_AGREE),
+    description="MinHash near-dup at the sharpened 24-hash dial (8 bands "
+    "of 3, agreement >=10/24): the registered form of the blob-heavy-"
+    "corpus knob — half the Jaccard-estimator sigma of q32's 12-hash "
+    "default, same band/cap scale shape, exact Jaccard only on gated "
+    "candidates.",
+    tags=("dedup", "minhash", "lsh", "scale-dial"),
+)
+def q101_minhash_neardup_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_SHARP_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SHARP_AGREE,
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# q102 — corpus snapshot diff: what changed between two corpus versions
+# (added / removed / changed docs) — the audit every incremental training
+# corpus needs before retraining decisions. Snapshots are simulated
+# deterministically from the one documents table (v1 = doc_id % 7 != 1,
+# v2 = doc_id % 7 != 2, with v2 texts "edited" on doc_id % 5 == 0), so
+# the oracle reproduces both sides exactly. The plan is ONE full outer
+# join on doc_id (the natural co-partition key) comparing md5
+# fingerprints — one shuffle, no text comparison (fingerprints travel,
+# texts don't), then a tiny status rollup. At 100 TB both snapshots
+# arrive partitioned/bucketed by doc_id and even that shuffle drops out.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_corpus_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 1
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
+                      ELSE text END) AS fp
+      FROM documents WHERE doc_id % 7 <> 2
+    ),
+    d AS (
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp <> v2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM d
+    GROUP BY status
+    """,
+    description="Corpus snapshot diff (added/removed/changed/unchanged): "
+    "one full outer join on doc_id comparing md5 fingerprints — "
+    "fingerprints shuffle, texts don't — then a status rollup; with "
+    "doc_id-bucketed snapshots the join is shuffle-free.",
+    tags=("dedup", "audit", "incremental"),
+)
+def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 1).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    v2 = docs.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    d = j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )

@@ -392,3 +392,14 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dd.connected_components(chain, max_iters=2)
+
+
+def test_srp_buckets_explicit_dim_matches_lookup(vectors):
+    """Passing dim (skipping the plan-build lookup job) must produce the
+    exact same buckets as the max(size) discovery path."""
+    looked_up = {r.vec_id: r.bucket for r in sim.srp_buckets(vectors, n_planes=4).collect()}
+    explicit = {
+        r.vec_id: r.bucket
+        for r in sim.srp_buckets(vectors, n_planes=4, dim=3).collect()
+    }
+    assert looked_up == explicit
