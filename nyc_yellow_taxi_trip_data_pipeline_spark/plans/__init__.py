@@ -24,12 +24,14 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # regexp_replace-only PII count), (b) queries NEW this round (q98-q100),
 # then (c) queries whose latest green row is OLDEST: q64-q66 last
 # verified in r2 (they were rows 51-53 of the r6 window and fell off the
-# driver's 50-row budget), then the r5-green pool. Three r5 queries must
-# sit out (50-slot budget): q30/q31/q13 — the most trivially-oracled of
-# that pool (plain GROUP BY / keep-first window / distinct+sort), each
-# unit-tested, with semantics re-exercised through q89/q94/q98 (q30),
-# q18/q74 windows (q31) and q03/q07 date grouping (q13). Every query
-# remains parity-gated regardless (tools/parity.py runs ALL of them).
+# driver's 50-row budget), then the r5-green pool. Five r5 queries must
+# sit out (50-slot budget): q30/q31/q13/q10/q12 — the most trivially-
+# oracled of that pool (plain GROUP BY / keep-first window /
+# distinct+sort / floor-bucket count / qavg battery), each unit-tested,
+# with their constructs re-exercised by staying rows (q89/q94/q98 for
+# content hashing, q18/q74 for windows, q03/q07 for date grouping,
+# q01/q07/q96/q104 for quantized aggregation). Every query remains
+# parity-gated regardless (tools/parity.py runs ALL of them).
 _PRIORITY = [
     # (a) round-6 reds, fixed this round:
     "q88_pii_redaction_audit",
@@ -41,6 +43,8 @@ _PRIORITY = [
     "q100_summary_stats_sketch",
     "q101_minhash_neardup_sharp",
     "q102_corpus_snapshot_diff",
+    "q103_repetition_filters",
+    "q104_embedding_drift_audit",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -55,9 +59,7 @@ _PRIORITY = [
     "q07_daily_multi_agg",
     "q08_argmax_day",
     "q09_quantiles_iqr",
-    "q10_histogram",
     "q11_summary_stats",
-    "q12_error_metrics",
     "q32_minhash_lsh_neardup",
     "q33_simhash",
     "q34_embedding_topk",

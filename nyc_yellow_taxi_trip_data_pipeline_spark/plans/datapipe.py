@@ -3780,3 +3780,201 @@ def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — repetition filters (the Gopher/C4-style quality rules): a doc
+# whose mass concentrates in one word or whose bigrams repeat heavily is
+# boilerplate/spam, not training text. Everything is a MAP-ONLY
+# higher-order-function projection over the split array — no explode, no
+# shuffle, no Python: top-word count via transform over distinct words,
+# duplicate-bigram mass via array_distinct on the bigram array. The
+# gates are INTEGER cross-multiplications (10*top_n <= 3*n_words instead
+# of top_frac <= 0.3), so every output column is an int/bool — nothing
+# for a float hasher to split on. Per-doc output, like q37.
+# ---------------------------------------------------------------------------
+@register(
+    "q103_repetition_filters",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_max(list_transform(list_distinct(w),
+                    x -> len(list_filter(w, y -> y = x)))) AS BIGINT)
+               AS top_word_n,
+             CAST(CASE WHEN len(w) >= 2
+                  THEN len(list_distinct(list_transform(
+                         generate_series(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i + 1])))
+                  ELSE 0 END AS BIGINT) AS distinct_bigrams,
+             CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS BIGINT)
+               AS total_bigrams
+      FROM w
+    )
+    SELECT doc_id, n_words, top_word_n, distinct_bigrams, total_bigrams,
+           10 * top_word_n <= 3 * n_words AS pass_top_word,
+           5 * (total_bigrams - distinct_bigrams) <= total_bigrams
+             AS pass_dup_bigrams
+    FROM f
+    """,
+    description="Gopher/C4-style repetition quality gates per document: "
+    "top-word concentration (<=0.3) and duplicate-bigram mass (<=0.2) as "
+    "integer cross-multiplied booleans, computed entirely with map-only "
+    "array higher-order functions — no explode, no shuffle, no Python.",
+    tags=("text", "quality", "training-data"),
+)
+def q103_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w)
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(w),
+            lambda x: F.size(F.filter(w, lambda y: y == x)),
+        )
+    ).cast("long")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nw - 1),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+        ),
+    )
+    distinct_bi = (
+        F.when(nw >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    total_bi = F.when(nw >= 2, nw - 1).otherwise(F.lit(0)).cast("long")
+    f = docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        top_n.alias("top_word_n"),
+        distinct_bi.alias("distinct_bigrams"),
+        total_bi.alias("total_bigrams"),
+    )
+    return f.select(
+        "*",
+        (10 * F.col("top_word_n") <= 3 * F.col("n_words")).alias("pass_top_word"),
+        (
+            5 * (F.col("total_bigrams") - F.col("distinct_bigrams"))
+            <= F.col("total_bigrams")
+        ).alias("pass_dup_bigrams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — embedding drift audit between corpus snapshots: after a corpus
+# update (q102's diff), did the embedding distribution move? Per-label,
+# per-component centroid deltas between v1 and v2 (snapshots simulated
+# like q102: vec_id % 7 splits, v2 perturbed on vec_id % 5 == 0).
+# Contract-grade determinism: components are quantized to integer 1e-6
+# units BEFORE summation (rule 1 — order-free integer sums), the two
+# snapshot means come from exact integer sums over counts, and each
+# component delta is re-quantized to an integer BEFORE the per-label sum
+# (16 doubles summed in arbitrary order would be bit-unstable; 16
+# integers are not). One pass, conditional aggregation on a (label, j)
+# shuffle, then a tiny (label) rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q104_embedding_drift_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    v1 AS (
+      SELECT label, generate_subscripts(ev, 1) AS j,
+             unnest(ev) AS v, 1 AS side
+      FROM e WHERE vec_id % 7 <> 1
+    ),
+    v2 AS (
+      SELECT label, generate_subscripts(ev, 1) AS j,
+             unnest(CASE WHEN vec_id % 5 = 0
+                    THEN list_transform(ev, (x, i) -> x + 0.01 * ((i % 3) - 1))
+                    ELSE ev END) AS v, 2 AS side
+      FROM e WHERE vec_id % 7 <> 2
+    ),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    comp AS (
+      SELECT label, j,
+             SUM(CASE WHEN side = 1
+                 THEN CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) END) AS s1,
+             SUM(CASE WHEN side = 1 THEN 1 END) AS n1,
+             SUM(CASE WHEN side = 2
+                 THEN CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) END) AS s2,
+             SUM(CASE WHEN side = 2 THEN 1 END) AS n2
+      FROM u GROUP BY label, j
+    ),
+    delta AS (
+      SELECT label, j,
+             CAST(FLOOR(ABS(s2 * 1.0 / n2 - s1 * 1.0 / n1) / 100 + 0.5)
+                  AS BIGINT) AS dq
+      FROM comp
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(dq) AS BIGINT) AS drift_q4,
+           CAST(MAX(dq) AS BIGINT) AS max_component_q4
+    FROM delta
+    GROUP BY label
+    """,
+    description="Per-label embedding centroid drift between two corpus "
+    "snapshots: integer-quantized component sums (order-free), exact "
+    "integer-over-count means, per-component deltas re-quantized to "
+    "1e-4 integers before the per-label rollup — L1 drift and max "
+    "component shift, hash-stable in any engine.",
+    tags=("embedding", "audit", "incremental", "quality"),
+)
+def q104_embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    # DuckDB list lambdas index 1-based; Spark's posexplode/transform are
+    # 0-based — both sides are written against the 1-BASED j.
+    perturbed = F.transform(
+        F.col("ev"),
+        lambda x, i: x + 0.01 * (((i + 1) % 3) - 1),
+    )
+    v1 = (
+        e.filter(F.col("vec_id") % 7 != 1)
+        .select("label", F.posexplode("ev").alias("j0", "v"))
+        .select("label", (F.col("j0") + 1).alias("j"), "v", F.lit(1).alias("side"))
+    )
+    v2 = (
+        e.filter(F.col("vec_id") % 7 != 2)
+        .select(
+            "label",
+            F.posexplode(
+                F.when(F.col("vec_id") % 5 == 0, perturbed).otherwise(F.col("ev"))
+            ).alias("j0", "v"),
+        )
+        .select("label", (F.col("j0") + 1).alias("j"), "v", F.lit(2).alias("side"))
+    )
+    vq = F.floor(F.col("v") * 1000000 + F.lit(0.5)).cast("long")
+    comp = (
+        v1.unionByName(v2)
+        .groupBy("label", "j")
+        .agg(
+            F.sum(F.when(F.col("side") == 1, vq)).alias("s1"),
+            F.sum(F.when(F.col("side") == 1, 1)).alias("n1"),
+            F.sum(F.when(F.col("side") == 2, vq)).alias("s2"),
+            F.sum(F.when(F.col("side") == 2, 1)).alias("n2"),
+        )
+    )
+    delta = comp.select(
+        "label",
+        F.floor(
+            F.abs(F.col("s2") / F.col("n2") - F.col("s1") / F.col("n1")) / 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dq"),
+    )
+    return delta.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.sum("dq").cast("long").alias("drift_q4"),
+        F.max("dq").cast("long").alias("max_component_q4"),
+    )
