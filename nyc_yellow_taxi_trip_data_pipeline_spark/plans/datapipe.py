@@ -3785,13 +3785,15 @@ def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q103 — repetition filters (the Gopher/C4-style quality rules): a doc
 # whose mass concentrates in one word or whose bigrams repeat heavily is
-# boilerplate/spam, not training text. Everything is a MAP-ONLY
-# higher-order-function projection over the split array — no explode, no
-# shuffle, no Python: top-word count via transform over distinct words,
-# duplicate-bigram mass via array_distinct on the bigram array. The
-# gates are INTEGER cross-multiplications (10*top_n <= 3*n_words instead
-# of top_frac <= 0.3), so every output column is an int/bool — nothing
-# for a float hasher to split on. Per-doc output, like q37.
+# boilerplate/spam, not training text. The bigram-repetition side is a
+# map-only HOF projection; the top-word count is explode + two-level
+# hash aggregation — measured the fastest linear shape by a wide margin
+# (the count-per-distinct-word HOF is O(distinct·n) per doc, 19.7x wall
+# at a 10x corpus; a linear sorted-run-length HOF fold is interpreted
+# per element and still ran 6x slower than the codegen'd explode/agg).
+# The gates are INTEGER cross-multiplications (10*top_n <= 3*n_words
+# instead of top_frac <= 0.3), so every output column is an int/bool —
+# nothing for a float hasher to split on. Per-doc output, à la q37.
 # ---------------------------------------------------------------------------
 @register(
     "q103_repetition_filters",
@@ -3799,20 +3801,24 @@ def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
+    wu AS (SELECT doc_id, unnest(w) AS word FROM w),
+    topw AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n FROM (
+        SELECT doc_id, word, COUNT(*) AS cnt FROM wu GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    ),
     f AS (
-      SELECT doc_id,
-             CAST(len(w) AS BIGINT) AS n_words,
-             CAST(list_max(list_transform(list_distinct(w),
-                    x -> len(list_filter(w, y -> y = x)))) AS BIGINT)
-               AS top_word_n,
-             CAST(CASE WHEN len(w) >= 2
+      SELECT w.doc_id,
+             CAST(len(w.w) AS BIGINT) AS n_words,
+             t.top_word_n,
+             CAST(CASE WHEN len(w.w) >= 2
                   THEN len(list_distinct(list_transform(
-                         generate_series(1, len(w) - 1),
-                         i -> w[i] || ' ' || w[i + 1])))
+                         generate_series(1, len(w.w) - 1),
+                         i -> w.w[i] || ' ' || w.w[i + 1])))
                   ELSE 0 END AS BIGINT) AS distinct_bigrams,
-             CAST(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS BIGINT)
-               AS total_bigrams
-      FROM w
+             CAST(CASE WHEN len(w.w) >= 2 THEN len(w.w) - 1 ELSE 0 END
+                  AS BIGINT) AS total_bigrams
+      FROM w JOIN topw t ON t.doc_id = w.doc_id
     )
     SELECT doc_id, n_words, top_word_n, distinct_bigrams, total_bigrams,
            10 * top_word_n <= 3 * n_words AS pass_top_word,
@@ -3828,18 +3834,28 @@ def q102_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q103_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    nw = F.size(w)
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct(w),
-            lambda x: F.size(F.filter(w, lambda y: y == x)),
-        )
-    ).cast("long")
+    # Max word multiplicity via explode + two-level hash aggregation (the
+    # q71 shape): linear work, map-side partial combine, whole-stage
+    # codegen. Two HOF formulations measured worse: count-per-distinct-
+    # word is O(distinct·n) per doc (19.7x wall at a 10x corpus), and a
+    # linear sorted-run-length fold still ran 6x slower than this because
+    # every HOF lambda step is interpreted per element while the
+    # explode/agg path never leaves generated code. The (doc_id, word)
+    # shuffle this buys is the same one any vocabulary pass pays.
+    wdf = docs.select("doc_id", F.split("text", " ").alias("w"))
+    topw = (
+        wdf.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("top_word_n"))
+    )
+    wcol = F.col("w")
+    nw = F.size("w")
     bigrams = F.transform(
         F.sequence(F.lit(1), nw - 1),
         lambda i: F.concat(
-            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+            F.element_at(wcol, i), F.lit(" "), F.element_at(wcol, i + 1)
         ),
     )
     distinct_bi = (
@@ -3848,12 +3864,21 @@ def q103_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
     )
     total_bi = F.when(nw >= 2, nw - 1).otherwise(F.lit(0)).cast("long")
-    f = docs.select(
-        "doc_id",
-        nw.cast("long").alias("n_words"),
-        top_n.alias("top_word_n"),
-        distinct_bi.alias("distinct_bigrams"),
-        total_bi.alias("total_bigrams"),
+    f = (
+        wdf.select(
+            "doc_id",
+            nw.cast("long").alias("n_words"),
+            distinct_bi.alias("distinct_bigrams"),
+            total_bi.alias("total_bigrams"),
+        )
+        .join(topw, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "top_word_n",
+            "distinct_bigrams",
+            "total_bigrams",
+        )
     )
     return f.select(
         "*",

@@ -163,6 +163,12 @@ def test_no_nested_loop_joins_in_scale_paths(spark):
         "q45_ngram_jaccard",
         "q21_asof_join",
         "q79_curation_funnel",
+        # round-7 joiners: indexed incremental dedup, sharp MinHash dial,
+        # snapshot diff (full outer), repetition filters (stats join)
+        "q98_incremental_dedup_indexed",
+        "q101_minhash_neardup_sharp",
+        "q102_corpus_snapshot_diff",
+        "q103_repetition_filters",
     ):
         plan = (
             QUERIES[name]
@@ -335,3 +341,21 @@ def test_write_signature_index_and_q98_match_cold_path(spark):
     text_scans = [ln for ln in scans if "text:string" in ln]
     assert text_scans and all("documents" in ln for ln in text_scans)
     assert any(f"{base}_bands" in ln for ln in scans), scans
+
+
+def test_q103_top_word_agg_is_map_side_combined(spark):
+    """q103's exploded (doc_id, word) count must plan a partial (map-side)
+    aggregation before the shuffle — the property that keeps the word
+    explosion's shuffle volume bounded by per-partition distinct pairs
+    rather than raw token count."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q103_repetition_filters"]
+        .spark(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in plan, plan

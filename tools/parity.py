@@ -99,6 +99,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     args = sys.argv[1:]
+    # --bare: run under a driver-faithful BARE SparkSession (no repo
+    # configs — no AQE tuning, no pinned timezone, default shuffle
+    # partitions). The external driver builds its own session exactly like
+    # this; any query that only passes under get_spark()'s configs is a
+    # latent driver red (the round-5 NTZ regression was this class).
+    bare = "--bare" in args
+    if bare:
+        args.remove("--bare")
     sf_dir = "/root/testdata/sf0.01"
     if args and (os.path.isdir(args[0]) or "/" in args[0]):
         sf_dir = args.pop(0)
@@ -110,7 +118,18 @@ def main() -> int:
     if unknown:
         print(f"error: unknown queries {unknown}; known: {sorted(QUERIES)}")
         return 2
-    spark = get_spark("parity-check")
+    if bare:
+        from pyspark.sql import SparkSession  # noqa: PLC0415
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("parity-bare")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        print("[bare session — driver-faithful, no repo configs]")
+    else:
+        spark = get_spark("parity-check")
     con = duck_connection(sf_dir)
     failures = 0
     for name in names:

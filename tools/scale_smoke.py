@@ -51,6 +51,8 @@ QUERIES_TO_RUN = [
     # measures the true warm per-batch cost (the production shape).
     "q98_incremental_dedup_indexed",
     "q99_quantiles_iqr_sketch",  # fixed-size sketch + rank-verify counting
+    "q103_repetition_filters",   # explode+agg top-word, HOF bigram stats
+    "q104_embedding_drift_audit",  # quantized snapshot centroid deltas
 ]
 
 
