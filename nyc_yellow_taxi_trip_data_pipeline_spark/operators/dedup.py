@@ -642,3 +642,62 @@ def write_signature_index(
     if path is not None:
         bw = bw.option("path", f"{path}/bands")
     bw.saveAsTable(f"{table}_bands")
+
+
+def ngram_fingerprints(
+    df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, ng) rows: md5 fingerprints of every SLIDING lowercase word
+    n-gram (stride 1 — unlike ``shingle_distinct``'s set semantics, kept
+    per-position then deduplicated downstream where needed). The n-gram
+    array is built by a map-only higher-order transform; only the 32-char
+    md5 travels, never the n-gram text."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    ngs = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.md5(F.array_join(F.slice(w, i, F.lit(n)), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(id_col, *extra_cols, F.explode(ngs).alias("ng"))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Benchmark decontamination at n-gram granularity (the GPT-3/Llama
+    training-hygiene check): a train doc is contaminated if ANY of its
+    sliding word n-grams appears verbatim in the benchmark set. Returns
+    one row per contaminated train doc: (id, group, n_hit = distinct
+    benchmark n-grams it shares).
+
+    Scale shape: benchmark suites are tiny next to a training corpus
+    (MBs vs TBs), so the distinct benchmark n-gram set is BROADCAST and
+    the train side's n-grams are generated map-side and probed against
+    the broadcast hash set without ever shuffling — the only shuffled
+    rows are the sparse hits, grouped on (id, group) to count distinct
+    matching n-grams. Nothing in the plan scales with corpus x benchmark.
+    """
+    bench_ngs = (
+        ngram_fingerprints(bench, n=n, id_col=id_col, text_col=text_col)
+        .select("ng")
+        .distinct()
+    )
+    train_ngs = ngram_fingerprints(
+        train, n=n, id_col=id_col, text_col=text_col, extra_cols=(group_col,)
+    )
+    return (
+        train_ngs.join(F.broadcast(bench_ngs), "ng")
+        .groupBy(id_col, group_col)
+        .agg(F.countDistinct("ng").alias("n_hit"))
+    )

@@ -514,3 +514,84 @@ def ann_candidates(
         )
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
     )
+
+
+def semantic_dedup_clusters(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    tau2_num: int = 49,
+    tau2_den: int = 400,
+    scale: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication audit (Abbas et al. 2023 —
+    public method): cluster embeddings with the IVF coarse quantizer, then
+    find near-identical pairs ONLY within clusters and mark the higher id
+    of each pair for removal. Returns one row per cluster:
+    (cluster, n_vectors, n_dup_pairs, n_removed).
+
+    Determinism: the cosine gate never compares floats. Components are
+    quantized to integers (floor(v*scale+0.5)); dot products and squared
+    norms are exact int64 sums; ``cos >= tau`` (with dot >= 0) becomes the
+    integer cross-multiplication ``tau2_den*dot² >= tau2_num*|a|²|b|²``
+    (defaults: 49/400 = 0.35²). Bounds: with |v|<=1, dim<=64, scale=100,
+    tau2_den*dot² <= 400*(64*100²)² ≈ 1.6e17 < 2^63.
+
+    Scale shape: the all-pairs problem is re-bound to within-cluster
+    pairs — O(Σ cluster²) not O(n²) — exactly the SemDeDup recipe (their
+    k is ~10⁵ on LAION so clusters stay small; here the dial is
+    n_centroids). Assignment is map-only (centroid literals, no shuffle);
+    the pair join shuffles quantized INTEGER vectors once on cluster."""
+    cents = ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col)
+    assigned = ivf_assign(
+        emb, cents, id_col=id_col, emb_col=emb_col, carry_cols=()
+    )
+    vq = _quantize(F.col(emb_col), scale)
+    nq = F.aggregate(
+        F.transform(vq, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    base = assigned.select(
+        F.col(id_col).alias("vid"),
+        F.col("cluster").cast("long").alias("cluster"),
+        vq.alias("q"),
+        nq.alias("nq"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    )
+    dq = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    gated = pairs.select(
+        F.col("a.cluster").alias("cluster"),
+        F.col("a.vid").alias("va"),
+        F.col("b.vid").alias("vb"),
+        dq.alias("dq"),
+        F.col("a.nq").alias("na"),
+        F.col("b.nq").alias("nb"),
+    ).filter(
+        (F.col("dq") >= 0)
+        & (
+            F.lit(tau2_den) * F.col("dq") * F.col("dq")
+            >= F.lit(tau2_num) * F.col("na") * F.col("nb")
+        )
+    )
+    cl = base.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    g = gated.groupBy("cluster").agg(
+        F.count("*").alias("n_dup_pairs"),
+        F.countDistinct("vb").alias("n_removed"),
+    )
+    return cl.join(g, "cluster", "left").select(
+        "cluster",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+    )

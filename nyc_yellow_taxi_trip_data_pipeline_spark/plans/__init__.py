@@ -30,8 +30,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # distinct+sort / floor-bucket count / qavg battery), each unit-tested,
 # with their constructs re-exercised by staying rows (q89/q94/q98 for
 # content hashing, q18/q74 for windows, q03/q07 for date grouping,
-# q01/q07/q96/q104 for quantized aggregation). Every query remains
-# parity-gated regardless (tools/parity.py runs ALL of them).
+# q01/q07/q96/q104 for quantized aggregation). Late-round additions
+# q105-q108 take four more slots; q03/q04/q61/q63 sit out for them —
+# again the most trivially-oracled of the r5 pool (filter+group count /
+# null counts / conditional aggs / date battery), their constructs
+# still exercised by staying rows (q02 filters+casts, q07 date
+# grouping+multi-agg, q91/q104 conditional aggregation) and by unit
+# goldens (tests/test_transforms.py covers the §2.12 date battery).
+# Every query remains parity-gated regardless (tools/parity.py runs
+# ALL of them).
 _PRIORITY = [
     # (a) round-6 reds, fixed this round:
     "q88_pii_redaction_audit",
@@ -45,6 +52,10 @@ _PRIORITY = [
     "q102_corpus_snapshot_diff",
     "q103_repetition_filters",
     "q104_embedding_drift_audit",
+    "q105_ngram_decontamination",
+    "q106_shard_manifest",
+    "q107_length_bucket_padding",
+    "q108_semantic_dedup",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -52,8 +63,6 @@ _PRIORITY = [
     # (c) last green row is r5:
     "q01_pricing_summary",
     "q02_clean_features",
-    "q03_filter_group_count",
-    "q04_null_counts",
     "q05_route_topk",
     "q06_left_join_dim",
     "q07_daily_multi_agg",
@@ -72,8 +81,6 @@ _PRIORITY = [
     "q56_regex_extract",
     "q57_grouping_sets",
     "q58_rank_family",
-    "q61_conditional_aggs",
-    "q63_date_math",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",
     "q70_stratified_sample",

@@ -4003,3 +4003,282 @@ def q104_embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dq").cast("long").alias("drift_q4"),
         F.max("dq").cast("long").alias("max_component_q4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — benchmark decontamination at n-gram granularity (the GPT-3 /
+# Llama training-hygiene pass, deeper than q89's whole-doc/lead-8
+# fingerprints): a train doc is contaminated if any sliding lowercase
+# word 4-gram appears verbatim in the held-out benchmark set (simulated
+# as doc_id % 19 = 0). The benchmark's distinct n-gram md5 set is tiny
+# next to any training corpus, so it BROADCASTS; train n-grams are
+# generated map-side and probed without shuffling — only the sparse hits
+# shuffle, then a per-source rollup. Nothing scales with corpus x bench.
+# ---------------------------------------------------------------------------
+_DECON_N = 4
+
+
+@register(
+    "q105_ngram_decontamination",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= {_DECON_N}
+                  THEN list_transform(
+                         generate_series(1, len(w) - {_DECON_N - 1}),
+                         i -> md5(array_to_string(
+                                w[i:i+{_DECON_N - 1}], ' ')))
+                  ELSE [] END AS ngs
+      FROM w
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 19 = 0
+    ),
+    tr AS (
+      SELECT doc_id, source, unnest(ngs) AS ng FROM g WHERE doc_id % 19 <> 0
+    ),
+    hits AS (
+      SELECT t.doc_id, t.source, COUNT(DISTINCT t.ng) AS n_hit
+      FROM tr t JOIN bench b ON t.ng = b.ng
+      GROUP BY t.doc_id, t.source
+    ),
+    tdocs AS (
+      SELECT source, COUNT(*) AS n_train_docs
+      FROM documents WHERE doc_id % 19 <> 0 GROUP BY source
+    )
+    SELECT d.source, CAST(d.n_train_docs AS BIGINT) AS n_train_docs,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(SUM(h.n_hit), 0) AS BIGINT) AS n_hit_ngrams
+    FROM tdocs d LEFT JOIN hits h ON h.source = d.source
+    GROUP BY d.source, d.n_train_docs
+    """,
+    description="Benchmark decontamination at sliding word-4-gram "
+    "granularity: benchmark n-gram md5 set broadcast, train n-grams "
+    "probed map-side (no corpus-side shuffle), sparse hits rolled up "
+    "per source — contaminated-doc and shared-n-gram counts.",
+    tags=("dedup", "contamination", "training-data", "broadcast"),
+)
+def q105_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 19 == 0)
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    hits = dd.ngram_contamination(train, bench, n=_DECON_N)
+    tdocs = train.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_train_docs")
+    )
+    per_src = hits.groupBy("source").agg(
+        F.count("doc_id").cast("long").alias("n_contaminated"),
+        F.sum("n_hit").cast("long").alias("n_hit_ngrams"),
+    )
+    return tdocs.join(per_src, "source", "left").select(
+        "source",
+        "n_train_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+        F.coalesce("n_hit_ngrams", F.lit(0)).cast("long").alias("n_hit_ngrams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — deterministic training-shard manifest (the pre-training "global
+# shuffle"): every doc is assigned shard = md5('shard:'||doc_id) folded
+# to [0,16) — reproducible across engines/partitionings/corpus growth,
+# unlike RNG or engine hash partitioners — and the manifest audits each
+# shard: doc count, token budget, id range, and an ORDER-FREE content
+# checksum (sum of 16-bit md5-prefix integers — bounded ints, exact
+# integer sum in any order). The hex->int fold uses instr positional
+# arithmetic, which parses IDENTICALLY in Spark SQL and DuckDB, so both
+# engines run the same fragment (built by _hex_fold_sql). The write-path
+# twin is sources.io.write_training_shards (partitionBy(shard) +
+# md5-sortWithinPartitions — one shuffle, no global sort).
+# ---------------------------------------------------------------------------
+def _hex_fold_sql(h: str, n_chars: int = 4) -> str:
+    """SQL fragment folding the first n hex chars of expression ``h`` to
+    an integer — identical text parses in Spark SQL and DuckDB."""
+    hexpos = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    return " + ".join(
+        f"({hexpos.format(h=h, i=i + 1)}) * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    )
+
+
+_SHARD_MD5 = "md5(concat('shard:', CAST(doc_id AS {st})))"
+_CKSUM_MD5 = "md5(lower(text))"
+
+
+def _q106_sql(string_type: str) -> str:
+    shard = _hex_fold_sql(_SHARD_MD5.format(st=string_type))
+    cksum = _hex_fold_sql(_CKSUM_MD5)
+    return f"""
+    WITH s AS (
+      SELECT CAST(({shard}) % 16 AS BIGINT) AS shard,
+             doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST({cksum} AS BIGINT) AS ck
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(SUM(ck) AS BIGINT) AS checksum
+    FROM s GROUP BY shard
+    """
+
+
+@register(
+    "q106_shard_manifest",
+    _q106_sql("VARCHAR"),
+    description="Deterministic training-shard manifest: md5-folded shard "
+    "assignment in [0,16), per-shard doc/token counts, id range, and an "
+    "order-free 16-bit-md5-prefix sum checksum — the audit record a "
+    "shard writer (sources.io.write_training_shards) emits per shard.",
+    tags=("training-data", "sampling", "audit"),
+)
+def q106_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    shard = _hex_fold_sql(_SHARD_MD5.format(st="STRING"))
+    cksum = _hex_fold_sql(_CKSUM_MD5)
+    s = docs.select(
+        F.expr(f"CAST(({shard}) % 16 AS BIGINT)").alias("shard"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(f"CAST({cksum} AS BIGINT)").alias("ck"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.sum("ck").cast("long").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — length-bucket batching audit: group docs into power-of-2 token-
+# length buckets (the sequence-batching strategy that bounds padding) and
+# report per-bucket doc/token counts and the padding waste a fixed-length
+# batcher would pay (bucket_len*n_docs - total_tokens). The bucket ladder
+# is integer CASE comparisons (no log2 — float log at exact powers of two
+# is a cross-engine boundary hazard); waste_permille divides two exact
+# integers in one IEEE op then floors, identical in both engines. Map-
+# only until the tiny bucket rollup; at 100 TB this is a scan + 6-row agg.
+# The q87 sequence packer is the remedy this audit sizes: waste here is
+# what packing recovers.
+# ---------------------------------------------------------------------------
+_LEN_BUCKETS = (16, 32, 64, 128, 256)
+
+
+def _bucket_case(n: str) -> str:
+    cases = " ".join(
+        f"WHEN {n} <= {b} THEN {b}" for b in _LEN_BUCKETS
+    )
+    return f"CASE {cases} ELSE 512 END"
+
+
+@register(
+    "q107_length_bucket_padding",
+    f"""
+    WITH t AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT CAST({_bucket_case('n_tokens')} AS BIGINT) AS bucket, n_tokens
+      FROM t
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(bucket * COUNT(*) - SUM(n_tokens) AS BIGINT) AS padded_tokens,
+           CAST(FLOOR(1000.0 * (bucket * COUNT(*) - SUM(n_tokens))
+                      / (bucket * COUNT(*))) AS BIGINT) AS waste_permille
+    FROM b GROUP BY bucket
+    """,
+    description="Power-of-2 length-bucket batching audit: per-bucket doc/"
+    "token counts and fixed-length padding waste (absolute + permille) — "
+    "integer CASE bucketing (no float log2), map-only scan plus a 6-row "
+    "rollup; sizes exactly the waste q87's packer recovers.",
+    tags=("training-data", "text", "audit", "agg"),
+)
+def q107_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    b = t.select(
+        F.expr(f"CAST({_bucket_case('n_tokens')} AS BIGINT)").alias("bucket"),
+        "n_tokens",
+    )
+    g = b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    padded = F.col("bucket") * F.col("n_docs") - F.col("total_tokens")
+    return g.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.floor(1000.0 * padded / (F.col("bucket") * F.col("n_docs")))
+        .cast("long")
+        .alias("waste_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q108 — SemDeDup-style semantic dedup audit (Abbas et al. 2023): cluster
+# embeddings with the IVF coarse quantizer (q66's seeded centroids —
+# map-only argmin over quantized integer L2), then find near-identical
+# pairs ONLY within clusters (O(Σ cluster²), never O(n²) — SemDeDup's
+# whole point) and mark the higher id of each pair for removal. The
+# cosine >= 0.35 gate never compares floats: quantized integer dot/norms
+# with the cross-multiplied form 400·dot² >= 49·|a|²|b|² (dot >= 0), so
+# both engines gate on exact int64 arithmetic — no boundary hazard.
+# ---------------------------------------------------------------------------
+@register(
+    "q108_semantic_dedup",
+    _IVF_ASSIGN_CTES
+    + """,
+    vq1 AS (
+      SELECT vec_id, j, CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS q FROM comp
+    ),
+    norms AS (
+      SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM vq1 GROUP BY vec_id
+    ),
+    pr AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.cluster AS cluster
+      FROM assign a JOIN assign b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT p.va, p.vb, p.cluster, CAST(SUM(x.q * y.q) AS BIGINT) AS dq
+      FROM pr p
+      JOIN vq1 x ON x.vec_id = p.va
+      JOIN vq1 y ON y.vec_id = p.vb AND y.j = x.j
+      GROUP BY p.va, p.vb, p.cluster
+    ),
+    gated AS (
+      SELECT d.cluster, d.va, d.vb
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.va
+      JOIN norms nb ON nb.vec_id = d.vb
+      WHERE d.dq >= 0 AND 400 * d.dq * d.dq >= 49 * na.nq * nb.nq
+    ),
+    cl AS (SELECT cluster, COUNT(*) AS n_vectors FROM assign GROUP BY cluster)
+    SELECT CAST(cl.cluster AS BIGINT) AS cluster,
+           CAST(cl.n_vectors AS BIGINT) AS n_vectors,
+           CAST(COUNT(g.va) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(DISTINCT g.vb) AS BIGINT) AS n_removed
+    FROM cl LEFT JOIN gated g ON g.cluster = cl.cluster
+    GROUP BY cl.cluster, cl.n_vectors
+    """,
+    description="SemDeDup semantic dedup audit: IVF-clustered embeddings, "
+    "within-cluster near-identical pairs via an exact integer-quantized "
+    "cosine gate (400·dot² >= 49·|a|²|b|², cos>=0.35), higher id of each "
+    "pair marked removed — per-cluster vector/pair/removal counts.",
+    tags=("similarity", "dedup", "embedding", "training-data"),
+)
+def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup_clusters(emb, n_centroids=8)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -341,3 +341,47 @@ def expire_partitions(
                 fs.delete(status.getPath(), True)
                 dropped.append(value)
     return sorted(dropped)
+
+
+def shard_column(id_col: str = "doc_id", n_shards: int = 16) -> Column:
+    """Deterministic training-shard assignment: an md5-derived integer in
+    [0, n_shards) computed from the row key — reproducible across engines,
+    partitionings, and corpus growth (unlike RNG or engine-specific hash
+    partitioner ids). The md5 prefix is folded to an integer with
+    ``instr`` positional arithmetic, which parses identically in Spark SQL
+    and DuckDB, so oracle twins can reproduce the assignment verbatim."""
+    h = f"md5(concat('shard:', CAST({id_col} AS STRING)))"
+    hexpos = "instr('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    v = " + ".join(
+        f"({hexpos.format(h=h, i=i + 1)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+    return F.expr(f"CAST(({v}) % {n_shards} AS BIGINT)")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+) -> None:
+    """The pre-training 'global shuffle': write the corpus as n_shards
+    deterministic shards, each internally ordered by md5(id) — a
+    reproducible uniform permutation of the corpus (hash order == uniform
+    order), so any prefix of any shard is an unbiased sample and training
+    can stream shards independently.
+
+    Scale shape: shard assignment is map-only; ``repartition`` on the
+    shard key is the ONE shuffle (at 100 TB: bump n_shards so each shard
+    fits an executor, e.g. 100k shards of ~1 GB); the per-shard md5 sort
+    is sortWithinPartitions (no global sort — a total order across
+    shards is never needed, the shard id IS the outer sort key)."""
+    (
+        df.withColumn("shard", shard_column(id_col, n_shards))
+        .withColumn("__ord", F.md5(F.concat(F.lit("ord:"), F.col(id_col).cast("string"))))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__ord")
+        .drop("__ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

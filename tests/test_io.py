@@ -134,3 +134,41 @@ def test_expire_partitions_drops_only_old(spark, tmp_path):
         "2024-02",
         "2024-03",
     }
+
+
+def test_write_training_shards_deterministic_and_md5_ordered(spark, tmp_path):
+    """Shards are (a) assigned by the md5 fold (engine-independent), and
+    (b) internally md5-ordered, so any shard prefix is an unbiased sample
+    and a re-run reproduces byte-identical shard contents."""
+    from pyspark.sql import functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table,
+        shard_column,
+        write_training_shards,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    expected = {
+        (r.shard, r.doc_id)
+        for r in docs.select(shard_column("doc_id", 4).alias("shard"), "doc_id")
+        .collect()
+    }
+    back = spark.read.parquet(out)
+    got = {(r.shard, r.doc_id) for r in back.select("shard", "doc_id").collect()}
+    assert got == expected
+
+    # Within one shard the file order equals the md5(ord:id) order.
+    one = back.filter(F.col("shard") == sorted({s for s, _ in got})[0])
+    ids_in_file_order = [r.doc_id for r in one.select("doc_id").collect()]
+    md5_sorted = [
+        r.doc_id
+        for r in one.select("doc_id")
+        .withColumn("o", F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))))
+        .orderBy("o")
+        .collect()
+    ]
+    assert ids_in_file_order == md5_sorted

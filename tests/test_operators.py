@@ -403,3 +403,55 @@ def test_srp_buckets_explicit_dim_matches_lookup(vectors):
         for r in sim.srp_buckets(vectors, n_planes=4, dim=3).collect()
     }
     assert looked_up == explicit
+
+
+def test_ngram_contamination_flags_verbatim_overlap(spark):
+    """A train doc sharing a verbatim 4-gram with the benchmark is flagged
+    (case-insensitively); disjoint docs are not; n_hit counts DISTINCT
+    shared n-grams."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog", "bench")],
+        ["doc_id", "text", "source"],
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "the quick brown fox", "quick brown fox jumps",
+            # and "brown fox jumps over"
+            (1, "she saw the Quick Brown Fox Jumps Over a wall", "srcA"),
+            # no 4-gram overlap
+            (2, "completely different words appear in this text", "srcA"),
+            # shorter than 4 words: no n-grams at all
+            (3, "too short here", "srcB"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r.doc_id: r.n_hit
+        for r in dd.ngram_contamination(train, bench, n=4).collect()
+    }
+    assert rows == {1: 3}
+
+
+def test_semantic_dedup_clusters_marks_higher_id(spark):
+    """Two near-identical vectors in one cluster -> one dup pair, the
+    HIGHER id removed; an orthogonal vector pairs with neither; a vector
+    alone in its cluster can never pair across clusters."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # centroid seed A / keeper
+        (1, [0.0, 1.0, 0.0, 0.0]),        # centroid seed B (orthogonal)
+        (2, [0.99, 0.01, 0.0, 0.0]),      # near-dup of 0 -> removed
+        (3, [-0.98, 0.0, 0.1, 0.0]),      # anti-parallel to 0: dot<0, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.cluster: (r.n_vectors, r.n_dup_pairs, r.n_removed)
+        for r in sim.semantic_dedup_clusters(emb, n_centroids=2).collect()
+    }
+    # Seeds are the two lowest ids (0 and 1); regardless of where the
+    # remaining vectors land, the pair/removal invariants must hold:
+    total_vectors = sum(v[0] for v in out.values())
+    total_pairs = sum(v[1] for v in out.values())
+    total_removed = sum(v[2] for v in out.values())
+    assert total_vectors == 4
+    assert total_pairs == 1          # only (0,2) passes cos>=0.35 with dot>=0
+    assert total_removed == 1        # vec 2 (higher id of the pair)
