@@ -189,6 +189,7 @@ def srp_buckets(
     id_col: str = "vec_id",
     scale: int = 1000000,
     dim: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Signed-random-projection bucket per vector — a MAP-ONLY projection.
 
@@ -208,7 +209,9 @@ def srp_buckets(
         # Spark job at plan-build time — acceptable for a dim lookup.
         dim = emb.agg(F.max(F.size("embedding"))).first()[0]
     if dim is None:
-        return emb.select(id_col, F.lit(0).cast("int").alias("bucket")).limit(0)
+        return emb.select(
+            id_col, *extra_cols, F.lit(0).cast("int").alias("bucket")
+        ).limit(0)
     signs = _plane_signs(n_planes, dim)
     vq = F.transform(
         F.col("embedding"),
@@ -224,7 +227,7 @@ def srp_buckets(
         )
         bit = F.when(acc >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return emb.select(id_col, bucket.cast("int").alias("bucket"))
+    return emb.select(id_col, *extra_cols, bucket.cast("int").alias("bucket"))
 
 
 def ivf_centroids(
@@ -518,7 +521,7 @@ def ann_candidates(
 
 def semantic_dedup_clusters(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_planes: int | None = None,
     tau2_num: int = 49,
     tau2_den: int = 400,
     scale: int = 100,
@@ -526,26 +529,40 @@ def semantic_dedup_clusters(
     emb_col: str = "embedding",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication audit (Abbas et al. 2023 —
-    public method): cluster embeddings with the IVF coarse quantizer, then
-    find near-identical pairs ONLY within clusters and mark the higher id
-    of each pair for removal. Returns one row per cluster:
+    public method): partition embeddings into semantically-coherent
+    clusters, find near-identical pairs ONLY within clusters, and mark
+    the higher id of each pair for removal. Returns one row per cluster:
     (cluster, n_vectors, n_dup_pairs, n_removed).
+
+    Clustering: SRP-LSH buckets stand in for SemDeDup's k-means coarse
+    quantizer. SemDeDup scales k WITH the corpus (k ~ 1e5 on LAION)
+    precisely so clusters stay constant-size; here ``n_planes=None``
+    derives p = min p>=3 with 64*2^p >= n, pinning expected cluster size
+    at ~64. Crucially the per-row assignment cost is O(p·dim) = O(log n)
+    — a k-means/IVF argmin is O(k·dim) per row, which at derived k both
+    re-quadratizes the scan (n·k ~ n²/64) AND explodes the codegen'd
+    argmin expression tree (measured: k=79 centroid literals hung
+    Catalyst; p=7 planes is 7 fold expressions). Assignment is map-only
+    integer math (srp_buckets), zero shuffle.
 
     Determinism: the cosine gate never compares floats. Components are
     quantized to integers (floor(v*scale+0.5)); dot products and squared
-    norms are exact int64 sums; ``cos >= tau`` (with dot >= 0) becomes the
-    integer cross-multiplication ``tau2_den*dot² >= tau2_num*|a|²|b|²``
+    norms are exact int64 sums; ``cos >= tau`` (with dot >= 0) becomes
+    the integer cross-multiplication tau2_den*dot² >= tau2_num*|a|²|b|²
     (defaults: 49/400 = 0.35²). Bounds: with |v|<=1, dim<=64, scale=100,
     tau2_den*dot² <= 400*(64*100²)² ≈ 1.6e17 < 2^63.
 
-    Scale shape: the all-pairs problem is re-bound to within-cluster
-    pairs — O(Σ cluster²) not O(n²) — exactly the SemDeDup recipe (their
-    k is ~10⁵ on LAION so clusters stay small; here the dial is
-    n_centroids). Assignment is map-only (centroid literals, no shuffle);
-    the pair join shuffles quantized INTEGER vectors once on cluster."""
-    cents = ivf_centroids(emb, n_centroids=n_centroids, id_col=id_col)
-    assigned = ivf_assign(
-        emb, cents, id_col=id_col, emb_col=emb_col, carry_cols=()
+    The derived-p path costs one documented count() action (like the
+    ``srp_buckets`` dim lookup). SRP buckets are hash-balanced, not
+    size-balanced; the per-cluster n_vectors column makes skew visible,
+    and the dial against a hot bucket is more planes."""
+    if n_planes is None:
+        n = emb.count()
+        n_planes = 3
+        while (64 << n_planes) < n:
+            n_planes += 1
+    base = srp_buckets(
+        emb, n_planes=n_planes, id_col=id_col, extra_cols=(emb_col,)
     )
     vq = _quantize(F.col(emb_col), scale)
     nq = F.aggregate(
@@ -553,9 +570,9 @@ def semantic_dedup_clusters(
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    base = assigned.select(
+    base = base.select(
         F.col(id_col).alias("vid"),
-        F.col("cluster").cast("long").alias("cluster"),
+        F.col("bucket").cast("long").alias("cluster"),
         vq.alias("q"),
         nq.alias("nq"),
     )

@@ -31,12 +31,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # with their constructs re-exercised by staying rows (q89/q94/q98 for
 # content hashing, q18/q74 for windows, q03/q07 for date grouping,
 # q01/q07/q96/q104 for quantized aggregation). Late-round additions
-# q105-q108 take four more slots; q03/q04/q61/q63 sit out for them —
-# again the most trivially-oracled of the r5 pool (filter+group count /
-# null counts / conditional aggs / date battery), their constructs
-# still exercised by staying rows (q02 filters+casts, q07 date
-# grouping+multi-agg, q91/q104 conditional aggregation) and by unit
-# goldens (tests/test_transforms.py covers the §2.12 date battery).
+# q105-q112 take eight more slots; q03/q04/q61/q63 and q38/q40/q56/q75
+# sit out for them — the most trivially-oracled of the r5 pool
+# (filter+group count / null counts / conditional aggs / date battery /
+# lang-ID CASE / octet-length metadata / regex extract / long-format
+# quantize), their constructs still exercised by staying rows (q02
+# filters+casts, q07 date grouping+multi-agg, q91/q104 conditional
+# aggregation, q37 text regex features, q41 multimodal metadata+decode,
+# q75's quantization scheme inside q34/q66/q108) and by unit goldens
+# (tests/test_transforms.py covers the §2.12 date battery).
 # Every query remains parity-gated regardless (tools/parity.py runs
 # ALL of them).
 _PRIORITY = [
@@ -56,6 +59,10 @@ _PRIORITY = [
     "q106_shard_manifest",
     "q107_length_bucket_padding",
     "q108_semantic_dedup",
+    "q109_bpe_merge_step",
+    "q110_streaming_sliding_rate",
+    "q111_importance_weights",
+    "q112_dup_cluster_histogram",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -73,12 +80,9 @@ _PRIORITY = [
     "q33_simhash",
     "q34_embedding_topk",
     "q37_text_quality",
-    "q38_lang_id",
     "q39_fingerprint",
-    "q40_multimodal_meta",
     "q41_multimodal_decode",
     "q42_approx_sketches",
-    "q56_regex_extract",
     "q57_grouping_sets",
     "q58_rank_family",
     "q67_streaming_sessionize",
@@ -88,7 +92,6 @@ _PRIORITY = [
     "q72_incremental_rollup",
     "q73_kmeans_step",
     "q74_reservoir_topn",
-    "q75_embedding_quantize",
     "q78_chunk_windows_udtf",
     "q79_curation_funnel",
     "q80_stream_static_join",

@@ -1306,12 +1306,17 @@ def q65_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroids, quantized integer squared-L2 argmin assignment (ties to the
 # lowest centroid id) — the SQL twin of similarity.ivf_centroids +
 # ivf_assign, reused by q66 (ANN probe) and q73 (Lloyd step).
-_IVF_ASSIGN_CTES = """
+def _ivf_assign_ctes(k_sql: str = "8") -> str:
+    """IVF assignment CTE prefix with a parameterizable centroid count —
+    q66/q73 use the literal 8; q108 derives k from the corpus size so
+    clusters stay constant-size as the corpus grows (SemDeDup's k
+    scaling)."""
+    return f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
     ),
     cent AS (
-      SELECT vec_id AS cid, ev AS cv FROM e ORDER BY vec_id LIMIT 8
+      SELECT vec_id AS cid, ev AS cv FROM e ORDER BY vec_id LIMIT {k_sql}
     ),
     comp AS (
       SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
@@ -1337,6 +1342,9 @@ _IVF_ASSIGN_CTES = """
         FROM dists
       ) WHERE rn = 1
     )"""
+
+
+_IVF_ASSIGN_CTES = _ivf_assign_ctes()
 
 
 @register(
@@ -1455,7 +1463,9 @@ def q67_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CTE — min reachable id == converged min-label, so the iterative Spark
 # algorithm is hash-checked end-to-end against declarative SQL.
 # ---------------------------------------------------------------------------
-def _cc_sql() -> str:
+def _cc_sql_prefix() -> str:
+    """The recursive-CTE prefix up to ``labels`` (doc_id -> cluster),
+    shared by q68 (membership) and q112 (size histogram)."""
     return f"""
     WITH RECURSIVE prs AS ({_mh_sql()}),
     edges AS (
@@ -1470,11 +1480,18 @@ def _cc_sql() -> str:
     ),
     labels AS (
       SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u
-    )
+    )"""
+
+
+def _cc_sql() -> str:
+    return (
+        _cc_sql_prefix()
+        + """
     SELECT doc_id, cluster,
            COUNT(*) OVER (PARTITION BY cluster) AS n_members
     FROM labels
     """
+    )
 
 
 @register(
@@ -4227,21 +4244,58 @@ def q107_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q108 — SemDeDup-style semantic dedup audit (Abbas et al. 2023): cluster
-# embeddings with the IVF coarse quantizer (q66's seeded centroids —
-# map-only argmin over quantized integer L2), then find near-identical
+# q108 — SemDeDup-style semantic dedup audit (Abbas et al. 2023): partition
+# embeddings into semantically-coherent clusters, find near-identical
 # pairs ONLY within clusters (O(Σ cluster²), never O(n²) — SemDeDup's
-# whole point) and mark the higher id of each pair for removal. The
-# cosine >= 0.35 gate never compares floats: quantized integer dot/norms
-# with the cross-multiplied form 400·dot² >= 49·|a|²|b|² (dot >= 0), so
-# both engines gate on exact int64 arithmetic — no boundary hazard.
+# whole point), and mark the higher id of each pair for removal. The
+# coarse quantizer is SRP-LSH (q36's md5-seeded hyperplanes) with a
+# CORPUS-DERIVED plane count p = min p>=3 with 64·2^p >= n, pinning
+# expected cluster size at ~64 as the corpus grows — SemDeDup's own k
+# scaling, but with O(p·dim) = O(log n) per-row assignment where a
+# derived-k IVF argmin is O(k·dim) per row (re-quadratizing the scan
+# AND exploding the codegen'd argmin tree — measured: k=79 centroid
+# literals hung Catalyst; p=7 planes is 7 fold expressions). The
+# cosine >= 0.35 gate never compares floats: quantized integer
+# dot/norms with the cross-multiplied form 400·dot² >= 49·|a|²|b|²
+# (dot >= 0) — exact int64 arithmetic in both engines.
 # ---------------------------------------------------------------------------
 @register(
     "q108_semantic_dedup",
-    _IVF_ASSIGN_CTES
-    + """,
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    quant AS (
+      SELECT vec_id, j, CAST(FLOOR(v * {_SRP_SCALE} + 0.5) AS BIGINT) AS vq
+      FROM comps
+    ),
+    np AS (
+      SELECT MIN(p) AS np FROM generate_series(3, 29) t(p)
+      WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT COUNT(*) FROM e)
+    ),
+    planes AS (
+      SELECT p, j,
+             CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8'
+                  THEN 1 ELSE -1 END AS sign
+      FROM generate_series(0, 29) t(p)
+      CROSS JOIN (SELECT DISTINCT j FROM comps) u
+      WHERE p < (SELECT np FROM np)
+    ),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.vq * pl.sign) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM quant q JOIN planes pl ON q.j = pl.j
+      GROUP BY q.vec_id, pl.p
+    ),
+    assign AS (
+      SELECT vec_id, CAST(SUM(bit * (1 << p)) AS BIGINT) AS cluster
+      FROM bits GROUP BY vec_id
+    ),
     vq1 AS (
-      SELECT vec_id, j, CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS q FROM comp
+      SELECT vec_id, j, CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS q FROM comps
     ),
     norms AS (
       SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nq FROM vq1 GROUP BY vec_id
@@ -4273,12 +4327,347 @@ def q107_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cl LEFT JOIN gated g ON g.cluster = cl.cluster
     GROUP BY cl.cluster, cl.n_vectors
     """,
-    description="SemDeDup semantic dedup audit: IVF-clustered embeddings, "
-    "within-cluster near-identical pairs via an exact integer-quantized "
-    "cosine gate (400·dot² >= 49·|a|²|b|², cos>=0.35), higher id of each "
-    "pair marked removed — per-cluster vector/pair/removal counts.",
-    tags=("similarity", "dedup", "embedding", "training-data"),
+    description="SemDeDup semantic dedup audit: SRP-LSH coarse clusters "
+    "with corpus-derived plane count (expected cluster size ~64 at any "
+    "corpus scale, O(log n) per-row assignment), within-cluster "
+    "near-identical pairs via an exact integer-quantized cosine gate "
+    "(400·dot² >= 49·|a|²|b|², cos>=0.35), higher id of each pair "
+    "marked removed — per-cluster vector/pair/removal counts.",
+    tags=("similarity", "dedup", "embedding", "training-data", "lsh"),
 )
 def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return sim.semantic_dedup_clusters(emb, n_centroids=8)
+    return sim.semantic_dedup_clusters(emb, n_planes=None)
+
+
+# ---------------------------------------------------------------------------
+# q109 — BPE merge step (the tokenizer-training primitive): count
+# adjacent CHARACTER-pair occurrences across the corpus, weighted by
+# word frequency — the argmax pair is the next BPE merge. The scale
+# trick is the classic one: the corpus collapses to its VOCABULARY
+# first (word -> freq, the standard map-side-combined vocab pass), and
+# pair enumeration runs over distinct words only — pair work scales
+# with |vocab|, not corpus tokens. All string/integer ops; top-20 with
+# a total-order tiebreak (count desc, pair asc) per registry rule 2.
+# ---------------------------------------------------------------------------
+@register(
+    "q109_bpe_merge_step",
+    """
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+    description="BPE merge step: adjacent char-pair counts weighted by "
+    "word frequency, enumerated over the DISTINCT vocabulary (pair work "
+    "scales with |vocab|, not corpus tokens) — top-20 merge candidates "
+    "with a total-order tiebreak.",
+    tags=("text", "tokenizer", "training-data", "agg"),
+)
+def q109_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = wf.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q110 — SLIDING-window streaming monitor (q44 is the tumbling form):
+# 2-hour windows sliding every hour, so each event belongs to exactly
+# two overlapping windows — the ingest-rate dashboard shape (smooth
+# trend + early spike detection) a tumbling window can't express. The
+# oracle materializes the overlap explicitly: each event unnests to its
+# two window starts (date_trunc minus 0/1 hour), then aggregates —
+# proving Spark's window(ts, '2 hours', '1 hour') semantics exactly.
+# State is bounded by the watermark (windows older than 4h finalize and
+# evict); the value sum is quantized per registry rule 1.
+# ---------------------------------------------------------------------------
+@register(
+    "q110_streaming_sliding_rate",
+    """
+    WITH x AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            / 100.0) AS sum_value
+    FROM x GROUP BY window_start
+    """,
+    description="Sliding-window streaming rate monitor: 2h windows every "
+    "1h (each event in exactly two windows), watermark-bounded state, "
+    "complete-mode final state oracle-checked against an explicit "
+    "unnest-both-windows batch aggregate.",
+    tags=("streaming", "window", "agg", "sliding"),
+)
+def q110_streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    # (exact COUNT(DISTINCT) is unsupported in streaming aggregations —
+    # the per-user form of this monitor is q81's dropDuplicates ancestor;
+    # here the window keeps count + quantized sum.)
+    agg = (
+        stream.withWatermark("ts", "4 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"q110_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q111 — DSIR-style data selection via hashed n-gram importance weights
+# (Xie et al. 2023 — public method), made engine-exact by replacing the
+# log-likelihood ratio with a RATIONAL integer contrast (logs are the
+# one libm call the determinism contract can't trust across engines):
+# bigrams hash into 256 buckets (md5 2-hex fold — portable), the target
+# distribution is the held-out benchmark slice (doc_id % 19 = 0, as in
+# q105), and each bucket's contrast is the scale-normalized integer
+#   c_b = (1000 * t_b * S) div (s_b * T + 1)
+# (t/s = bucket counts, T/S = totals — exact BIGINT products, exact
+# integer division in both engines; +1 guards empty source buckets). A
+# train doc's importance score is its bucket-count-weighted sum of c_b.
+# Scale shape: ONE corpus pass builds the 256-row distributions (map-
+# side combined), c_b broadcasts back onto the per-doc bucket counts,
+# top-20 by (score desc, doc_id) with total-order tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "q111_importance_weights",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                           i -> md5(w[i] || ' ' || w[i + 1]))
+                    ELSE [] END) AS h
+      FROM w
+    ),
+    bk AS (
+      SELECT doc_id,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+      FROM bg
+    ),
+    t AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_b
+      FROM bk WHERE doc_id % 19 = 0 GROUP BY bucket
+    ),
+    s AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS s_b
+      FROM bk WHERE doc_id % 19 <> 0 GROUP BY bucket
+    ),
+    c AS (
+      SELECT COALESCE(t.bucket, s.bucket) AS bucket,
+             (1000 * COALESCE(t.t_b, 0) * (SELECT SUM(s_b) FROM s))
+             // (COALESCE(s.s_b, 0) * (SELECT SUM(t_b) FROM t) + 1) AS c_b
+      FROM t FULL OUTER JOIN s ON t.bucket = s.bucket
+    ),
+    doc_counts AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bk WHERE doc_id % 19 <> 0 GROUP BY doc_id, bucket
+    )
+    SELECT d.doc_id,
+           CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d.n * c.c_b) AS BIGINT) AS importance_score
+    FROM doc_counts d JOIN c ON c.bucket = d.bucket
+    GROUP BY d.doc_id
+    ORDER BY importance_score DESC, d.doc_id
+    LIMIT 20
+    """,
+    description="DSIR-style hashed-bigram importance weights with a "
+    "rational integer likelihood contrast (no libm logs): 256-bucket "
+    "md5-fold features, target=benchmark slice vs source distributions "
+    "built in one corpus pass, contrast table broadcast back, top-20 "
+    "highest-importance train docs with total-order tiebreak.",
+    tags=("training-data", "sampling", "text", "importance"),
+)
+def q111_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bg = dd.ngram_fingerprints(docs, n=2, extra_cols=())
+    bk = bg.select(
+        "doc_id",
+        F.expr(
+            "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
+            " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
+        ).alias("bucket"),
+    )
+    t = (
+        bk.filter(F.col("doc_id") % 19 == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_b"))
+    )
+    s = (
+        bk.filter(F.col("doc_id") % 19 != 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("s_b"))
+    )
+    t_total = t.agg(F.sum("t_b").alias("T")).withColumn("__k", F.lit(1))
+    s_total = s.agg(F.sum("s_b").alias("S")).withColumn("__k", F.lit(1))
+    c = (
+        t.alias("t")
+        .join(s.alias("s"), F.col("t.bucket") == F.col("s.bucket"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
+            F.coalesce(F.col("t.t_b"), F.lit(0)).alias("t_b"),
+            F.coalesce(F.col("s.s_b"), F.lit(0)).alias("s_b"),
+            F.lit(1).alias("__k"),
+        )
+        .join(F.broadcast(t_total), "__k")
+        .join(F.broadcast(s_total), "__k")
+        .select(
+            "bucket",
+            F.expr("(1000 * t_b * S) div (s_b * T + 1)").alias("c_b"),
+        )
+    )
+    doc_counts = (
+        bk.filter(F.col("doc_id") % 19 != 0)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        doc_counts.join(F.broadcast(c), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("c_b")).cast("long").alias("importance_score"),
+        )
+        .orderBy(F.desc("importance_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112 — duplicate-cluster size histogram: the curation report on top of
+# q68's connected components — how many dup clusters of each size exist
+# and how much of the corpus they hold (big clusters = boilerplate mass
+# that exact dedup should have caught; a long size-2/3 tail = genuine
+# near-dup pairs). Docs in no near-dup pair are size-1 singletons via a
+# left-anti join (no driver-side count action). The histogram itself is
+# a two-level rollup over the tiny (cluster, size) table.
+# ---------------------------------------------------------------------------
+@register(
+    "q112_dup_cluster_histogram",
+    _cc_sql_prefix()
+    + """,
+    sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster
+    ),
+    hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM sizes GROUP BY cluster_size
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS cluster_size,
+             CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+    )
+    SELECT cluster_size,
+           CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * SUM(n_clusters) AS BIGINT) AS n_docs
+    FROM hist GROUP BY cluster_size
+    """,
+    description="Dup-cluster size histogram over the MinHash-LSH "
+    "component graph: clusters and corpus mass per size, singletons via "
+    "left-anti join — the dedup curation report (boilerplate mass vs "
+    "near-dup tail) with no driver-side actions.",
+    tags=("dedup", "clustering", "audit", "training-data"),
+)
+def q112_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SIG_AGREE,
+    ).select("doc_a", "doc_b")
+    cc = dd.connected_components(pairs)
+    sizes = cc.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+        )
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+    )

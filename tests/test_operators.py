@@ -437,18 +437,20 @@ def test_semantic_dedup_clusters_marks_higher_id(spark):
     HIGHER id removed; an orthogonal vector pairs with neither; a vector
     alone in its cluster can never pair across clusters."""
     rows = [
-        (0, [1.0, 0.0, 0.0, 0.0]),        # centroid seed A / keeper
-        (1, [0.0, 1.0, 0.0, 0.0]),        # centroid seed B (orthogonal)
+        (0, [1.0, 0.0, 0.0, 0.0]),        # keeper
+        (1, [0.0, 1.0, 0.0, 0.0]),        # orthogonal to 0/2
         (2, [0.99, 0.01, 0.0, 0.0]),      # near-dup of 0 -> removed
         (3, [-0.98, 0.0, 0.1, 0.0]),      # anti-parallel to 0: dot<0, kept
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {
         r.cluster: (r.n_vectors, r.n_dup_pairs, r.n_removed)
-        for r in sim.semantic_dedup_clusters(emb, n_centroids=2).collect()
+        for r in sim.semantic_dedup_clusters(emb, n_planes=2).collect()
     }
-    # Seeds are the two lowest ids (0 and 1); regardless of where the
-    # remaining vectors land, the pair/removal invariants must hold:
+    # SRP buckets put near-identical vectors 0 and 2 together (their
+    # projections share signs — |0.99·s1| dominates |0.01·s2|) and the
+    # anti-parallel vector 3 opposite; wherever the rest land, the
+    # pair/removal invariants must hold:
     total_vectors = sum(v[0] for v in out.values())
     total_pairs = sum(v[1] for v in out.values())
     total_removed = sum(v[2] for v in out.values())
