@@ -46,12 +46,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Input splits sized for CPU-per-byte, not just bytes: compressed
         # text explodes into far more compute than its file size suggests
-        # (regex/shingle/md5 over documents), and the default 128 MB split
-        # leaves a several-MB corpus scanning on 1-2 cores while 30 idle.
-        # At petabyte scale with many files per table, RAISE this back —
-        # split count then comes from file count, and tiny splits would
-        # just multiply task overhead.
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # (regex/shingle/md5 over documents — a 6 MB compressed corpus is
+        # ~4M tokens of HOF/regex work), and a coarse split leaves it
+        # scanning on 1-2 cores while 30 idle (measured on the 10x smoke:
+        # q105 38.4s -> 5.5s from scan parallelism alone). 2 MB + the
+        # default 4 MB openCostInBytes ≈ one task per small file. At
+        # petabyte scale with many ~256 MB files per table, RAISE this
+        # back toward 128 MB — split count then comes from file count,
+        # and tiny splits would just multiply task overhead.
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
