@@ -31,14 +31,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # with their constructs re-exercised by staying rows (q89/q94/q98 for
 # content hashing, q18/q74 for windows, q03/q07 for date grouping,
 # q01/q07/q96/q104 for quantized aggregation). Late-round additions
-# q105-q112 take eight more slots; q03/q04/q61/q63 and q38/q40/q56/q75
-# sit out for them — the most trivially-oracled of the r5 pool
+# q105-q114 take ten more slots; q03/q04/q61/q63, q38/q40/q56/q75 and
+# q42/q58 sit out for them — the most trivially-oracled of the r5 pool
 # (filter+group count / null counts / conditional aggs / date battery /
 # lang-ID CASE / octet-length metadata / regex extract / long-format
-# quantize), their constructs still exercised by staying rows (q02
-# filters+casts, q07 date grouping+multi-agg, q91/q104 conditional
-# aggregation, q37 text regex features, q41 multimodal metadata+decode,
-# q75's quantization scheme inside q34/q66/q108) and by unit goldens
+# quantize / sketch battery / rank battery), their constructs still
+# exercised by staying rows (q02 filters+casts, q07 date grouping+
+# multi-agg, q91/q104 conditional aggregation, q37 text regex features,
+# q41 multimodal metadata+decode, q75's quantization scheme inside
+# q34/q66/q108, q84 sketches, q74's rank windows) and by unit goldens
 # (tests/test_transforms.py covers the §2.12 date battery).
 # Every query remains parity-gated regardless (tools/parity.py runs
 # ALL of them).
@@ -63,6 +64,8 @@ _PRIORITY = [
     "q110_streaming_sliding_rate",
     "q111_importance_weights",
     "q112_dup_cluster_histogram",
+    "q113_media_neardup_phash",
+    "q114_curated_shard_build",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -82,9 +85,7 @@ _PRIORITY = [
     "q37_text_quality",
     "q39_fingerprint",
     "q41_multimodal_decode",
-    "q42_approx_sketches",
     "q57_grouping_sets",
-    "q58_rank_family",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",
     "q70_stratified_sample",

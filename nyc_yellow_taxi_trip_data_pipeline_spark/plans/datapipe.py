@@ -4671,3 +4671,256 @@ def q112_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — media near-duplicate pairs: perceptual hashes (q85's Arrow-
+# batched pHash stage, plus a deterministic one-bit size-band
+# perturbation so the radius logic is exercised, not just equality)
+# within Hamming distance 3 via the SAME 4-band Hamming-LSH the text
+# SimHash path uses (operators/dedup.simhash_near_duplicates — it is
+# fingerprint-agnostic). Run UNCAPPED here, which makes the banding
+# EXACTLY equal to brute force by the pigeonhole full-recall guarantee
+# (d <= 3 < 4 bands) — and the oracle IS the brute-force all-pairs
+# scan, so this query PROVES the LSH recall guarantee end-to-end. At
+# corpus scale, switch on the q92 hot-bucket cap: identical-hash
+# boilerplate media concentrates into single buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "q113_media_neardup_phash",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, i,
+             ((n_bytes % 256) * (i + 3) * 2654435761) % 256 AS p
+      FROM d, generate_series(0, 55) t(i)
+    ),
+    m AS (
+      SELECT doc_id, CAST(SUM(p) // 56 AS BIGINT) AS mean_px
+      FROM px GROUP BY doc_id
+    ),
+    h AS (
+      SELECT px.doc_id,
+             CAST(SUM(CASE WHEN px.p > m.mean_px
+                           THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM px JOIN m ON m.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    ),
+    f AS (
+      SELECT h.doc_id,
+             xor(h.ahash,
+                 CAST(1 AS BIGINT)
+                 << CAST((d.n_bytes // 256) % 56 AS INTEGER)) AS phash
+      FROM h JOIN d ON d.doc_id = h.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+    description="Media near-dup pairs: Arrow-batched perceptual hashes "
+    "(one-bit size-band perturbation exercises radius 2) within Hamming "
+    "3 via uncapped 4-band Hamming-LSH — pigeonhole full recall makes "
+    "the band join EXACTLY brute force, and the brute-force oracle "
+    "proves it; the q92 hot-bucket cap is the scale dial.",
+    tags=("multimodal", "dedup", "lsh", "pandas-udf"),
+)
+def q113_media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = mm.phash_images(
+        mm.payload_metadata(mm.attach_binary_payload(docs))
+    )
+    fp = hashed.select(
+        "doc_id",
+        F.expr(
+            "ahash ^ shiftleft(CAST(1 AS BIGINT),"
+            " CAST((n_bytes div 256) % 56 AS INT))"
+        ).alias("phash"),
+    )
+    return dd.simhash_near_duplicates(
+        fp,
+        n_bits=56,
+        n_bands=4,
+        max_hamming=3,
+        fp_col="phash",
+        max_bucket=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — curated shard build (the capstone: what the round-7 ops exist
+# FOR, composed into the single declarative plan a pre-training data
+# build runs): quality gates (length + distinct-word ratio, integer
+# cross-multiplied) -> exact dedup keep-first (md5 fingerprint window)
+# -> DSIR importance score carried per doc (q111's rational integer
+# contrast, target = the q105/q111 benchmark slice) -> md5-fold shard
+# assignment (q106) -> per-shard manifest (docs, tokens, summed
+# importance, order-free checksum). One corpus pass for the bigram
+# distributions (tiny, broadcast back), one window shuffle on the
+# fingerprint, one rollup shuffle on the shard key — Catalyst sees the
+# whole lineage and prunes text out of every post-gate stage.
+# ---------------------------------------------------------------------------
+@register(
+    "q114_curated_shard_build",
+    f"""
+    WITH w AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS w
+      FROM documents WHERE doc_id % 19 <> 0
+    ),
+    gated AS (
+      SELECT doc_id, text, w,
+             CAST(len(w) AS BIGINT) AS n_tokens
+      FROM w
+      WHERE len(w) >= 30
+        AND 10 * len(list_distinct(w)) >= 3 * len(w)
+    ),
+    deduped AS (
+      SELECT doc_id, w, n_tokens FROM (
+        SELECT doc_id, w, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                                  ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    allbg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w) - 1),
+                           i -> md5(w[i] || ' ' || w[i + 1]))
+                    ELSE [] END) AS h
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+    ),
+    bk AS (
+      SELECT doc_id,
+             (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+      FROM allbg
+    ),
+    t AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_b
+      FROM bk WHERE doc_id % 19 = 0 GROUP BY bucket
+    ),
+    srcd AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS s_b
+      FROM bk WHERE doc_id % 19 <> 0 GROUP BY bucket
+    ),
+    c AS (
+      SELECT COALESCE(t.bucket, srcd.bucket) AS bucket,
+             (1000 * COALESCE(t.t_b, 0) * (SELECT SUM(s_b) FROM srcd))
+             // (COALESCE(srcd.s_b, 0) * (SELECT SUM(t_b) FROM t) + 1) AS c_b
+      FROM t FULL OUTER JOIN srcd ON t.bucket = srcd.bucket
+    ),
+    scored AS (
+      SELECT d.doc_id, d.n_tokens,
+             CAST(COALESCE(SUM(b.n * c.c_b), 0) AS BIGINT) AS importance
+      FROM deduped d
+      LEFT JOIN (
+        SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bk GROUP BY doc_id, bucket
+      ) b ON b.doc_id = d.doc_id
+      LEFT JOIN c ON c.bucket = b.bucket
+      GROUP BY d.doc_id, d.n_tokens
+    ),
+    sharded AS (
+      SELECT CAST(({_hex_fold_sql(_SHARD_MD5.format(st="VARCHAR"))}) % 16
+                  AS BIGINT) AS shard,
+             doc_id, n_tokens, importance,
+             CAST({_hex_fold_sql(_CKSUM_MD5)} AS BIGINT) AS ck
+      FROM scored JOIN documents USING (doc_id)
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(importance) AS BIGINT) AS total_importance,
+           CAST(SUM(ck) AS BIGINT) AS checksum
+    FROM sharded GROUP BY shard
+    """,
+    description="Curated shard build capstone: quality gates (integer "
+    "cross-multiplied) -> exact dedup keep-first -> DSIR importance "
+    "scores -> md5-fold shard assignment -> per-shard manifest with an "
+    "order-free checksum; one distribution pass broadcast back, one "
+    "fingerprint window, one shard rollup.",
+    tags=("training-data", "dedup", "sampling", "importance", "capstone"),
+)
+def q114_curated_shard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import shard_column
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 19 != 0)
+    w = F.split(F.lower("text"), " ")
+    gated = train.select(
+        "doc_id", "text", F.size(w).cast("long").alias("n_tokens")
+    ).filter(
+        (F.size(w) >= 30)
+        & (10 * F.size(F.array_distinct(w)) >= 3 * F.size(w))
+    )
+    win = Window.partitionBy(F.md5(F.lower("text"))).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    # DSIR contrast table (q111's construction over the FULL corpus).
+    bg = dd.ngram_fingerprints(docs, n=2, extra_cols=())
+    bk = bg.select(
+        "doc_id",
+        F.expr(
+            "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
+            " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
+        ).alias("bucket"),
+    )
+    t = (
+        bk.filter(F.col("doc_id") % 19 == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t_b"))
+    )
+    src = (
+        bk.filter(F.col("doc_id") % 19 != 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("s_b"))
+    )
+    t_total = t.agg(F.sum("t_b").alias("T")).withColumn("__k", F.lit(1))
+    s_total = src.agg(F.sum("s_b").alias("S")).withColumn("__k", F.lit(1))
+    c = (
+        t.alias("t")
+        .join(src.alias("s"), F.col("t.bucket") == F.col("s.bucket"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.bucket"), F.col("s.bucket")).alias("bucket"),
+            F.coalesce(F.col("t.t_b"), F.lit(0)).alias("t_b"),
+            F.coalesce(F.col("s.s_b"), F.lit(0)).alias("s_b"),
+            F.lit(1).alias("__k"),
+        )
+        .join(F.broadcast(t_total), "__k")
+        .join(F.broadcast(s_total), "__k")
+        .select("bucket", F.expr("(1000 * t_b * S) div (s_b * T + 1)").alias("c_b"))
+    )
+    doc_counts = bk.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    scored = (
+        deduped.join(doc_counts, "doc_id", "left")
+        .join(F.broadcast(c), "bucket", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.coalesce(F.sum(F.col("n") * F.col("c_b")), F.lit(0))
+            .cast("long")
+            .alias("importance")
+        )
+    )
+    cksum = _hex_fold_sql(_CKSUM_MD5)
+    sharded = scored.join(docs.select("doc_id", "text"), "doc_id").select(
+        shard_column("doc_id", 16).alias("shard"),
+        "doc_id",
+        "n_tokens",
+        "importance",
+        F.expr(f"CAST({cksum} AS BIGINT)").alias("ck"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("importance").cast("long").alias("total_importance"),
+        F.sum("ck").cast("long").alias("checksum"),
+    )
