@@ -259,3 +259,65 @@ def test_simhash_banding_matches_bruteforce_hamming(spark):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    n_shards=st.sampled_from([2, 4, 16, 64]),
+)
+@settings(max_examples=10, deadline=None)
+def test_shard_column_matches_pure_python_md5_fold(spark_global, ids, n_shards):
+    """shard_column's instr-arithmetic hex fold must equal a pure-Python
+    md5 reimplementation for any id and shard count — the property the
+    DuckDB oracle twins rely on."""
+    import hashlib
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import shard_column
+
+    df = spark_global.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.shard
+        for r in df.select(
+            "doc_id", shard_column("doc_id", n_shards).alias("shard")
+        ).collect()
+    }
+    for i in ids:
+        h = hashlib.md5(f"shard:{i}".encode()).hexdigest()
+        assert got[i] == int(h[:4], 16) % n_shards, (i, n_shards)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcXYZ", min_size=1, max_size=5),
+        min_size=0,
+        max_size=12,
+    ),
+    n=st.sampled_from([2, 3, 4]),
+)
+@settings(max_examples=15, deadline=None)
+def test_ngram_fingerprints_match_pure_python(spark_global, words, n):
+    """The sliding n-gram md5 stream equals a pure-Python reference:
+    lowercase, space-joined, stride 1, one row per POSITION (duplicates
+    preserved), no rows for docs shorter than n words."""
+    import hashlib
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.dedup import (
+        ngram_fingerprints,
+    )
+
+    text = " ".join(words)
+    df = spark_global.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        r.ng for r in ngram_fingerprints(df, n=n).collect()
+    )
+    toks = text.lower().split(" ")
+    expected = sorted(
+        hashlib.md5(" ".join(toks[i : i + n]).encode()).hexdigest()
+        for i in range(len(toks) - n + 1)
+    ) if len(toks) >= n else []
+    assert got == expected
