@@ -31,11 +31,12 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # with their constructs re-exercised by staying rows (q89/q94/q98 for
 # content hashing, q18/q74 for windows, q03/q07 for date grouping,
 # q01/q07/q96/q104 for quantized aggregation). Late-round additions
-# q105-q114 take ten more slots; q03/q04/q61/q63, q38/q40/q56/q75 and
-# q42/q58 sit out for them — the most trivially-oracled of the r5 pool
+# q105-q115 take eleven more slots; q03/q04/q61/q63, q38/q40/q56/q75,
+# q42/q58 and q39 sit out for them — the most trivially-oracled of the r5 pool
 # (filter+group count / null counts / conditional aggs / date battery /
 # lang-ID CASE / octet-length metadata / regex extract / long-format
-# quantize / sketch battery / rank battery), their constructs still
+# quantize / sketch battery / rank battery / md5 projection), their
+# constructs still
 # exercised by staying rows (q02 filters+casts, q07 date grouping+
 # multi-agg, q91/q104 conditional aggregation, q37 text regex features,
 # q41 multimodal metadata+decode, q75's quantization scheme inside
@@ -66,6 +67,7 @@ _PRIORITY = [
     "q112_dup_cluster_histogram",
     "q113_media_neardup_phash",
     "q114_curated_shard_build",
+    "q115_streaming_upsert_totals",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -83,7 +85,6 @@ _PRIORITY = [
     "q33_simhash",
     "q34_embedding_topk",
     "q37_text_quality",
-    "q39_fingerprint",
     "q41_multimodal_decode",
     "q57_grouping_sets",
     "q67_streaming_sessionize",

@@ -4924,3 +4924,72 @@ def q114_curated_shard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("importance").cast("long").alias("total_importance"),
         F.sum("ck").cast("long").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — streaming UPSERT into a live JDBC table (embedded Derby), the
+# idempotent S13+S8 composition: an update-mode per-user aggregate
+# emits only CHANGED keys each micro-batch, the upsert sink
+# (streaming.foreach_batch_jdbc_upsert: within-batch keyed dedup ->
+# distributed staging write -> one set-based DELETE+INSERT driver-side)
+# overwrites them, and the final table state must equal the batch
+# aggregate EXACTLY — which the DuckDB oracle asserts. Retried batches
+# converge to the same state (proven in the live Derby test), which a
+# plain append sink cannot do: this is the exactly-once RDBMS story.
+# ---------------------------------------------------------------------------
+@register(
+    "q115_streaming_upsert_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            / 100.0) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    description="Streaming update-mode per-user totals upserted into a "
+    "LIVE embedded-Derby table through the idempotent keyed upsert sink "
+    "(staging write + set-based DELETE/INSERT); the final table state "
+    "read back over JDBC must equal the batch aggregate, oracle-proven.",
+    tags=("streaming", "jdbc", "upsert", "exactly-once"),
+)
+def q115_streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_jdbc,
+        read_table_stream,
+    )
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_jdbc_upsert,
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    url = f"jdbc:derby:memory:q115_{uuid.uuid4().hex[:8]};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    table = "Q115_TOTALS"
+    stream = read_table_stream(spark, sf_dir, "events")
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            / 100.0
+        ).alias("sum_value"),
+    )
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(
+                foreach_batch_jdbc_upsert(
+                    url, table, key_cols=["user_id"], properties=props
+                )
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    return read_jdbc(spark, url, table, props).select(
+        "user_id", "n_events", "sum_value"
+    )

@@ -183,3 +183,47 @@ def test_streaming_foreach_batch_jdbc_embedded_derby(spark, tmp_path):
     assert sum(n for _, n in seen) == 20
     got = {(r.id, r.v) for r in eio.read_jdbc(spark, url, "STREAM_T", DERBY_PROPS).collect()}
     assert got == {(i, i * 1.5) for i in range(20)}
+
+
+def test_jdbc_upsert_idempotent_last_write_wins_embedded_derby(spark):
+    """The upsert sink: overlapping keys across batches converge to the
+    newest value; REPLAYING a batch (retry semantics) leaves the table
+    unchanged — idempotence, which the plain append sink cannot give."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        foreach_batch_jdbc_upsert,
+    )
+
+    url = _derby_url()
+    counts = []
+    write = foreach_batch_jdbc_upsert(
+        url,
+        "UPS_T",
+        key_cols=["id"],
+        order_col="ver",
+        properties=DERBY_PROPS,
+        on_batch=lambda bid, n: counts.append((bid, n)),
+    )
+    b0 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (2, 2, "b2"), (3, 1, "c")],
+        "id long, ver long, val string",
+    )
+    write(b0, 0)
+    # Batch 1 overwrites id=2 and inserts id=4.
+    b1 = spark.createDataFrame(
+        [(2, 3, "b3"), (4, 1, "d")], "id long, ver long, val string"
+    )
+    write(b1, 1)
+
+    def table_state():
+        back = eio.read_jdbc(spark, url, "UPS_T", DERBY_PROPS)
+        return {(r.id, r.ver, r.val) for r in back.collect()}
+
+    want = {(1, 1, "a"), (2, 3, "b3"), (3, 1, "c"), (4, 1, "d")}
+    assert table_state() == want
+    # Within-batch dedup kept the HIGHEST ver for id=2 in batch 0 (ver=2
+    # row, then overwritten by batch 1's ver=3), and on_batch reports the
+    # deduped row count.
+    assert counts == [(0, 3), (1, 2)]
+    # Replay batch 1 (a streaming retry): state must not change.
+    write(b1, 1)
+    assert table_state() == want

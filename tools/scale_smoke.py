@@ -67,6 +67,8 @@ QUERIES_TO_RUN = [
     "q109_bpe_merge_step",         # vocab-bounded pair counts
     "q111_importance_weights",     # 256-bucket hashed-bigram contrast
     "q112_dup_cluster_histogram",  # CC labels + size rollup
+    "q113_media_neardup_phash",    # pHash 4-band Hamming-LSH (uncapped)
+    "q114_curated_shard_build",    # gates -> dedup -> DSIR -> shards
 ]
 
 
