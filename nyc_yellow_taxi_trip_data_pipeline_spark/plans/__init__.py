@@ -31,8 +31,10 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # with their constructs re-exercised by staying rows (q89/q94/q98 for
 # content hashing, q18/q74 for windows, q03/q07 for date grouping,
 # q01/q07/q96/q104 for quantized aggregation). Late-round additions
-# q105-q115 take eleven more slots; q03/q04/q61/q63, q38/q40/q56/q75,
-# q42/q58 and q39 sit out for them — the most trivially-oracled of the r5 pool
+# q105-q117 take thirteen more slots; q03/q04/q61/q63, q38/q40/q56/q75,
+# q42/q58, q39 and q33/q34 sit out for them (q33's Hamming banding is
+# double-covered by staying q92/q113; q34's exact-cosine machinery by
+# q66/q108) — the most trivially-oracled of the r5 pool
 # (filter+group count / null counts / conditional aggs / date battery /
 # lang-ID CASE / octet-length metadata / regex extract / long-format
 # quantize / sketch battery / rank battery / md5 projection), their
@@ -68,6 +70,8 @@ _PRIORITY = [
     "q113_media_neardup_phash",
     "q114_curated_shard_build",
     "q115_streaming_upsert_totals",
+    "q116_bpe_apply_merge",
+    "q117_referential_integrity",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -82,8 +86,6 @@ _PRIORITY = [
     "q09_quantiles_iqr",
     "q11_summary_stats",
     "q32_minhash_lsh_neardup",
-    "q33_simhash",
-    "q34_embedding_topk",
     "q37_text_quality",
     "q41_multimodal_decode",
     "q57_grouping_sets",

@@ -4993,3 +4993,161 @@ def q115_streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jdbc(spark, url, table, props).select(
         "user_id", "n_events", "sum_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — BPE merge APPLICATION (q109 picks the merge; this applies it —
+# one full iteration of the tokenizer-training loop): the argmax pair is
+# applied to every vocabulary word by sequential non-overlapping
+# replacement (replace() has identical greedy left-to-right semantics in
+# Spark and DuckDB, and each merge shortens the word by exactly one
+# char, so merge counts are pure length arithmetic — no regex, no
+# Python). Corpus-weighted before/after token counts quantify the
+# compression this merge buys. The argmax is a documented 1-row driver
+# pull on the Spark side (like the IVF centroid seeds); the oracle picks
+# it in a CTE — both sides use the same (count desc, pair asc) total
+# order, so they choose the same pair.
+# ---------------------------------------------------------------------------
+@register(
+    "q116_bpe_apply_merge",
+    """
+    WITH wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                                   i -> substr(word, i, 2))) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    ),
+    best AS (
+      SELECT pair FROM pairs
+      GROUP BY pair ORDER BY SUM(freq) DESC, pair LIMIT 1
+    ),
+    applied AS (
+      SELECT wf.word, wf.freq, b.pair,
+             CAST(length(wf.word) AS BIGINT) AS len_before,
+             CAST(length(replace(wf.word, b.pair, '#')) AS BIGINT) AS len_after
+      FROM wf CROSS JOIN best b
+    )
+    SELECT pair AS merge_pair,
+           CAST(SUM(freq * (len_before - len_after)) AS BIGINT) AS n_merges,
+           CAST(SUM(freq * len_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(freq * len_after) AS BIGINT) AS tokens_after
+    FROM applied GROUP BY pair
+    """,
+    description="BPE merge application (the iteration step after q109's "
+    "argmax): greedy non-overlapping replace over the DISTINCT "
+    "vocabulary, merge counts as pure length arithmetic, corpus-weighted "
+    "before/after token totals; argmax is a documented 1-row driver "
+    "pull with a total-order tiebreak.",
+    tags=("text", "tokenizer", "training-data", "iterative"),
+)
+def q116_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = wf.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    best_row = (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .collect()
+    )
+    best = best_row[0]["pair"] if best_row else ""
+    applied = wf.select(
+        "word",
+        "freq",
+        F.lit(best).alias("pair"),
+        F.length("word").cast("long").alias("len_before"),
+        F.length(F.replace(F.col("word"), F.lit(best), F.lit("#")))
+        .cast("long")
+        .alias("len_after"),
+    )
+    return applied.groupBy("pair").agg(
+        F.sum(F.col("freq") * (F.col("len_before") - F.col("len_after")))
+        .cast("long")
+        .alias("n_merges"),
+        F.sum(F.col("freq") * F.col("len_before")).cast("long").alias("tokens_before"),
+        F.sum(F.col("freq") * F.col("len_after")).cast("long").alias("tokens_after"),
+    ).select(
+        F.col("pair").alias("merge_pair"),
+        "n_merges",
+        "tokens_before",
+        "tokens_after",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — referential-integrity audit across the warehouse: orphan counts
+# for every foreign-key relation the engine's joins depend on (orders ->
+# customer, lineitem -> orders, documents -> embeddings by id) plus row
+# totals — the data-quality precondition every star join and enrichment
+# assumes. Each relation is one LEFT ANTI join on the key (shuffle
+# bounded by the child table; at scale the dim side broadcasts exactly
+# like the production join it guards). Orphans are summarized, never
+# listed — audit output stays O(relations).
+# ---------------------------------------------------------------------------
+@register(
+    "q117_referential_integrity",
+    """
+    SELECT 'orders->customer' AS relation,
+           (SELECT COUNT(*) FROM orders) AS n_child,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'documents->embeddings',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(*) FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                              WHERE e.vec_id = d.doc_id))
+    """,
+    description="Referential-integrity audit: orphan counts per FK "
+    "relation (orders->customer, lineitem->orders, "
+    "documents->embeddings) via LEFT ANTI joins with broadcastable dim "
+    "sides — the precondition audit for every star join; O(relations) "
+    "output.",
+    tags=("audit", "join", "data-quality"),
+)
+def q117_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("documents->embeddings", "documents", "doc_id", "embeddings", "vec_id"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in rels:
+        c = read_table(spark, sf_dir, child)
+        p = read_table(spark, sf_dir, parent).select(F.col(pk).alias(ck)).distinct()
+        orphans = c.select(ck).join(F.broadcast(p), ck, "left_anti")
+        row = (
+            c.agg(F.count("*").alias("n_child"))
+            .withColumn("__k", F.lit(1))
+            .join(
+                orphans.agg(F.count("*").alias("n_orphans")).withColumn(
+                    "__k", F.lit(1)
+                ),
+                "__k",
+            )
+            .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

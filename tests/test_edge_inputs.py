@@ -121,3 +121,43 @@ def test_minhash_near_dup_on_unicode_docs(spark):
         for r in dd.minhash_near_duplicates(docs, threshold=0.5).collect()
     }
     assert pairs == {(0, 1): 1.0}
+
+
+def test_ngram_contamination_empty_benchmark(spark):
+    """An empty benchmark set flags nothing (broadcast of an empty side
+    must not error) and an empty TRAIN side yields an empty result."""
+    schema = "doc_id long, text string, source string"
+    empty = spark.createDataFrame([], schema)
+    train = spark.createDataFrame(
+        [(1, "some words repeated here some words", "s")], schema
+    )
+    assert dd.ngram_contamination(train, empty, n=4).count() == 0
+    assert dd.ngram_contamination(empty, train, n=4).count() == 0
+
+
+def test_semantic_dedup_single_vector_and_empty(spark):
+    """One vector -> one cluster row with zero pairs; empty input -> no
+    rows (the derived-plane count path must not divide by zero)."""
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = sim.semantic_dedup_clusters(one, n_planes=None).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_vectors, rows[0].n_dup_pairs, rows[0].n_removed) == (1, 0, 0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.semantic_dedup_clusters(empty, n_planes=3).count() == 0
+
+
+def test_write_training_shards_empty_corpus(spark, tmp_path):
+    """Sharding an empty corpus writes an empty (readable) dataset."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        write_training_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = str(tmp_path / "empty_shards")
+    write_training_shards(empty, out, n_shards=4)
+    # An empty partitioned write has no partition dirs to infer schema
+    # from (standard Spark behavior); an explicit schema reads 0 rows.
+    back = spark.read.schema("doc_id long, text string, shard long").parquet(out)
+    assert back.count() == 0
