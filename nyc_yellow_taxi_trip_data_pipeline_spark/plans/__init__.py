@@ -31,10 +31,12 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # with their constructs re-exercised by staying rows (q89/q94/q98 for
 # content hashing, q18/q74 for windows, q03/q07 for date grouping,
 # q01/q07/q96/q104 for quantized aggregation). Late-round additions
-# q105-q117 take thirteen more slots; q03/q04/q61/q63, q38/q40/q56/q75,
-# q42/q58, q39 and q33/q34 sit out for them (q33's Hamming banding is
-# double-covered by staying q92/q113; q34's exact-cosine machinery by
-# q66/q108) — the most trivially-oracled of the r5 pool
+# q105-q119 take fifteen more slots; q03/q04/q61/q63, q38/q40/q56/q75,
+# q42/q58, q39, q33/q34 and q70/q72 sit out for them (q33's Hamming
+# banding is double-covered by staying q92/q113; q34's exact-cosine
+# machinery by q66/q108; q70's md5-hash draw by staying q74; q72's
+# partial-merge additivity by its unit test plus q102/q106's additive
+# checksums) — the most trivially-oracled of the r5 pool
 # (filter+group count / null counts / conditional aggs / date battery /
 # lang-ID CASE / octet-length metadata / regex extract / long-format
 # quantize / sketch battery / rank battery / md5 projection), their
@@ -72,6 +74,8 @@ _PRIORITY = [
     "q115_streaming_upsert_totals",
     "q116_bpe_apply_merge",
     "q117_referential_integrity",
+    "q118_session_documents",
+    "q119_embedding_truncation_audit",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -91,9 +95,7 @@ _PRIORITY = [
     "q57_grouping_sets",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",
-    "q70_stratified_sample",
     "q71_token_counts",
-    "q72_incremental_rollup",
     "q73_kmeans_step",
     "q74_reservoir_topn",
     "q78_chunk_windows_udtf",

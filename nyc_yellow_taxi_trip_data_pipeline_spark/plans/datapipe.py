@@ -5151,3 +5151,191 @@ def q117_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q118 — session documents: turn raw event logs into TRAINING DOCUMENTS
+# (the conversation-log -> corpus conversion a chat/agent-model data
+# pipeline runs): events sessionize per user on a 30-minute gap (q20's
+# lag-window machinery), then each session becomes one document — the
+# ordered event-type sequence serialized to text. Ordered aggregation
+# is the determinism trap here: collect_list order is partition-
+# dependent, so the sequence is built by sorting an array of (epoch,
+# event_id, type) structs — array_sort on a struct is a total order,
+# bit-reproducible anywhere — and DuckDB's twin is string_agg ORDER BY
+# the same keys. One user_id shuffle for the session window, one
+# (user_id, session) aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q118_session_documents",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL
+                       OR es - CAST(FLOOR(EPOCH(prev_ts)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sess AS (
+      SELECT *,
+             SUM(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           string_agg(event_type, ' ' ORDER BY es, event_id) AS doc_text,
+           CAST(MIN(es) AS BIGINT) AS session_start_es
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    description="Session documents: 30-min-gap sessionization, then each "
+    "session serialized to one training document (ordered event-type "
+    "sequence) via sorted-struct aggregation — a total order, never "
+    "partition-dependent collect_list; oracle twin is string_agg ORDER "
+    "BY the same keys.",
+    tags=("text", "sessionize", "window", "training-data"),
+)
+def q118_session_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.col("es") - F.unix_timestamp("prev_ts") > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("es", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                " ",
+            ).alias("doc_text"),
+            F.min("es").cast("long").alias("session_start_es"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "n_events",
+            "doc_text",
+            "session_start_es",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — embedding truncation audit (Matryoshka representation learning,
+# Kusupati et al. 2022 — public method): how much cosine fidelity
+# survives truncating stored embeddings to their first d components?
+# For a prefix truncation, cos²(v[:d], v) reduces to |v[:d]|²/|v|²
+# (the cross-dot equals the prefix norm), so the whole audit is two
+# integer norm sums per vector per d — map-only, no pairs, no Python.
+# Components quantize to integers first (rule 1); the per-vector ratio
+# quantizes to 1e-4 BEFORE the mean (exact integer sums in any order),
+# and the mean itself is an exact integer division. The decision this
+# feeds: which truncation tier the vector store can serve (q75's int8
+# codes are the byte-axis twin of this dimension-axis knob).
+# ---------------------------------------------------------------------------
+_TRUNC_DIMS = (8, 16, 32)
+
+
+@register(
+    "q119_embedding_truncation_audit",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j,
+             CAST(FLOOR(unnest(ev) * 1000 + 0.5) AS BIGINT) AS q
+      FROM e
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(SUM(q * q) AS BIGINT) AS nf,
+             {", ".join(
+               f"CAST(SUM(CASE WHEN j <= {d} THEN q * q ELSE 0 END) AS BIGINT)"
+               f" AS n{d}" for d in _TRUNC_DIMS
+             )}
+      FROM comps GROUP BY vec_id
+    ),
+    ratios AS (
+      {" UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS trunc_dim,"
+        f" (10000 * n{d}) // nf AS r FROM norms WHERE nf > 0"
+        for d in _TRUNC_DIMS
+      )}
+    )
+    SELECT trunc_dim, COUNT(*) AS n_vectors,
+           CAST(SUM(r) AS BIGINT) // COUNT(*) AS mean_cos2_q4
+    FROM ratios GROUP BY trunc_dim
+    """,
+    description="Matryoshka truncation audit: cosine fidelity of prefix-"
+    "truncated embeddings via the |v[:d]|²/|v|² identity — two integer "
+    "norm sums per vector per tier, map-only; per-vector ratios "
+    "quantized to 1e-4 before an exact integer mean.",
+    tags=("embedding", "audit", "compression", "similarity"),
+)
+def q119_embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+    )
+
+    def norm2(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    base = emb.select(
+        "vec_id",
+        norm2(q).alias("nf"),
+        *[norm2(F.slice(q, 1, d)).alias(f"n{d}") for d in _TRUNC_DIMS],
+    ).filter(F.col("nf") > 0)
+    ratios = None
+    for d in _TRUNC_DIMS:
+        r = base.select(
+            F.lit(d).cast("long").alias("trunc_dim"),
+            F.expr(f"(10000 * n{d}) div nf").alias("r"),
+        )
+        ratios = r if ratios is None else ratios.unionByName(r)
+    return ratios.groupBy("trunc_dim").agg(
+        F.count("*").alias("n_vectors"),
+        F.expr("CAST(SUM(r) AS BIGINT) div COUNT(*)").alias("mean_cos2_q4"),
+    )
