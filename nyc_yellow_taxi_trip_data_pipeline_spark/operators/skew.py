@@ -38,3 +38,42 @@ def salted_quantized_agg(
         ((F.sum("__psum") / float(scale)) / F.sum("__pcnt")).alias("avg_value"),
         F.sum("__pcnt").alias("n"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_expr: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+    hint: str | None = None,
+) -> DataFrame:
+    """Equi-join re-keyed on (key, salt), row-identical to the plain join.
+
+    The dim side replicates each row across all ``n_salts`` salt ids
+    (explode over a literal sequence — dim grows n_salts-fold, which is
+    the price of spreading the fact side); the fact side derives its salt
+    from ``salt_expr`` (pass a DETERMINISTIC expression, e.g. an md5 fold
+    of a high-cardinality column — rand() salting is irreproducible).
+    A hot fact key's rows then hash across ``n_salts`` shuffle partitions
+    instead of one straggler.
+
+    ``hint`` (e.g. ``"merge"``) is applied to the fact side right before
+    the join so the salted co-partitioning is actually exercised in tests
+    where the dim would otherwise auto-broadcast.
+    """
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(salt_expr.cast("long"), F.lit(n_salts)).cast("int")
+    )
+    if hint is not None:
+        fact_s = fact_s.hint(hint)
+    cond = (fact_s[fact_key] == dim_s[dim_key]) & (
+        fact_s["__salt"] == dim_s["__salt"]
+    )
+    # drop() by name removes BOTH __salt columns (Spark drops every match).
+    return fact_s.join(dim_s, cond, how).drop("__salt")

@@ -76,30 +76,38 @@ _PRIORITY = [
     "q117_referential_integrity",
     "q118_session_documents",
     "q119_embedding_truncation_audit",
+    # (b) round-7 second batch (q120-q126). Seven more r5-green rows sit
+    # out for them: q01/q05/q08/q09/q37/q71/q79 — each construct double-
+    # covered by staying rows (q01's quantized multi-agg by q07+q121;
+    # q05's broadcast-join topk by q06+q120; q08's argmax window by
+    # q74+q122; q09's exact percentile by its q99 sketch twin + staying
+    # q11; q37's regex features by q103/q88; q71's token budget by
+    # q125+q107; q79's staged gates by q114's full funnel) and unit-
+    # tested locally.
+    "q120_join_skew_audit",
+    "q121_salted_skew_join",
+    "q122_scd2_intervals",
+    "q123_lsh_verify_editdist",
+    "q124_hash_threshold_sample",
+    "q125_word_freq_spectrum",
+    "q126_training_mix_schedule",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
     # (c) last green row is r5:
-    "q01_pricing_summary",
     "q02_clean_features",
-    "q05_route_topk",
     "q06_left_join_dim",
     "q07_daily_multi_agg",
-    "q08_argmax_day",
-    "q09_quantiles_iqr",
     "q11_summary_stats",
     "q32_minhash_lsh_neardup",
-    "q37_text_quality",
     "q41_multimodal_decode",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",
-    "q71_token_counts",
     "q73_kmeans_step",
     "q74_reservoir_topn",
     "q78_chunk_windows_udtf",
-    "q79_curation_funnel",
     "q80_stream_static_join",
     "q82_triangle_count",
     "q84_grouped_sketch_quantiles",

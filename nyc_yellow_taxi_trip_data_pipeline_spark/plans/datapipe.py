@@ -17,6 +17,7 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
 from nyc_yellow_taxi_trip_data_pipeline_spark.operators import multimodal as mm
 from nyc_yellow_taxi_trip_data_pipeline_spark.operators import similarity as sim
 from nyc_yellow_taxi_trip_data_pipeline_spark.operators import text as tx
+from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import sql_qsum
 from nyc_yellow_taxi_trip_data_pipeline_spark.plans.registry import register
 from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
 
@@ -5338,4 +5339,408 @@ def q119_embedding_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFra
     return ratios.groupBy("trunc_dim").agg(
         F.count("*").alias("n_vectors"),
         F.expr("CAST(SUM(r) AS BIGINT) div COUNT(*)").alias("mean_cos2_q4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — JOIN-KEY SKEW AUDIT: the pre-flight diagnostic every large join
+# needs. Per-key row counts on the prospective join key, each key's share
+# of the table, and the salt factor a skewed key would need so its rows
+# spread across ~32 shuffle partitions (ceil(n_rows * 32 / total) in
+# exact integer math). One map-side-combined shuffle on the key; the
+# table total arrives by broadcasting a 1-row aggregate (a SUM() OVER ()
+# on the keyset would funnel every key through one partition — the exact
+# failure this audit exists to prevent). Top-20 keys under a total order.
+# ---------------------------------------------------------------------------
+@register(
+    "q120_join_skew_audit",
+    """
+    WITH per AS (
+      SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT SUM(n_rows) AS t FROM per)
+    SELECT user_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST((n_rows * 1000) // t AS BIGINT) AS share_permille,
+           CAST((n_rows * 32 + t - 1) // t AS BIGINT) AS salt_factor
+    FROM per, tot
+    ORDER BY n_rows DESC, user_id
+    LIMIT 20
+    """,
+    description="Join-key skew audit: per-key counts, table share, and the "
+    "salt factor needed to spread each hot key over ~32 partitions — one "
+    "map-combined shuffle plus a broadcast 1-row total (never SUM() "
+    "OVER (), which would single-partition the keyset).",
+    tags=("audit", "skew", "join", "agg"),
+)
+def q120_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    tot = per.agg(F.sum("n_rows").alias("__t")).withColumn("__k", F.lit(1))
+    return (
+        per.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .select(
+            "user_id",
+            "n_rows",
+            F.expr("(n_rows * 1000) div __t").alias("share_permille"),
+            F.expr("(n_rows * 32 + __t - 1) div __t").alias("salt_factor"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — SALTED SKEW JOIN, result-equality proven: the orders->customer
+# join re-keyed on (c_custkey, salt): the dim side replicates each row
+# across _SALT_N salt ids (explode over a literal sequence — still
+# broadcastable when the dim is small; at 100 TB the same rewrite is what
+# makes a sort-merge join survive a hot key, which is why the fact side
+# is hinted to MERGE here so the salted co-partitioning is actually
+# exercised, not silently broadcast away), and the fact side picks its
+# salt deterministically from md5(o_orderkey) — reproducible across runs
+# and engines, unlike rand()-salting. The oracle is the PLAIN join: the
+# salted plan must produce bit-identical aggregates, which is the whole
+# contract of salting.
+# ---------------------------------------------------------------------------
+_SALT_N = 8
+_SALT_FOLD = _hex_fold_sql("md5(concat('salt:', CAST(o_orderkey AS {st})))")
+
+
+@register(
+    "q121_salted_skew_join",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           ({sql_qsum('o.o_totalprice', 100)}) AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description=f"Salted skew join: dim replicated over {_SALT_N} salt ids, "
+    "fact salted by md5(o_orderkey) fold (deterministic, not rand()), "
+    "joined MERGE-hinted on (custkey, salt) so the rewrite is exercised; "
+    "oracle is the plain join — salting must be value-invisible.",
+    tags=("join", "skew", "agg"),
+)
+def q121_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.skew import salted_join
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import qsum
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        read_table(spark, sf_dir, "orders"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+        F.expr(f"({_SALT_FOLD.format(st='STRING')})"),
+        n_salts=_SALT_N,
+        hint="merge",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        qsum(F.col("o_totalprice"), 100).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — SCD-2 INTERVAL BUILD from an event log (the change-data-capture
+# merge every warehouse dimension load runs): each user's events become
+# validity intervals via LEAD over the (ts, event_id) total order —
+# valid_to NULL marks the CURRENT state. The audit aggregates per state:
+# how many users currently sit in it, how many closed intervals it
+# produced, and total dwell seconds (exact integer epoch math — Spark's
+# unix_timestamp truncates, so the oracle FLOORs EPOCH identically).
+# One user_id shuffle for the window, then a tiny per-type rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q122_scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_current_users,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_closed,
+           CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                         THEN CAST(FLOOR(EPOCH(valid_to)) AS BIGINT)
+                              - CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS total_dwell_s
+    FROM o GROUP BY event_type
+    """,
+    description="SCD-2 interval build: LEAD over the per-user (ts, "
+    "event_id) total order turns an event log into validity intervals "
+    "(valid_to NULL = current state); per-state rollup of current users, "
+    "closed intervals, and exact integer dwell seconds. One user_id "
+    "shuffle.",
+    tags=("window", "cdc", "scd2", "agg"),
+)
+def q122_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.withColumn("valid_to", F.lead("ts").over(w))
+    closed = F.col("valid_to").isNotNull()
+    dwell = F.unix_timestamp("valid_to") - F.unix_timestamp("ts")
+    return o.groupBy("event_type").agg(
+        F.sum(F.when(~closed, 1).otherwise(0)).cast("long")
+        .alias("n_current_users"),
+        F.sum(F.when(closed, 1).otherwise(0)).cast("long").alias("n_closed"),
+        F.sum(F.when(closed, dwell).otherwise(0)).cast("long")
+        .alias("total_dwell_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q123 — LSH candidates verified by EDIT DISTANCE: the standard two-stage
+# near-dup pipeline (cheap recall stage -> exact precision stage) with
+# Levenshtein as the verifier instead of q32's Jaccard. Candidates come
+# from q92's Hamming-LSH band join (never O(n^2)); each surviving pair
+# pays one Levenshtein on a 120-char PREFIX — the cap is the scale
+# contract, since edit distance is O(len^2) and unbounded docs would make
+# a single boilerplate pair a straggler. Both engines implement textbook
+# Levenshtein; the prefix cap also bounds the distance, keeping the
+# filter threshold meaningful.
+# ---------------------------------------------------------------------------
+_EDIT_PREFIX = 120
+_EDIT_MAX = 30
+
+
+@register(
+    "q123_lsh_verify_editdist",
+    f"""
+    WITH pairs AS ({_simhash_pairs_sql(_SH_BITS, _SH_BANDS, _SH_RADIUS,
+                                       _SH_MAX_BUCKET)})
+    SELECT p.doc_a, p.doc_b, p.hamming,
+           CAST(levenshtein(substr(da.text, 1, {_EDIT_PREFIX}),
+                            substr(db.text, 1, {_EDIT_PREFIX}))
+                AS INTEGER) AS edit_dist
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE levenshtein(substr(da.text, 1, {_EDIT_PREFIX}),
+                      substr(db.text, 1, {_EDIT_PREFIX})) <= {_EDIT_MAX}
+    """,
+    description="Two-stage near-dup verification: Hamming-LSH candidate "
+    f"pairs (q92's band join) verified by exact Levenshtein on a "
+    f"{_EDIT_PREFIX}-char prefix (the cap bounds the O(len^2) verifier), "
+    f"keeping pairs within edit distance {_EDIT_MAX}.",
+    tags=("dedup", "lsh", "verify", "text"),
+)
+def q123_lsh_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fp = dd.simhash_fingerprints(
+        dd.tokenize_distinct(docs), n_bits=_SH_BITS
+    ).localCheckpoint(eager=True)
+    pairs = dd.simhash_near_duplicates(
+        fp,
+        n_bits=_SH_BITS,
+        n_bands=_SH_BANDS,
+        max_hamming=_SH_RADIUS,
+        max_bucket=_SH_MAX_BUCKET,
+    )
+    pref = F.substring("text", 1, _EDIT_PREFIX)
+    da = docs.select(F.col("doc_id").alias("doc_a"), pref.alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), pref.alias("__tb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("__ta"), F.col("__tb")).cast("int"),
+        )
+        .filter(F.col("edit_dist") <= _EDIT_MAX)
+        .select("doc_a", "doc_b", "hamming", "edit_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — HASH-THRESHOLD STRATIFIED SAMPLING: per-source sampling rates
+# applied by comparing an md5 fold of the doc id against a permille
+# threshold — deterministic (same keep-set on every run, engine, and
+# partitioning; rand()-sampling is none of these), stable under corpus
+# growth (a doc's keep/drop never changes as neighbors arrive — the
+# property that makes downstream caches and dedup indexes incremental),
+# and map-only: the only shuffle is the tiny per-source audit rollup.
+# Rates derive from the source's numeric suffix (src0..src19 -> 1000/500/
+# 250/125 permille by suffix % 4); the kept-set is certified by an
+# order-free integer checksum, not just a count.
+# ---------------------------------------------------------------------------
+_SAMP_FOLD = _hex_fold_sql("md5(concat('samp:', CAST(doc_id AS {st})))")
+_RATE_CASE = (
+    "CASE CAST(substr(source, 4) AS INTEGER) % 4 "
+    "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 125 END"
+)
+
+
+def _q124_sql(string_type: str) -> str:
+    fold = _SAMP_FOLD.format(st=string_type)
+    return f"""
+    WITH s AS (
+      SELECT source,
+             CAST({_RATE_CASE} AS BIGINT) AS rate_permille,
+             CASE WHEN ({fold}) % 1000 < ({_RATE_CASE})
+                  THEN 1 ELSE 0 END AS kept,
+             CAST(({fold}) AS BIGINT) AS ck
+      FROM documents
+    )
+    SELECT source, rate_permille,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept * ck) AS BIGINT) AS kept_checksum
+    FROM s GROUP BY source, rate_permille
+    """
+
+
+@register(
+    "q124_hash_threshold_sample",
+    _q124_sql("VARCHAR"),
+    description="Deterministic stratified sampling: per-source permille "
+    "rates enforced by md5-fold thresholds on doc_id — reproducible "
+    "across engines/partitionings and stable under corpus growth, unlike "
+    "rand(); map-only with a per-source audit rollup certifying the "
+    "kept-set via an order-free integer checksum.",
+    tags=("sampling", "training-data", "audit"),
+)
+def q124_hash_threshold_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fold = _SAMP_FOLD.format(st="STRING")
+    s = docs.select(
+        "source",
+        F.expr(f"CAST({_RATE_CASE} AS BIGINT)").alias("rate_permille"),
+        F.expr(
+            f"CASE WHEN ({fold}) % 1000 < ({_RATE_CASE}) THEN 1 ELSE 0 END"
+        ).alias("kept"),
+        F.expr(f"CAST(({fold}) AS BIGINT)").alias("ck"),
+    )
+    return s.groupBy("source", "rate_permille").agg(
+        F.count("*").alias("n_total"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.col("kept") * F.col("ck")).cast("long").alias("kept_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — WORD-FREQUENCY SPECTRUM (the Zipf audit): how many vocabulary
+# types occur with frequency in each power-of-2 band. This is the
+# distribution check run before tokenizer training and after any filter
+# pass (a dedup or quality gate visibly shifts the singleton band). The
+# bucket ladder is integer CASE comparisons — no log2(), whose float
+# behavior at exact powers of two is a cross-engine boundary hazard —
+# and, unlike a rank-based Zipf curve, needs NO global sort: word-count
+# agg (map-combined), then a ~20-row rollup.
+# ---------------------------------------------------------------------------
+_FREQ_BANDS = [1 << i for i in range(1, 21)]  # 2 .. 1048576
+
+
+def _freq_bucket_case(n: str) -> str:
+    cases = " ".join(f"WHEN {n} < {b} THEN {b // 2}" for b in _FREQ_BANDS)
+    return f"CASE {cases} ELSE {_FREQ_BANDS[-1]} END"
+
+
+@register(
+    "q125_word_freq_spectrum",
+    f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    )
+    SELECT CAST({_freq_bucket_case('freq')} AS BIGINT) AS freq_band_lo,
+           COUNT(*) AS n_types,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(MIN(word) AS VARCHAR) AS first_word
+    FROM wf GROUP BY freq_band_lo
+    """,
+    description="Word-frequency spectrum: vocabulary types bucketed into "
+    "power-of-2 frequency bands (integer CASE ladder — no float log2) "
+    "with per-band type/token mass — the Zipf audit before tokenizer "
+    "training; word-count agg plus a ~20-row rollup, no global sort.",
+    tags=("text", "tokens", "audit", "agg"),
+)
+def q125_word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        wf.select(
+            F.expr(f"CAST({_freq_bucket_case('freq')} AS BIGINT)").alias(
+                "freq_band_lo"
+            ),
+            "word",
+            "freq",
+        )
+        .groupBy("freq_band_lo")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.min("word").alias("first_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q126 — DETERMINISTIC TRAINING-MIX SCHEDULE: the order documents are fed
+# to training, honoring per-language mix weights, WITHOUT any global
+# shuffle state: every doc gets schedule key md5-fold(doc) * 8 / weight —
+# a doc stream sorted by this key interleaves languages in proportion to
+# their weights in every prefix (inverse-weight spacing of md5-uniform
+# positions). Map-only keying; the first N schedule slots come out of a
+# TakeOrderedAndProject (per-partition top-N + tiny driver merge), never
+# a full sort. Epoch re-shuffles are just a different salt in the md5.
+# ---------------------------------------------------------------------------
+_MIX_WEIGHTS = {"en": 4, "de": 2, "fr": 2, "es": 1, "zh": 1}
+_MIX_FOLD = _hex_fold_sql("md5(concat('mix:', CAST(doc_id AS {st})))", 5)
+
+
+def _mix_weight_case() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE lang {cases} ELSE 1 END"
+
+
+@register(
+    "q126_training_mix_schedule",
+    f"""
+    SELECT CAST((({_MIX_FOLD.format(st='VARCHAR')}) * 8)
+                // ({_mix_weight_case()}) AS BIGINT) AS sched_key,
+           lang, doc_id
+    FROM documents
+    ORDER BY sched_key, doc_id
+    LIMIT 40
+    """,
+    description="Deterministic training-mix schedule: md5-fold position "
+    "divided by language weight interleaves sources proportionally in "
+    "every schedule prefix — map-only keying + top-N "
+    "(TakeOrderedAndProject), no global sort, no RNG state; epoch "
+    "re-shuffle = new md5 salt.",
+    tags=("training-data", "sampling", "ordering"),
+)
+def q126_training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fold = _MIX_FOLD.format(st="STRING")
+    return (
+        docs.select(
+            F.expr(
+                f"CAST((({fold}) * 8) div ({_mix_weight_case()}) AS BIGINT)"
+            ).alias("sched_key"),
+            "lang",
+            "doc_id",
+        )
+        .orderBy("sched_key", "doc_id")
+        .limit(40)
     )

@@ -107,3 +107,53 @@ def test_driver_window_invariant():
     assert list(QUERIES)[:50] == _PRIORITY, (
         "registration order does not start with the priority window"
     )
+
+
+def test_q120_skew_audit_invariants(spark):
+    """Shares are a partition of the table (top-20 shares sum <= 1000)
+    and every salt factor is >= 1 and <= 32 (a key can't need more
+    spread than the partition count)."""
+    rows = QUERIES["q120_join_skew_audit"].spark(spark, SF_DIR).collect()
+    assert rows, "skew audit returned no keys"
+    assert sum(r.share_permille for r in rows) <= 1000
+    for r in rows:
+        assert 1 <= r.salt_factor <= 32, r
+
+
+def test_q122_scd2_conservation(spark):
+    """Interval conservation: every event is exactly one interval, so
+    n_closed + n_current sums to the event count, and current states
+    sum to the distinct-user count (each user has exactly one open
+    interval)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    rows = QUERIES["q122_scd2_intervals"].spark(spark, SF_DIR).collect()
+    ev = read_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_closed + r.n_current_users for r in rows) == n_events
+    assert sum(r.n_current_users for r in rows) == n_users
+
+
+def test_q124_sampling_rate_contract(spark):
+    """rate=1000 strata keep everything; no stratum keeps more than its
+    total; rates take only the four documented values."""
+    rows = QUERIES["q124_hash_threshold_sample"].spark(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.rate_permille in (1000, 500, 250, 125), r
+        assert 0 <= r.n_kept <= r.n_total, r
+        if r.rate_permille == 1000:
+            assert r.n_kept == r.n_total, r
+
+
+def test_q126_schedule_is_sorted_and_weighted(spark):
+    """Schedule keys are nondecreasing, and in the md5-uniform limit the
+    highest-weight language (en, weight 4) appears at least as often in
+    the prefix as the lowest-weight ones (es/zh, weight 1) — a coarse
+    bound that survives small-sample noise at sf0.001."""
+    rows = QUERIES["q126_training_mix_schedule"].spark(spark, SF_DIR).collect()
+    keys = [r.sched_key for r in rows]
+    assert keys == sorted(keys)
+    langs = [r.lang for r in rows]
+    assert langs.count("en") >= max(langs.count("es"), langs.count("zh"))

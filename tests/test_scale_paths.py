@@ -359,3 +359,41 @@ def test_q103_top_word_agg_is_map_side_combined(spark):
     )
     plan = plan.split("== Initial Plan ==")[0]
     assert "partial_count" in plan, plan
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    """salted_join on a pathologically hot key (one key = 80% of the
+    fact) returns exactly the plain join's rows, and the merge hint
+    really yields a SortMergeJoin on the salted keys."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(400)] + [(k, 0) for k in range(2, 102)],
+        "fk long, payload long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 102)], "dk long, attr string"
+    )
+    out = salted_join(
+        fact, dim, "fk", "dk", F.col("payload") + F.col("fk"),
+        n_salts=4, hint="merge",
+    )
+    plain = fact.join(dim, fact.fk == dim.dk)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    """how='left' keeps fact rows with no dim match (NULL attrs) exactly
+    once — replication on the dim side must not duplicate them."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (99, 20)], "fk long, payload long")
+    dim = spark.createDataFrame([(1, "d1")], "dk long, attr string")
+    rows = salted_join(
+        fact, dim, "fk", "dk", F.col("fk"), n_salts=4, how="left"
+    ).collect()
+    assert len(rows) == 2
+    unmatched = [r for r in rows if r.fk == 99]
+    assert len(unmatched) == 1 and unmatched[0].attr is None
