@@ -76,13 +76,18 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — warmup is best-effort, never fatal
         pass
 
-    # Per-query MIN over up to BENCH_REPS passes (default 2). The host's
-    # CPU availability swings >2x between runs (shared virtualization);
-    # min-of-N is the standard way to measure the engine rather than the
-    # neighbors. The second pass is skipped if the first already spent the
-    # time budget, so worst-case wall time stays bounded.
-    reps = int(os.environ.get("BENCH_REPS", "2"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "240"))
+    # Per-query MIN over up to BENCH_REPS passes. The host's CPU
+    # availability swings >2x between runs (shared virtualization), and
+    # the FIRST pass additionally pays one-time codegen/JIT/state-store
+    # setup per plan, so min-of-N is the standard way to measure the
+    # engine rather than the neighbors or the JVM warmup. The second pass
+    # is therefore GUARANTEED (a cold single pass once misread as a
+    # uniform 1.5-4x regression when the inventory outgrew the old 240s
+    # budget); passes beyond the second run only while inside the time
+    # budget, keeping worst-case wall bounded at roughly
+    # cold_pass + budget.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "550"))
     # One failing query must never cost the run its other timings (round 5
     # lost the whole benchmark to a single AnalysisException): record the
     # error, keep going.
@@ -91,7 +96,7 @@ def main() -> None:
     passes_done = 0
     t_bench = time.perf_counter()
     for rep in range(reps):
-        if rep > 0 and time.perf_counter() - t_bench > budget_s:
+        if rep > 1 and time.perf_counter() - t_bench > budget_s:
             break
         for name in names:
             if name in errors:

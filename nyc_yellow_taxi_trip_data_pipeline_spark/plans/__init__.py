@@ -91,6 +91,15 @@ _PRIORITY = [
     "q124_hash_threshold_sample",
     "q125_word_freq_spectrum",
     "q126_training_mix_schedule",
+    # (b) round-7 third batch (q127-q129). Three more r5-green rows sit
+    # out: q74 (md5-ordered rank draw — double-covered by q126's md5
+    # schedule keys and q70's unit-tested md5 twins), q84 (sketch
+    # battery — q99/q100 sketch twins hold window slots), q41 (Arrow
+    # mapInPandas decode — q64/q65 exercise the same iterator-Arrow
+    # path and are older-green, so they keep their slots).
+    "q127_quality_classifier",
+    "q128_bloom_prefilter_join",
+    "q129_chunk_dup_mass",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -101,16 +110,13 @@ _PRIORITY = [
     "q07_daily_multi_agg",
     "q11_summary_stats",
     "q32_minhash_lsh_neardup",
-    "q41_multimodal_decode",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",
     "q73_kmeans_step",
-    "q74_reservoir_topn",
     "q78_chunk_windows_udtf",
     "q80_stream_static_join",
     "q82_triangle_count",
-    "q84_grouped_sketch_quantiles",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -5744,3 +5744,294 @@ def q126_training_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sched_key", "doc_id")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# q127 — HASHED-LINEAR QUALITY CLASSIFIER (the fasttext-style scorer a
+# curation pipeline runs on every document): tokens hash into 256
+# feature buckets (md5 fold — no vocabulary table to ship), each bucket
+# carries a deterministic "pretrained" weight in [-100, 100] (md5-derived
+# here; a real model just swaps the weight expression for a broadcast
+# lookup), a doc's raw score is the token-weight sum, normalized per
+# token and squashed by the RATIONAL sigmoid x/(1+|x|) — one IEEE divide,
+# bit-identical everywhere, where exp() is not (the q96 lesson). Signed
+# quantization uses FLOOR(x + 0.5) on an exactly-computed double — NOT
+# integer div, whose rounding direction on negatives differs between
+# engines (Spark `div` truncates toward zero; DuckDB `//` floors).
+# Map-side explode + one doc_id agg + a tiny source rollup.
+# ---------------------------------------------------------------------------
+_QC_BUCKET = _hex_fold_sql("md5(concat('qw:', w))", 2)
+def _qc_weight_sql(string_type: str) -> str:
+    inner = _hex_fold_sql(f"md5(concat('qv:', CAST(b AS {string_type})))", 2)
+    return f"CAST(({inner}) % 201 AS BIGINT) - 100"
+
+
+_QC_WEIGHT_SPARK = _qc_weight_sql("STRING")
+
+
+@register(
+    "q127_quality_classifier",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    weighted AS (
+      SELECT doc_id, source, ({_qc_weight_sql('VARCHAR')}) AS wt FROM (
+        SELECT doc_id, source, (({_QC_BUCKET}) % 256) AS b FROM tok
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(FLOOR(CAST(1000 * SUM(wt) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS score_q
+      FROM weighted GROUP BY doc_id, source
+    ),
+    sig AS (
+      SELECT source,
+             CAST(FLOOR(CAST(1000 * score_q AS DOUBLE)
+                        / (1000 + abs(score_q)) + 0.5) AS BIGINT) AS s
+      FROM per_doc
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS sig_sum,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive
+    FROM sig GROUP BY source
+    """,
+    description="Hashed-linear quality classifier: md5-fold feature "
+    "hashing into 256 buckets with deterministic weights, per-token "
+    "normalization, and a rational sigmoid (x/(1+|x|) — bit-portable "
+    "where exp is not); signed scores quantized via FLOOR(x+0.5), never "
+    "integer div (engines disagree on negative rounding). Map-side "
+    "explode, one doc agg, tiny source rollup.",
+    tags=("text", "quality", "ml", "training-data"),
+)
+def q127_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    )
+    bucketed = tok.select(
+        "doc_id", "source",
+        F.expr(f"(({_QC_BUCKET}) % 256)").alias("b"),
+    )
+    weighted = bucketed.select(
+        "doc_id", "source", F.expr(_QC_WEIGHT_SPARK).alias("wt")
+    )
+    per_doc = weighted.groupBy("doc_id", "source").agg(
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * SUM(wt) AS DOUBLE) / COUNT(*) + 0.5D)"
+            " AS BIGINT)"
+        ).alias("score_q")
+    )
+    sig = per_doc.select(
+        "source",
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * score_q AS DOUBLE)"
+            " / (1000 + abs(score_q)) + 0.5D) AS BIGINT)"
+        ).alias("s"),
+    )
+    return sig.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("s").cast("long").alias("sig_sum"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q128 — BLOOM-PREFILTERED SEMI JOIN: the build-side keys (customers in
+# one segment) fold into a 1024-bit bitmap (32 x 32-bit words, built by
+# a bit_or aggregation — fixed-size state like q91's HLL), the bitmap is
+# collected to the driver (32 longs — the same documented tiny-pull class
+# as IVF centroid seeds) and applied as a LITERAL array filter on the
+# probe side BEFORE the exact semi join kills the ~3% false positives.
+# At 100 TB this is the manual form of Spark's runtime bloom-filter
+# pushdown (spark.sql.optimizer.runtime.bloomFilter.*): the probe scan
+# discards ~80% of rows without shuffling them. The oracle is the PLAIN
+# semi join — the prefilter must be value-invisible, which is the whole
+# contract of a Bloom filter (no false negatives).
+# ---------------------------------------------------------------------------
+_BF_BITS = 1024
+_BF_WORD = 32  # bits per word; 1 << bit stays far inside BIGINT
+_BF_SEGMENT = "BUILDING"
+
+
+def _bf_bucket_sql(key_expr: str, string_type: str) -> str:
+    fold = _hex_fold_sql(f"md5(concat('bf:', CAST({key_expr} AS {string_type})))", 3)
+    return f"(({fold}) % {_BF_BITS})"
+
+
+@register(
+    "q128_bloom_prefilter_join",
+    f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           ({sql_qsum('o.o_totalprice', 100)}) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = '{_BF_SEGMENT}')
+    GROUP BY o.o_orderpriority
+    """,
+    description=f"Bloom-prefiltered semi join: build-side keys folded into "
+    f"a {_BF_BITS}-bit bitmap (bit_or agg, fixed-size state), broadcast "
+    "as a literal probe-side filter ahead of the exact semi join (false "
+    "positives removed, false negatives impossible) — the manual form of "
+    "Spark's runtime bloom-filter pushdown; oracle is the plain semi "
+    "join.",
+    tags=("join", "bloom", "prefilter", "agg"),
+)
+def q128_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import qsum
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BF_SEGMENT)
+        .select("c_custkey")
+    )
+    bucket = _bf_bucket_sql("c_custkey", "STRING")
+    words = dim.select(
+        F.expr(f"({bucket}) div {_BF_WORD}").alias("w"),
+        F.expr(f"shiftleft(1L, ({bucket}) % {_BF_WORD})").alias("v"),
+    ).groupBy("w").agg(F.expr("bit_or(v)").alias("m"))
+    # Documented tiny pull: <= 32 rows of (word_index, mask) — same class
+    # as the IVF centroid-seed collect (operators/similarity.py).
+    mask = [0] * (_BF_BITS // _BF_WORD)
+    for r in words.collect():
+        mask[int(r["w"])] = int(r["m"])
+    mask_lit = F.array(*[F.lit(v).cast("long") for v in mask])
+
+    fact = read_table(spark, sf_dir, "orders")
+    fbucket = _bf_bucket_sql("o_custkey", "STRING")
+    prefiltered = fact.withColumn("__mask", mask_lit).filter(
+        F.expr(
+            f"element_at(__mask, CAST(({fbucket}) div {_BF_WORD} AS INT) + 1)"
+            f" & shiftleft(1L, ({fbucket}) % {_BF_WORD}) != 0"
+        )
+    ).drop("__mask")
+    exact = prefiltered.join(F.broadcast(dim),
+                             prefiltered.o_custkey == dim.c_custkey,
+                             "left_semi")
+    return exact.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        qsum(F.col("o_totalprice"), 100).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — CHUNK-LEVEL DUPLICATION MASS (line-level dedup, the CCNet /
+# RefinedWeb stage finer than whole-doc q30 and fuzzier-than-exact q32):
+# each doc splits into non-overlapping 8-word chunks, a chunk is
+# "duplicated" when its md5 fingerprint appears in >= 2 DISTINCT docs,
+# and each doc reports the permille of its words inside duplicated
+# chunks. Per-source rollup: mean duplication mass and how many docs
+# exceed 50% (the docs line-level dedup would rewrite). Shuffle budget:
+# one fingerprint agg (map-combined), one fingerprint equi-join (fan-out
+# = chunk multiplicity, never all-pairs), one doc agg, a 20-row rollup.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 8
+
+
+@register(
+    "q129_chunk_dup_mass",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(ws, i * {_CHUNK_W} + 1,
+                                            i * {_CHUNK_W} + {_CHUNK_W}), ' '))
+               AS fp,
+             CASE WHEN len(ws) - i * {_CHUNK_W} < {_CHUNK_W}
+                  THEN len(ws) - i * {_CHUNK_W} ELSE {_CHUNK_W} END AS n_words
+      FROM (
+        SELECT doc_id, source, ws,
+               unnest(generate_series(0, (len(ws) + {_CHUNK_W - 1})
+                                         // {_CHUNK_W} - 1)) AS i
+        FROM w
+      )
+    ),
+    fps AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY fp
+    ),
+    per_doc AS (
+      SELECT c.doc_id, c.source,
+             CAST((1000 * SUM(CASE WHEN f.nd >= 2 THEN c.n_words ELSE 0 END))
+                  // SUM(c.n_words) AS BIGINT) AS dup_permille
+      FROM chunks c JOIN fps f ON f.fp = c.fp
+      GROUP BY c.doc_id, c.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(dup_permille) // COUNT(*) AS BIGINT) AS mean_dup_permille,
+           CAST(SUM(CASE WHEN dup_permille > 500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_over_half
+    FROM per_doc GROUP BY source
+    """,
+    description=f"Chunk-level duplication mass: non-overlapping "
+    f"{_CHUNK_W}-word chunks fingerprinted with md5; a chunk in >=2 "
+    "distinct docs is duplicated, each doc reports the permille of its "
+    "words in duplicated chunks, per-source mean + over-50% count — the "
+    "line-level dedup audit between whole-doc q30 and fuzzy q32; one fp "
+    "agg + one fp equi-join, never all-pairs.",
+    tags=("dedup", "text", "training-data", "agg"),
+)
+def q129_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("ws")
+    )
+    chunks = (
+        w.select(
+            "doc_id",
+            "source",
+            "ws",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"CAST((size(ws) + {_CHUNK_W - 1}) div {_CHUNK_W}"
+                           " AS INT) - 1"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(f"slice(ws, i * {_CHUNK_W} + 1, {_CHUNK_W})"),
+                )
+            ).alias("fp"),
+            F.expr(
+                f"CASE WHEN size(ws) - i * {_CHUNK_W} < {_CHUNK_W} "
+                f"THEN size(ws) - i * {_CHUNK_W} ELSE {_CHUNK_W} END"
+            ).alias("n_words"),
+        )
+    )
+    fps = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        chunks.join(fps, "fp")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "CAST((1000 * SUM(CASE WHEN nd >= 2 THEN n_words ELSE 0 END))"
+                " div SUM(n_words) AS BIGINT)"
+            ).alias("dup_permille")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(SUM(dup_permille) div COUNT(*) AS BIGINT)").alias(
+            "mean_dup_permille"
+        ),
+        F.sum(F.when(F.col("dup_permille") > 500, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_over_half"),
+    )

@@ -7,6 +7,7 @@ the same compare the standalone gate uses.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
 from tools.parity import compare, duck_connection
@@ -157,3 +158,53 @@ def test_q126_schedule_is_sorted_and_weighted(spark):
     assert keys == sorted(keys)
     langs = [r.lang for r in rows]
     assert langs.count("en") >= max(langs.count("es"), langs.count("zh"))
+
+
+def test_q128_bloom_prefilter_is_selective_and_lossless(spark):
+    """The bitmap prefilter (rebuilt here exactly as q128 builds it) must
+    pass every true-match row (no false negatives) while discarding a
+    substantial share of non-matching probe rows (~80% expected for a
+    1/5 segment at 1024 bits)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _BF_SEGMENT,
+        _BF_WORD,
+        _bf_bucket_sql,
+    )
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    dim = (
+        read_table(spark, SF_DIR, "customer")
+        .filter(F.col("c_mktsegment") == _BF_SEGMENT)
+        .select("c_custkey")
+    )
+    bucket = _bf_bucket_sql("c_custkey", "STRING")
+    words = dim.select(
+        F.expr(f"({bucket}) div {_BF_WORD}").alias("w"),
+        F.expr(f"shiftleft(1L, ({bucket}) % {_BF_WORD})").alias("v"),
+    ).groupBy("w").agg(F.expr("bit_or(v)").alias("m"))
+    mask = {int(r["w"]): int(r["m"]) for r in words.collect()}
+    arr = [mask.get(i, 0) for i in range(1024 // _BF_WORD)]
+
+    fact = read_table(spark, SF_DIR, "orders")
+    fb = _bf_bucket_sql("o_custkey", "STRING")
+    pred = F.expr(
+        f"element_at(__mask, CAST(({fb}) div {_BF_WORD} AS INT) + 1)"
+        f" & shiftleft(1L, ({fb}) % {_BF_WORD}) != 0"
+    )
+    with_mask = fact.withColumn(
+        "__mask", F.array(*[F.lit(v).cast("long") for v in arr])
+    )
+    n_total = fact.count()
+    n_pre = with_mask.filter(pred).count()
+    true_matches = fact.join(
+        F.broadcast(dim), fact.o_custkey == dim.c_custkey, "left_semi"
+    )
+    n_true = true_matches.count()
+    # no false negatives: every true match survives the prefilter
+    lost = true_matches.join(
+        with_mask.filter(pred).select("o_orderkey"), "o_orderkey", "left_anti"
+    ).count()
+    assert lost == 0
+    # selective: the prefilter discards a meaningful share of non-matches
+    assert n_true <= n_pre < n_total
+    assert (n_pre - n_true) <= 0.2 * n_total, (n_pre, n_true, n_total)
