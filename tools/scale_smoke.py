@@ -139,8 +139,13 @@ def build(out: Path, factor: int) -> None:
 
 
 def main() -> None:
+    # Usage: scale_smoke.py [factor] [out_dir] [query ...]
+    # Trailing query names restrict the run (default: QUERIES_TO_RUN).
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_scaled")
+    subset = sys.argv[3:]
+    if subset:
+        QUERIES_TO_RUN[:] = subset
     if not (out / "events.parquet").exists():
         t0 = time.perf_counter()
         build(out, factor)
