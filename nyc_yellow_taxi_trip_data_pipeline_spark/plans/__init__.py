@@ -100,22 +100,28 @@ _PRIORITY = [
     "q127_quality_classifier",
     "q128_bloom_prefilter_join",
     "q129_chunk_dup_mass",
+    # (b) round-7 fourth batch (q130-q132). Three more r5-green rows sit
+    # out: q80 (stream-static join — q95's stream-static anti-join holds
+    # a slot and q130 now hard-verifies multi-batch streaming), q06
+    # (broadcast dim join — q117/q121/q128 all exercise broadcast-side
+    # joins), q11 (summary battery — q99/q100 rank-verified sketch twins
+    # hold slots; the exact path stays parity-gated locally).
+    "q130_streaming_late_drop",
+    "q131_cogroup_reconcile",
+    "q132_vocab_oov_coverage",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
     # (c) last green row is r5:
     "q02_clean_features",
-    "q06_left_join_dim",
     "q07_daily_multi_agg",
-    "q11_summary_stats",
     "q32_minhash_lsh_neardup",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",
     "q73_kmeans_step",
     "q78_chunk_windows_udtf",
-    "q80_stream_static_join",
     "q82_triangle_count",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

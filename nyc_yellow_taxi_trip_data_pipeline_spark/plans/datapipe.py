@@ -6035,3 +6035,313 @@ def q129_chunk_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_over_half"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — WATERMARK LATE-DATA DROP SEMANTICS, oracle-proven end to end:
+# the one streaming behavior no single-batch replay can exercise. The
+# event table replays as FOUR micro-batches in a controlled arrival
+# order (batch = event_id % 4 — arrival deliberately decorrelated from
+# event time, so most of batches 1-3 arrive "late"), through a
+# 90-minute watermark and hourly tumbling windows in APPEND mode. The
+# oracle reproduces Spark's exact micro-batch watermark algebra,
+# validated empirically against stateOperators metrics
+# (numRowsDroppedByWatermark):
+#   W_i = runmax(max event-time ms of batches <= i) - 5,400,000
+#   * a batch-b row is KEPT iff its window end > W_{b-2} — the data
+#     filter uses the PREVIOUS trigger's watermark (one-batch lag,
+#     Spark's documented global-watermark propagation), while
+#   * eviction/emission uses the current one: a window is in the final
+#     APPEND output iff window_end <= W_last (the final no-data batch
+#     flushes evicted windows; boundary strictness is measure-zero —
+#     event times are microsecond-grained, window ends hour-aligned).
+# Replay determinism: each arrival batch is written as one parquet file,
+# renamed to 00..03 so byte order and mtime order agree, and
+# maxFilesPerTrigger=1 makes file = micro-batch. Production replaces the
+# file replay with Kafka arrival order; the watermark algebra is the
+# part that carries.
+# ---------------------------------------------------------------------------
+_Q130_DELAY_MS = 90 * 60 * 1000
+_Q130_BATCHES = 4
+
+
+@register(
+    "q130_streaming_late_drop",
+    f"""
+    WITH e AS (
+      SELECT event_id % {_Q130_BATCHES} AS b,
+             epoch_ms(ts) AS tms,
+             ((epoch_ms(ts) // 3600000) + 1) * 3600000 AS wend,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    bm AS (SELECT b, MAX(tms) AS mx FROM e GROUP BY b),
+    wms AS (
+      SELECT b, MAX(mx) OVER (ORDER BY b) - {_Q130_DELAY_MS} AS wm FROM bm
+    ),
+    fin AS (SELECT MAX(mx) - {_Q130_DELAY_MS} AS fwm FROM bm),
+    kept AS (
+      SELECT e.wend, e.qv FROM e
+      LEFT JOIN wms p ON p.b = e.b - 2
+      WHERE p.wm IS NULL OR e.wend > p.wm
+    )
+    SELECT CAST(k.wend - 3600000 AS BIGINT) AS window_start_ms,
+           COUNT(*) AS n_events,
+           (CAST(SUM(k.qv) AS BIGINT) / 100.0) AS sum_value
+    FROM kept k, fin
+    GROUP BY k.wend, fin.fwm
+    HAVING k.wend <= fin.fwm
+    """,
+    description="Watermark late-data semantics proven against a batch "
+    "oracle: 4-micro-batch replay (arrival = event_id % 4, decorrelated "
+    "from event time), 90-min watermark, hourly windows, APPEND mode — "
+    "the oracle encodes Spark's exact algebra (data filtered with the "
+    "one-batch-LAGGED watermark, windows emitted once end <= final "
+    "watermark), validated against numRowsDroppedByWatermark.",
+    tags=("streaming", "watermark", "late-data", "window"),
+)
+def q130_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    replay_dir = f"/tmp/q130_replay_{uuid.uuid4().hex[:8]}"
+    # Deterministic arrival order: one file per batch, renamed so path
+    # order and mtime order agree (each write is a separate job, so
+    # mtimes are strictly increasing).
+    written: set[str] = set()
+    for i in range(_Q130_BATCHES):
+        ev.filter(F.pmod("event_id", F.lit(_Q130_BATCHES)) == i).coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").parquet(replay_dir)
+        new = [
+            f
+            for f in os.listdir(replay_dir)
+            if f.endswith(".parquet")
+            and not f.startswith("_")
+            and f not in written
+        ]
+        assert len(new) == 1, new
+        os.rename(
+            os.path.join(replay_dir, new[0]),
+            os.path.join(replay_dir, f"{i:02d}.parquet"),
+        )
+        written.add(f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "90 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("sum_value"),
+        )
+        .select(
+            F.expr("unix_millis(w.start)").alias("window_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"q130_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q131 — COGROUP RECONCILIATION (applyInPandas over a cogroup — the one
+# Pandas-UDF form the UDF matrix lacked): orders and lineitem co-grouped
+# on the order key, each key's pair of Arrow batches reconciled in
+# pandas (header total vs sum of line extended prices, both quantized to
+# integer cents IN the worker so the comparison is exact), then a tiny
+# presence-class rollup (both / order_only / lineitem_only). The closure
+# is fully self-contained (executor workers cannot import this package —
+# CLAUDE.md invariant 3). One co-partitioned shuffle on the key; the
+# pandas stage sees each key once, never the whole table. The oracle is
+# a FULL OUTER JOIN of the two aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "q131_cogroup_reconcile",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS o_cents,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderkey
+    ),
+    l AS (
+      SELECT l_orderkey AS k,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS l_cents,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT COALESCE(o.k, l.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'lineitem_only'
+                  WHEN l.k IS NULL THEN 'order_only'
+                  ELSE 'both' END AS presence,
+             COALESCE(o.o_cents, 0) AS o_cents,
+             COALESCE(l.l_cents, 0) AS l_cents,
+             COALESCE(l.n_lines, 0) AS n_lines
+      FROM o FULL OUTER JOIN l ON l.k = o.k
+    )
+    SELECT presence,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           CAST(SUM(abs(o_cents - l_cents)) AS BIGINT) AS abs_diff_cents
+    FROM j GROUP BY presence
+    """,
+    description="Cogroup reconciliation via applyInPandas over "
+    "groupBy().cogroup() — orders vs lineitem totals per order key, "
+    "quantized to integer cents inside the worker, rolled up by "
+    "presence class; self-contained closure, one co-partitioned "
+    "shuffle; oracle is the FULL OUTER JOIN of both aggregates.",
+    tags=("udf", "cogroup", "join", "audit"),
+)
+def q131_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lines = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+
+    def reconcile(odf, ldf):
+        # Self-contained: only pandas/math; executor can't import the repo.
+        import math
+
+        def cents(series):
+            return int(
+                sum(int(math.floor(v * 100 + 0.5)) for v in series.dropna())
+            )
+
+        o_cents = cents(odf["o_totalprice"]) if len(odf) else 0
+        l_cents = cents(ldf["l_extendedprice"]) if len(ldf) else 0
+        if len(odf) and len(ldf):
+            presence = "both"
+        elif len(odf):
+            presence = "order_only"
+        else:
+            presence = "lineitem_only"
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "presence": [presence],
+                "n_lines": [len(ldf)],
+                "abs_diff_cents": [abs(o_cents - l_cents)],
+            }
+        )
+
+    per_key = (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "presence string, n_lines long, abs_diff_cents long",
+        )
+    )
+    return per_key.groupBy("presence").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum("abs_diff_cents").cast("long").alias("abs_diff_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — VOCABULARY COVERAGE / OOV AUDIT: freeze a top-1000 vocabulary
+# from a snapshot slice (doc_id % 10 = 0 — the q102 snapshot convention)
+# under a total order (count DESC, word ASC — the rank-1000 tie is
+# deterministic), then measure out-of-vocabulary token permille per
+# language over the full corpus. The tokenizer-coverage check run before
+# shipping a vocab: a lang whose OOV mass is high needs vocab growth or
+# transliteration. Vocab is top-k via TakeOrderedAndProject (no global
+# sort) and broadcast to the probe side; one word-count shuffle on the
+# snapshot, one lang rollup on the corpus.
+# ---------------------------------------------------------------------------
+_OOV_K = 1000
+
+
+@register(
+    "q132_vocab_oov_coverage",
+    f"""
+    WITH vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents WHERE doc_id % 10 = 0
+        ) GROUP BY w
+      ) ORDER BY c DESC, w LIMIT {_OOV_K}
+    ),
+    tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    )
+    SELECT t.lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST((1000 * SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS oov_permille
+    FROM tok t LEFT JOIN vocab v ON v.w = t.w
+    GROUP BY t.lang
+    """,
+    description=f"Vocabulary OOV audit: top-{_OOV_K} vocab frozen from the "
+    "doc_id%10 snapshot under a total order (count DESC, word ASC), "
+    "broadcast against the full corpus, OOV token permille per language "
+    "— the tokenizer-coverage gate; top-k via TakeOrderedAndProject, no "
+    "global sort.",
+    tags=("text", "tokens", "audit", "training-data"),
+)
+def q132_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(_OOV_K)
+        .select("w")
+    )
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    joined = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.expr(
+            "CAST((1000 * SUM(CASE WHEN __in IS NULL THEN 1 ELSE 0 END))"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("oov_permille"),
+    )

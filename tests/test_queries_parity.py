@@ -208,3 +208,36 @@ def test_q128_bloom_prefilter_is_selective_and_lossless(spark):
     # selective: the prefilter discards a meaningful share of non-matches
     assert n_true <= n_pre < n_total
     assert (n_pre - n_true) <= 0.2 * n_total, (n_pre, n_true, n_total)
+
+
+def test_q130_late_drops_actually_happen(spark):
+    """The replay must really exercise late-data dropping: the summed
+    emitted counts are strictly below the table's row count (rows were
+    dropped AND the last unfinalized windows never emitted), and every
+    window is hour-aligned."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    rows = QUERIES["q130_streaming_late_drop"].spark(spark, SF_DIR).collect()
+    total = read_table(spark, SF_DIR, "events").count()
+    emitted = sum(r.n_events for r in rows)
+    assert 0 < emitted < total, (emitted, total)
+    assert all(r.window_start_ms % 3600000 == 0 for r in rows)
+
+
+def test_q131_cogroup_covers_all_orderkeys(spark):
+    """Conservation: presence-class key counts sum to the distinct union
+    of order keys across both tables, and lineitem rows are all
+    accounted for."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    rows = QUERIES["q131_cogroup_reconcile"].spark(spark, SF_DIR).collect()
+    o = read_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    l = read_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    n_keys_expected = o.union(l).distinct().count()
+    n_lines_expected = l.count()
+    assert sum(r.n_keys for r in rows) == n_keys_expected
+    assert sum(r.n_lines for r in rows) == n_lines_expected
