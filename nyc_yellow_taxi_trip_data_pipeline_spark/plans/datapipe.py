@@ -6231,36 +6231,61 @@ def q131_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_extendedprice"
     )
 
+    # Cogroup on a HASH BUCKET of the key, not the key itself: per-key
+    # cogroups make one Python call per order (measured 60s at sf0.1 —
+    # interpreter overhead on ~150k 1-5 row groups); 256 buckets give
+    # each Arrow batch ~N/256 keys and the reconciliation vectorizes as
+    # one pandas outer merge per bucket. At larger corpora the bucket
+    # count is the dial that keeps per-task memory bounded.
     def reconcile(odf, ldf):
-        # Self-contained: only pandas/math; executor can't import the repo.
-        import math
-
-        def cents(series):
-            return int(
-                sum(int(math.floor(v * 100 + 0.5)) for v in series.dropna())
-            )
-
-        o_cents = cents(odf["o_totalprice"]) if len(odf) else 0
-        l_cents = cents(ldf["l_extendedprice"]) if len(ldf) else 0
-        if len(odf) and len(ldf):
-            presence = "both"
-        elif len(odf):
-            presence = "order_only"
-        else:
-            presence = "lineitem_only"
+        # Self-contained: numpy/pandas only; executor can't import the
+        # repo. np.floor on float64 is the same IEEE op both engines use.
+        import numpy as np
         import pandas as pd
 
+        oc = (
+            odf.assign(
+                c=np.floor(
+                    odf["o_totalprice"].to_numpy() * 100 + 0.5
+                ).astype("int64")
+            )
+            .groupby("o_orderkey")
+            .agg(o_cents=("c", "sum"))
+            if len(odf)
+            else pd.DataFrame(columns=["o_cents"])
+        )
+        lc = (
+            ldf.assign(
+                c=np.floor(
+                    ldf["l_extendedprice"].to_numpy() * 100 + 0.5
+                ).astype("int64")
+            )
+            .groupby("l_orderkey")
+            .agg(l_cents=("c", "sum"), n_lines=("c", "size"))
+            if len(ldf)
+            else pd.DataFrame(columns=["l_cents", "n_lines"])
+        )
+        j = oc.join(lc, how="outer")
+        has_o = j["o_cents"].notna()
+        has_l = j["l_cents"].notna()
+        presence = np.where(
+            has_o & has_l, "both", np.where(has_o, "order_only", "lineitem_only")
+        )
         return pd.DataFrame(
             {
-                "presence": [presence],
-                "n_lines": [len(ldf)],
-                "abs_diff_cents": [abs(o_cents - l_cents)],
+                "presence": presence,
+                "n_lines": j["n_lines"].fillna(0).astype("int64"),
+                "abs_diff_cents": (
+                    j["o_cents"].fillna(0) - j["l_cents"].fillna(0)
+                )
+                .abs()
+                .astype("int64"),
             }
         )
 
     per_key = (
-        orders.groupBy("o_orderkey")
-        .cogroup(lines.groupBy("l_orderkey"))
+        orders.groupBy(F.expr("o_orderkey % 256").alias("b"))
+        .cogroup(lines.groupBy(F.expr("l_orderkey % 256").alias("b")))
         .applyInPandas(
             reconcile,
             "presence string, n_lines long, abs_diff_cents long",
