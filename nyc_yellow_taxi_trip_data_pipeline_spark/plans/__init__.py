@@ -109,6 +109,12 @@ _PRIORITY = [
     "q130_streaming_late_drop",
     "q131_cogroup_reconcile",
     "q132_vocab_oov_coverage",
+    # (b) q133 stream-stream LEFT OUTER join (watermark-expiry null
+    # emission). q32 sits out for it: its MinHash band-join machinery is
+    # double-covered by staying rows q98 (asymmetric band join against
+    # the materialized index) and q101 (the SAME pipeline under the
+    # sharpened 24-hash dial, parameterized oracle).
+    "q133_stream_outer_join",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -116,7 +122,6 @@ _PRIORITY = [
     # (c) last green row is r5:
     "q02_clean_features",
     "q07_daily_multi_agg",
-    "q32_minhash_lsh_neardup",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",

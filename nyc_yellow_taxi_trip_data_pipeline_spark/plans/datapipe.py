@@ -6370,3 +6370,121 @@ def q132_vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div COUNT(*) AS BIGINT)"
         ).alias("oov_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — stream-stream LEFT OUTER interval join (q76's inner join plus
+# the semantic inner joins cannot show: null-extension on WATERMARK
+# EXPIRY). An unmatched error row emits (error, NULL) only once the
+# global watermark — min of both sides' watermarks — passes the last
+# instant a matching view could still arrive (vts < ts, so expiry is
+# wm > ts); unmatched rows younger than the final watermark never emit.
+# The oracle encodes exactly that: inner matches + NOT EXISTS rows with
+# event-time-ms < min(max_error_ms, max_view_ms) - 2h, validated
+# empirically (2002/2014 unmatched errors emit at sf0.01, 12 remain in
+# state). Strictness at the boundary is measure-zero (microsecond event
+# times). State is evicted by the same watermark, so memory is bounded
+# by the interval + delay at any volume.
+# ---------------------------------------------------------------------------
+@register(
+    "q133_stream_outer_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, epoch_ms(ts) AS tms,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'error'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id AS vu, ts AS vts,
+             epoch_ms(ts) AS vms,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS vs
+      FROM events WHERE event_type = 'view'
+    ),
+    fwm AS (
+      SELECT least((SELECT MAX(tms) FROM e), (SELECT MAX(vms) FROM v))
+             - 7200000 AS w
+    ),
+    matched AS (
+      SELECT e.event_id, e.user_id, COUNT(*) AS n_preceding_views
+      FROM e JOIN v
+        ON v.vu = e.user_id AND v.vs >= e.es - 600 AND v.vs < e.es
+       AND v.vts >= e.ts - INTERVAL 11 MINUTE AND v.vts <= e.ts
+      GROUP BY e.event_id, e.user_id
+    ),
+    expired_unmatched AS (
+      SELECT e.event_id, e.user_id, CAST(0 AS BIGINT) AS n_preceding_views
+      FROM e, fwm
+      WHERE e.tms < fwm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM v
+          WHERE v.vu = e.user_id AND v.vs >= e.es - 600 AND v.vs < e.es
+            AND v.vts >= e.ts - INTERVAL 11 MINUTE AND v.vts <= e.ts
+        )
+    )
+    SELECT event_id, user_id, n_preceding_views FROM matched
+    UNION ALL
+    SELECT event_id, user_id, n_preceding_views FROM expired_unmatched
+    """,
+    description="Stream-stream LEFT OUTER interval join: errors joined to "
+    "preceding views within 10 minutes, with watermark-expiry "
+    "null-extension — unmatched errors emit count 0 only once the "
+    "global (min-of-both-sides) watermark passes their timestamp; the "
+    "oracle reproduces matches + the exact expiry cutoff. State bounded "
+    "by interval + delay.",
+    tags=("streaming", "join", "watermark", "outer-join"),
+)
+def q133_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    joined = errors.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id
+            AND vts >= ts - INTERVAL 11 MINUTES
+            AND vts <= ts
+            AND unix_timestamp(vts) >= unix_timestamp(ts) - 600
+            AND unix_timestamp(vts) < unix_timestamp(ts)
+            """
+        ),
+        "left_outer",
+    ).select("event_id", "user_id", "view_id")
+    sink = f"q133_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    return (
+        spark.table(sink)
+        .groupBy("event_id", "user_id")
+        .agg(F.count("view_id").cast("long").alias("n_preceding_views"))
+    )

@@ -102,16 +102,26 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming twin of ``read_table``: the same table replayed as a
     bounded file stream, with the identical nanos→micros conversion.
-    File streams take a directory; ``pathGlobFilter`` selects one table's
-    file from the shared scale-factor dir."""
+
+    File streams take a directory. When ``{name}.parquet`` is itself a
+    DIRECTORY (any real multi-file table — the only shape that exists at
+    scale), stream it directly; a ``pathGlobFilter`` of the table name
+    would match no leaf file and SILENTLY stream zero rows (found when
+    every streaming query read 0 events from a multi-file corpus). The
+    glob path remains only for the single-FILE tables the driver's
+    testdata uses, where the table file sits in a shared directory."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     if name == "events":
         stream = _nanos_ts_to_micros(stream)
     return _normalize_ntz(stream)

@@ -68,3 +68,31 @@ def test_semantic_dtypes_pinned(spark):
     assert li["l_shipdate"] == "timestamp", li["l_shipdate"]
     orders = dict(read_table(spark, SF_DIR, "orders").dtypes)
     assert orders["o_orderdate"] == "timestamp", orders["o_orderdate"]
+
+
+def test_read_table_stream_multifile_directory(spark, tmp_path):
+    """A multi-file table directory (the only shape that exists at real
+    scale) must stream ALL its rows — the pathGlobFilter form silently
+    streamed zero (the glob never matches leaf part files)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table,
+        read_table_stream,
+    )
+
+    sf = str(tmp_path)
+    src = read_table(spark, "/root/testdata/sf0.001", "events")
+    src.repartition(3).write.parquet(f"{sf}/events.parquet")
+    n_expected = src.count()
+
+    stream = read_table_stream(spark, sf, "events")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("canary_multifile")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table("canary_multifile").count() == n_expected
