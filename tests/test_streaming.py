@@ -444,3 +444,38 @@ def test_real_testdata_streams_with_watermark(spark):
     # And the full watermark query must run to completion on the real files.
     out = QUERIES["q44_streaming_hourly"].spark(spark, sf_dir)
     assert out.count() >= 0
+
+
+def test_rocksdb_state_store_provider_same_results(spark):
+    """The RocksDB state store provider (the large-state scale path —
+    state spills to disk instead of living on the executor heap) must
+    produce bit-identical results to the default HDFS-backed provider
+    for a watermarked windowed aggregation. At 100 TB stream state
+    (dedup indexes, session maps), providerClass is the switch that
+    keeps executors alive; results must not depend on it."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    baseline = sorted(
+        map(tuple, QUERIES["q44_streaming_hourly"].spark(spark, sf_dir).collect())
+    )
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = sorted(
+            map(
+                tuple,
+                QUERIES["q44_streaming_hourly"].spark(spark, sf_dir).collect(),
+            )
+        )
+    finally:
+        if default:
+            spark.conf.set(key, default)
+        else:
+            spark.conf.unset(key)
+    assert rocks == baseline
