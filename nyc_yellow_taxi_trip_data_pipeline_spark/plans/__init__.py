@@ -115,13 +115,17 @@ _PRIORITY = [
     # the materialized index) and q101 (the SAME pipeline under the
     # sharpened 24-hash dial, parameterized oracle).
     "q133_stream_outer_join",
+    # (b) q134 chained stateful operators (join -> windowed agg, the
+    # Spark 4 multi-stateful pipeline). q07 sits out: date-grouped
+    # multi-agg is double-covered by staying rows q02 (the cast/filter
+    # battery), q44/q110 (hourly windows), and q122 (per-type rollup).
+    "q134_chained_stateful",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
     # (c) last green row is r5:
     "q02_clean_features",
-    "q07_daily_multi_agg",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
     "q69_lookback_range_join",

@@ -6488,3 +6488,113 @@ def q133_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.count("view_id").cast("long").alias("n_preceding_views"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — CHAINED STATEFUL OPERATORS (Spark 4's multi-stateful pipeline):
+# a stream-stream interval join feeding a windowed aggregation in ONE
+# streaming query — error events matched to a preceding view, then
+# counted per hour, both operators holding watermark-bounded state. The
+# watermark PROPAGATES through the join by simulation (SPARK-42376):
+# the join delays only its own state eviction, not the downstream
+# watermark, so the aggregation finalizes windows against the plain
+# global watermark min(max_error, max_view) - 2h — which is exactly
+# what the oracle encodes (verified empirically at sf0.01 and sf0.1).
+# Before multi-stateful support this took two queries and an
+# intermediate sink; state remains bounded by interval + delay in both
+# operators.
+# ---------------------------------------------------------------------------
+@register(
+    "q134_chained_stateful",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts, epoch_ms(ts) AS tms,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'error'
+    ),
+    v AS (
+      SELECT user_id AS vu, ts AS vts, epoch_ms(ts) AS vms,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS vs
+      FROM events WHERE event_type = 'view'
+    ),
+    fwm AS (
+      SELECT least((SELECT MAX(tms) FROM e), (SELECT MAX(vms) FROM v))
+             - 7200000 AS w
+    ),
+    pairs AS (
+      SELECT ((e.tms // 3600000) + 1) * 3600000 AS wend
+      FROM e JOIN v
+        ON v.vu = e.user_id AND v.vs >= e.es - 600 AND v.vs < e.es
+       AND v.vts >= e.ts - INTERVAL 11 MINUTE AND v.vts <= e.ts
+    )
+    SELECT CAST(p.wend - 3600000 AS BIGINT) AS window_start_ms,
+           COUNT(*) AS n_pairs
+    FROM pairs p, fwm
+    GROUP BY p.wend, fwm.w
+    HAVING p.wend <= fwm.w
+    """,
+    description="Chained stateful operators in one streaming query: "
+    "stream-stream interval join (errors to preceding views) feeding an "
+    "hourly windowed count — Spark 4 multi-stateful pipeline; the "
+    "watermark propagates through the join undelayed (simulation, "
+    "SPARK-42376), so the oracle finalizes windows at the plain global "
+    "min-of-sides watermark.",
+    tags=("streaming", "join", "window", "watermark", "multi-stateful"),
+)
+def q134_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table_stream
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "2 hours")
+    )
+    joined = errors.join(
+        views,
+        F.expr(
+            """
+            user_id = v_user_id
+            AND vts >= ts - INTERVAL 11 MINUTES
+            AND vts <= ts
+            AND unix_timestamp(vts) >= unix_timestamp(ts) - 600
+            AND unix_timestamp(vts) < unix_timestamp(ts)
+            """
+        ),
+    ).select("ts")
+    agg = (
+        joined.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.expr("unix_millis(w.start)").alias("window_start_ms"),
+            "n_pairs",
+        )
+    )
+    sink = f"q134_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    return spark.table(sink)
