@@ -479,3 +479,131 @@ def test_rocksdb_state_store_provider_same_results(spark):
         else:
             spark.conf.unset(key)
     assert rocks == baseline
+
+
+def test_transform_with_state_in_pandas_totals(spark):
+    """Spark 4.1's transformWithStateInPandas (the successor of
+    applyInPandasWithState, q67) computing per-user running totals with
+    a ValueState, verified against the batch aggregate. The API's
+    Python runner needs google.protobuf, absent in this container —
+    env-gated like the Kafka smoke; lights up wherever protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed (transformWithState "
+                    "runner requires it)")
+    import uuid
+
+    import numpy as np  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table,
+        read_table_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            schema = StructType(
+                [
+                    StructField("n", LongType(), True),
+                    StructField("qs", LongType(), True),
+                ]
+            )
+            self._state = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import numpy as np
+            import pandas as pd
+
+            n = 0
+            qs = 0
+            for pdf in rows:
+                n += len(pdf)
+                qs += int(
+                    np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            if self._state.exists():
+                prev = self._state.get()
+                n += int(prev[0])
+                qs += int(prev[1])
+            self._state.update((n, qs))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "sum_value": [qs / 100.0],
+                }
+            )
+
+        def close(self):
+            pass
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_table_stream(spark, sf, "events").select(
+            "user_id", "value"
+        )
+        res = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Totals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        sink = f"tws_{uuid.uuid4().hex[:6]}"
+        q = (
+            res.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.user_id, r.n_events, round(r.sum_value, 2))
+            for r in spark.table(sink).collect()
+        )
+    finally:
+        if default:
+            spark.conf.set(key, default)
+        else:
+            spark.conf.unset(key)
+    exp = sorted(
+        (r.user_id, r.n, round(r.s, 2))
+        for r in read_table(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                / 100.0
+            ).alias("s"),
+        )
+        .collect()
+    )
+    assert got == exp
