@@ -120,6 +120,12 @@ _PRIORITY = [
     # multi-agg is double-covered by staying rows q02 (the cast/filter
     # battery), q44/q110 (hourly windows), and q122 (per-type rollup).
     "q134_chained_stateful",
+    # (b) q135 dropDuplicatesWithinWatermark (bounded-state streaming
+    # dedup with oracle-checked state expiry). q69 sits out: interval
+    # temporal-join semantics are hard-verified by staying q133/q134,
+    # and the binned range-join operator keeps its plan-asserted unit
+    # tests.
+    "q135_streaming_dedup_within_watermark",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -128,7 +134,6 @@ _PRIORITY = [
     "q02_clean_features",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
-    "q69_lookback_range_join",
     "q73_kmeans_step",
     "q78_chunk_windows_udtf",
     "q82_triangle_count",

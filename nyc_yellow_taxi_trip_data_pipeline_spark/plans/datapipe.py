@@ -6598,3 +6598,183 @@ def q134_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             unload_state_stores(spark)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q135 — dropDuplicatesWithinWatermark (q81's unbounded-state dedup made
+# scale-correct: dedup state EXPIRES): replayed over the q130 4-batch
+# harness, a key re-emits once the watermark passes its state's
+# first-seen timestamp + delay — bounded state is exactly the behavior
+# that matters at 100 TB, and it is oracle-checked here. The DuckDB twin
+# unrolls the 4-batch state machine per key (m_b = min event-ms of the
+# key's rows surviving the late filter in batch b): state set by the
+# first emitting batch, evicted and late-filtered with the one-batch-
+# LAGGED watermark W_{b-2} (the same lag q130 pinned against
+# stateOperators metrics; eviction lag verified the same way — only the
+# lagged rule reproduces the emission counts). Within a batch, WHICH
+# duplicate row seeds the state is row-order-dependent in Spark, so the
+# replay writes each batch file sorted by (ts, event_id): the first row
+# the operator sees per key is the MIN event time by construction, and
+# the oracle's MIN form is exact, not scan-order luck.
+# ---------------------------------------------------------------------------
+_Q135_DELAY_MS = 90 * 60 * 1000
+
+
+def _q135_oracle() -> str:
+    D = _Q135_DELAY_MS
+    key = "user_id, event_type"
+    per_batch = []
+    for b in range(4):
+        late = (
+            f" AND tms >= (SELECT wm FROM w WHERE b = {b - 2})"
+            if b >= 2
+            else ""
+        )
+        per_batch.append(
+            f"k{b} AS (SELECT {key}, MIN(tms) AS m FROM e "
+            f"WHERE b = {b}{late} GROUP BY {key})"
+        )
+    return f"""
+    WITH e AS (
+      SELECT event_id % 4 AS b, user_id, event_type, epoch_ms(ts) AS tms
+      FROM events
+    ),
+    bm AS (SELECT b, MAX(tms) AS mx FROM e GROUP BY b),
+    w AS (SELECT b, MAX(mx) OVER (ORDER BY b) - {D} AS wm FROM bm),
+    {", ".join(per_batch)},
+    keys AS (SELECT DISTINCT {key} FROM e),
+    j AS (
+      SELECT keys.user_id, keys.event_type,
+             k0.m AS m0, k1.m AS m1, k2.m AS m2, k3.m AS m3
+      FROM keys
+      LEFT JOIN k0 USING (user_id, event_type)
+      LEFT JOIN k1 USING (user_id, event_type)
+      LEFT JOIN k2 USING (user_id, event_type)
+      LEFT JOIN k3 USING (user_id, event_type)
+    ),
+    sim AS (
+      SELECT user_id, event_type,
+             m0, m1, m2, m3,
+             COALESCE(m0, m1) + {D} AS s1,
+             (SELECT wm FROM w WHERE b = 0) AS w0,
+             (SELECT wm FROM w WHERE b = 1) AS w1
+      FROM j
+    ),
+    sim2 AS (
+      SELECT user_id, event_type, m0, m1, m2, m3, w1,
+             (s1 IS NOT NULL AND s1 >= w0) AS alive2,
+             CASE WHEN (s1 IS NOT NULL AND s1 >= w0) THEN s1
+                  WHEN m2 IS NOT NULL THEN m2 + {D}
+                  ELSE NULL END AS s2
+      FROM sim
+    ),
+    emits AS (
+      SELECT user_id, event_type,
+             (CASE WHEN m0 IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN m1 IS NOT NULL AND m0 IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN m2 IS NOT NULL AND NOT alive2 THEN 1 ELSE 0 END
+              + CASE WHEN m3 IS NOT NULL
+                          AND NOT (s2 IS NOT NULL AND s2 >= w1)
+                     THEN 1 ELSE 0 END) AS n_emissions
+      FROM sim2
+    )
+    SELECT event_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(n_emissions) AS BIGINT) AS n_emissions,
+           CAST(SUM(CASE WHEN n_emissions > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_reemitted
+    FROM emits
+    WHERE n_emissions > 0
+    GROUP BY event_type
+    """
+
+
+@register(
+    "q135_streaming_dedup_within_watermark",
+    _q135_oracle(),
+    description="dropDuplicatesWithinWatermark over a 4-micro-batch "
+    "replay: dedup state EXPIRES at first-seen + 90min so late "
+    "re-occurrences re-emit — bounded-state streaming dedup, with the "
+    "full per-key 4-batch state machine (lagged-watermark late filter "
+    "AND eviction) unrolled in the oracle; per-event-type key/emission/"
+    "re-emission counts.",
+    tags=("streaming", "dedup", "watermark", "state"),
+)
+def q135_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    replay_dir = f"/tmp/q135_replay_{uuid.uuid4().hex[:8]}"
+    written: set[str] = set()
+    for i in range(4):
+        # Each batch file is SORTED by (ts, event_id): the dedup operator
+        # sees a key's rows in event-time order (single map task per
+        # file, order preserved per reducer), so the state seed is the
+        # MIN event time BY CONSTRUCTION — not scan-order luck. Without
+        # the sort, Spark seeds from whichever duplicate happens first
+        # in file order and the oracle would be row-order-dependent
+        # (min-vs-max seeding measurably diverges at sf0.1).
+        ev.filter(F.pmod("event_id", F.lit(4)) == i).orderBy(
+            "ts", "event_id"
+        ).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(replay_dir)
+        new = [
+            f
+            for f in os.listdir(replay_dir)
+            if f.endswith(".parquet")
+            and not f.startswith("_")
+            and f not in written
+        ]
+        assert len(new) == 1, new
+        os.rename(
+            os.path.join(replay_dir, new[0]),
+            os.path.join(replay_dir, f"{i:02d}.parquet"),
+        )
+        written.add(f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+        .withWatermark("ts", "90 minutes")
+    )
+    dedup = stream.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    sink = f"q135_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    per_key = (
+        spark.table(sink)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_emissions"))
+    )
+    return per_key.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_emissions").cast("long").alias("n_emissions"),
+        F.sum(F.when(F.col("n_emissions") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reemitted"),
+    )

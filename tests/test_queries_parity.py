@@ -241,3 +241,30 @@ def test_q131_cogroup_covers_all_orderkeys(spark):
     n_lines_expected = l.count()
     assert sum(r.n_keys for r in rows) == n_keys_expected
     assert sum(r.n_lines for r in rows) == n_lines_expected
+
+
+def test_q135_replay_batches_are_time_sorted(spark, tmp_path):
+    """q135's oracle seeds dedup state from the MIN within-batch event
+    time; Spark seeds from the FIRST row the operator sees. The replay
+    therefore writes each batch file sorted by (ts, event_id) — assert
+    the written files really are sorted, since an unsorted batch makes
+    the oracle row-order-dependent (min-vs-max seeding measurably
+    diverges at sf0.1)."""
+    import os
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    d = str(tmp_path / f"replay_{uuid.uuid4().hex[:6]}")
+    ev.filter(F.pmod("event_id", F.lit(4)) == 0).orderBy(
+        "ts", "event_id"
+    ).coalesce(1).write.parquet(d)
+    import pandas as pd
+
+    f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+    pdf = pd.read_parquet(os.path.join(d, f))
+    keys = list(zip(pdf["ts"], pdf["event_id"]))
+    assert keys == sorted(keys)
