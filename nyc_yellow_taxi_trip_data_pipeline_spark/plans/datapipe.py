@@ -6168,6 +6168,11 @@ def q130_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             unload_state_stores(spark)
+    # The memory sink holds the rows; the replay files are dead weight
+    # (repeated bench passes would otherwise accumulate them in /tmp).
+    import shutil
+
+    shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -6766,6 +6771,9 @@ def q135_streaming_dedup_within_watermark(
         finally:
             q.stop()
             unload_state_stores(spark)
+    import shutil
+
+    shutil.rmtree(replay_dir, ignore_errors=True)
     per_key = (
         spark.table(sink)
         .groupBy("user_id", "event_type")
