@@ -126,6 +126,13 @@ _PRIORITY = [
     # and the binned range-join operator keeps its plan-asserted unit
     # tests.
     "q135_streaming_dedup_within_watermark",
+    # (b) q136 k-anonymity audit + q137 label-shift TVD (governance
+    # gates). q73/q82 sit out: q73's iterative localCheckpoint loop
+    # shape is held in-window by q112 (the q68 CC pipeline), and q82's
+    # degree-capped self-join is cousin to staying q92/q113 band joins;
+    # both keep their local parity + plan-audit coverage.
+    "q136_k_anonymity_audit",
+    "q137_label_shift_tvd",
     # (c) oldest green first — r2:
     "q64_multimodal_resize",
     "q65_frame_sample",
@@ -134,9 +141,7 @@ _PRIORITY = [
     "q02_clean_features",
     "q57_grouping_sets",
     "q67_streaming_sessionize",
-    "q73_kmeans_step",
     "q78_chunk_windows_udtf",
-    "q82_triangle_count",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -6786,3 +6786,143 @@ def q135_streaming_dedup_within_watermark(
         .cast("long")
         .alias("n_reemitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — K-ANONYMITY AUDIT (the privacy gate before a dataset release):
+# group by the quasi-identifier tuple (user cohort, event_type, day) and
+# report, per event_type, how many QI-groups and rows fall below k=5 —
+# rows whose QI combination is so rare they are re-identifiable. One
+# map-combined shuffle on the QI tuple plus a tiny rollup; at 100 TB the
+# QI cardinality (cohorts x types x days), not the row count, bounds the
+# aggregation state. Cohort = user_id div 10 — the generalization step
+# k-anonymization applies to a high-cardinality identifier.
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+
+
+@register(
+    "q136_k_anonymity_audit",
+    f"""
+    WITH qi AS (
+      SELECT event_type,
+             user_id // 10 AS cohort,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY event_type, cohort, d
+    )
+    SELECT event_type,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_exposed_rows,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM qi GROUP BY event_type
+    """,
+    description=f"k-anonymity audit (k={_KANON_K}): per event_type, the "
+    "quasi-identifier groups (user cohort x day) too small to release — "
+    "group counts, exposed rows, min group size; one QI-tuple shuffle "
+    "whose state is bounded by QI cardinality, not rows.",
+    tags=("audit", "privacy", "agg", "training-data"),
+)
+def q136_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        "event_type",
+        F.expr("user_id div 10").alias("cohort"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(F.count("*").alias("n"))
+    return qi.groupBy("event_type").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — LABEL-SHIFT AUDIT via total-variation distance: compare the
+# label distribution of the embedding corpus's snapshot half (vec_id %
+# 2 = 0) against the live half. TVD = 1/2 * sum |p - q| in exact
+# integer arithmetic: per-label counts scaled to permille by integer
+# division against broadcast totals, then one |p-q| sum — no ln()/KL,
+# whose float behavior diverges across engines (the same reason q96
+# uses rational decay). This is the drift gate run before retraining:
+# TVD above threshold means the new data's label mix moved. Two tiny
+# label-count aggregations + a broadcast join of 1-row totals.
+# ---------------------------------------------------------------------------
+@register(
+    "q137_label_shift_tvd",
+    """
+    WITH a AS (
+      SELECT label, COUNT(*) AS n FROM embeddings
+      WHERE vec_id % 2 = 0 GROUP BY label
+    ),
+    b AS (
+      SELECT label, COUNT(*) AS n FROM embeddings
+      WHERE vec_id % 2 = 1 GROUP BY label
+    ),
+    ta AS (SELECT SUM(n) AS t FROM a),
+    tb AS (SELECT SUM(n) AS t FROM b),
+    labels AS (
+      SELECT label FROM a UNION SELECT label FROM b
+    ),
+    j AS (
+      SELECT l.label,
+             CAST((1000 * COALESCE(a.n, 0)) // ta.t AS BIGINT) AS p_permille,
+             CAST((1000 * COALESCE(b.n, 0)) // tb.t AS BIGINT) AS q_permille
+      FROM labels l
+      LEFT JOIN a ON a.label = l.label
+      LEFT JOIN b ON b.label = l.label, ta, tb
+    )
+    SELECT label, p_permille, q_permille,
+           CAST(abs(p_permille - q_permille) AS BIGINT) AS abs_diff
+    FROM j
+    """,
+    description="Label-shift audit: snapshot-vs-live label distributions "
+    "compared per label in exact integer permille (total-variation "
+    "components — no ln()/KL float divergence); two label-count "
+    "aggregations + broadcast 1-row totals.",
+    tags=("audit", "drift", "ml", "agg"),
+)
+def q137_label_shift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = (
+        emb.filter(F.col("vec_id") % 2 == 0)
+        .groupBy("label")
+        .agg(F.count("*").alias("na"))
+    )
+    b = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .groupBy("label")
+        .agg(F.count("*").alias("nb"))
+    )
+    ta = a.agg(F.sum("na").alias("__ta")).withColumn("__k", F.lit(1))
+    tb = b.agg(F.sum("nb").alias("__tb")).withColumn("__k", F.lit(1))
+    labels = a.select("label").union(b.select("label")).distinct()
+    j = (
+        labels.join(a, "label", "left")
+        .join(b, "label", "left")
+        .withColumn("__k", F.lit(1))
+        .join(F.broadcast(ta), "__k")
+        .join(F.broadcast(tb), "__k")
+        .select(
+            "label",
+            F.expr("(1000 * COALESCE(na, 0)) div __ta").alias("p_permille"),
+            F.expr("(1000 * COALESCE(nb, 0)) div __tb").alias("q_permille"),
+        )
+    )
+    return j.select(
+        "label",
+        "p_permille",
+        "q_permille",
+        F.abs(F.col("p_permille") - F.col("q_permille"))
+        .cast("long")
+        .alias("abs_diff"),
+    )
