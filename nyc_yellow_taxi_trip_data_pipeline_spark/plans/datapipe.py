@@ -6926,3 +6926,212 @@ def q137_label_shift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("abs_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — TPC-H Q5-SHAPE STAR JOIN: lineitem joins orders (the one
+# genuine fact-fact join in the schema), both correlated dimension
+# chains (customer->nation->region and supplier, with the Q5 "local
+# supplier" condition c_nationkey = s_nationkey), a region filter that
+# prunes the dim chain at the scan, and a one-year date window pushed
+# into the orders scan. The revenue expression quantizes
+# l_extendedprice*(1-l_discount) per row BEFORE the integer sum
+# (registry rule 1; the product of two doubles is one exact IEEE op).
+# Catalyst broadcasts every dim and reorders the join chain; only
+# lineitem<->orders shuffles — the plan shape TPC-H Q5 exists to test.
+# ---------------------------------------------------------------------------
+@register(
+    "q138_star_join_q5",
+    """
+    SELECT n.n_name AS nation_name,
+           COUNT(*) AS n_lineitems,
+           (CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            / 100.0) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    description="TPC-H Q5-shape join: the lineitem-orders fact-fact join "
+    "plus both correlated dim chains (local-supplier condition), region "
+    "filter pruning the dim chain and a pushed one-year date window; "
+    "per-nation revenue with per-row quantized discount arithmetic.",
+    tags=("join", "star", "agg", "pushdown"),
+)
+def q138_star_join_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    rev_q = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("long")
+    return joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count("*").alias("n_lineitems"),
+        (F.sum(rev_q) / 100.0).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — A/B EXPOSURE AUDIT: users hash-split into two variants
+# (user_id % 2 — deterministic assignment, the md5-threshold form of
+# q124 is the production assigner), per variant: exposed users (any
+# 'view'), converted users (a 'purchase' strictly after their first
+# view — q93's gated-window machinery), and the conversion rate in
+# exact integer permille. One user_id shuffle for the windows, then a
+# 2-row rollup — the experiment-analysis readout every product
+# pipeline runs next to its funnels.
+# ---------------------------------------------------------------------------
+@register(
+    "q139_ab_exposure_audit",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+               AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' AND ts > first_view
+                      THEN 1 ELSE 0 END) AS converted
+      FROM w1 GROUP BY user_id
+    )
+    SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+           COUNT(*) AS n_users,
+           CAST(SUM(exposed) AS BIGINT) AS n_exposed,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((1000 * SUM(converted)) // SUM(exposed) AS BIGINT)
+             AS conv_permille
+    FROM per_user
+    GROUP BY variant
+    """,
+    description="A/B exposure audit: deterministic variant split, "
+    "exposed (any view) and converted (purchase strictly after first "
+    "view) users per variant with exact integer permille conversion — "
+    "one user_id shuffle + 2-row rollup.",
+    tags=("window", "funnel", "experiment", "agg"),
+)
+def q139_ab_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("first_view").isNotNull(), 1).otherwise(0)
+        ).alias("exposed"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_view")),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    return per_user.groupBy(
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("variant")
+    ).agg(
+        F.count("*").alias("n_users"),
+        F.sum("exposed").cast("long").alias("n_exposed"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.expr("CAST((1000 * SUM(converted)) div SUM(exposed) AS BIGINT)")
+        .alias("conv_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q140 — WINSORIZED ROBUST MEAN per group: exact interpolated p05/p95
+# per l_returnflag (the q09 percentile machinery, grouped), values
+# CLIPPED to the fences, then the quantized mean — the robust
+# preprocessing that makes a mean survive heavy tails without dropping
+# rows (q97's MAD audit is the detector; this is the treatment). The
+# per-group fences are a 3-row aggregate broadcast back onto the fact;
+# boundary equality is harmless because clip leaves boundary values
+# unchanged under either comparison.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_winsorized_mean",
+    """
+    WITH fences AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    clipped AS (
+      SELECT l.l_returnflag,
+             CAST(FLOOR(
+               CASE WHEN l.l_extendedprice < f.lo THEN f.lo
+                    WHEN l.l_extendedprice > f.hi THEN f.hi
+                    ELSE l.l_extendedprice END * 100 + 0.5
+             ) AS BIGINT) AS q
+      FROM lineitem l JOIN fences f ON f.l_returnflag = l.l_returnflag
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           (CAST(SUM(q) AS BIGINT) / 100.0) / COUNT(*) AS winsorized_mean
+    FROM clipped GROUP BY l_returnflag
+    """,
+    description="Winsorized mean per return flag: exact interpolated "
+    "p05/p95 fences (3-row aggregate broadcast back), values clipped "
+    "then quantized-mean'd — the heavy-tail-robust treatment paired "
+    "with q97's MAD detector.",
+    tags=("agg", "quantile", "robust-stats"),
+)
+def q140_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    fences = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("hi"),
+    )
+    clipped = li.join(F.broadcast(fences), "l_returnflag").select(
+        "l_returnflag",
+        F.floor(
+            F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+            .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("l_extendedprice"))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        ((F.sum("q") / 100.0) / F.count("*")).alias("winsorized_mean"),
+    )
