@@ -144,9 +144,15 @@ _PRIORITY = [
     "q138_star_join_q5",
     "q139_ab_exposure_audit",
     "q140_winsorized_mean",
+    # (b) q141 (time-RANGE frame) and q142 (IGNORE NULLS forward fill)
+    # — window mechanics no other row exercises. q64/q66 sit out:
+    # q113's Arrow map-iter media stage and q108's cluster-pruned
+    # similarity hold those construct families in-window. q143 (gap
+    # audit) stays out — its lag-window shape is held by q122 — and
+    # q67/q78 keep the LAST stateful-UDF and UDTF external rows.
+    "q141_trailing_range_window",
+    "q142_forward_fill",
     # (c) oldest green first — r2:
-    "q64_multimodal_resize",
-    "q66_ivf_ann",
     # (c) last green row is r5:
     "q67_streaming_sessionize",
     "q78_chunk_windows_udtf",

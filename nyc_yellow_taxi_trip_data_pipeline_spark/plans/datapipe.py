@@ -7135,3 +7135,216 @@ def q140_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         ((F.sum("q") / 100.0) / F.count("*")).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — trailing time-RANGE window (the frame q47's row-based moving
+# average cannot express): per user, the sum of quantized values over
+# the trailing hour by EVENT TIME — a RANGE frame over epoch seconds,
+# so rows with equal timestamps are frame-peers (set-based, order-
+# insensitive — no tiebreak needed, unlike ROWS frames). One user_id
+# shuffle; frame evaluation is a per-partition sliding aggregate. The
+# top-20 heaviest trailing windows surface burst users under a total
+# order.
+# ---------------------------------------------------------------------------
+@register(
+    "q141_trailing_range_window",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS es,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id,
+             CAST(SUM(qv) OVER (PARTITION BY user_id ORDER BY es
+                                RANGE BETWEEN 3599 PRECEDING
+                                AND CURRENT ROW) AS BIGINT)
+               AS trailing_hour_q
+      FROM e
+    )
+    SELECT event_id, user_id, trailing_hour_q
+    FROM w
+    ORDER BY trailing_hour_q DESC, event_id
+    LIMIT 20
+    """,
+    description="Trailing 1-hour RANGE-frame sum per user over epoch "
+    "seconds — equal-timestamp rows are frame peers, so the frame is "
+    "set-based and needs no tiebreak; top-20 burst windows under a "
+    "total order. One user_id shuffle.",
+    tags=("window", "range-frame", "time"),
+)
+def q141_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum("qv").over(w).cast("long").alias("trailing_hour_q"),
+        )
+        .orderBy(F.desc("trailing_hour_q"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — FORWARD FILL (gap-filling imputation): purchases carry the
+# only "real" readings; every other event's value is masked NULL and
+# filled from the user's most recent purchase via last_value IGNORE
+# NULLS over the (ts, event_id) total order — the sensor/price
+# gap-fill that P10's static imputation cannot express. Values quantize
+# BEFORE the fill so the filled column is integer end-to-end. One
+# user_id shuffle; per-user audit rollup (how many rows got a fill,
+# the filled sum).
+# ---------------------------------------------------------------------------
+@register(
+    "q142_forward_fill",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE NULL END AS qv
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id,
+             last_value(qv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS fv
+      FROM e
+    )
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(fv) AS BIGINT) AS n_filled,
+           CAST(COALESCE(SUM(fv), 0) AS BIGINT) AS filled_sum_q
+    FROM filled GROUP BY user_id
+    ORDER BY user_id
+    LIMIT 50
+    """,
+    description="Forward-fill imputation: sparse readings (purchases) "
+    "propagated to every later row per user via last_value IGNORE NULLS "
+    "over a total order, quantized before filling; per-user fill audit, "
+    "one user_id shuffle.",
+    tags=("window", "imputation", "time"),
+)
+def q142_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("qv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.select(
+        "user_id", F.last("qv", ignorenulls=True).over(w).alias("fv")
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("fv").cast("long").alias("n_filled"),
+            F.coalesce(F.sum("fv"), F.lit(0)).cast("long")
+            .alias("filled_sum_q"),
+        )
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q143 — COMPLETENESS / GAP AUDIT (islands-and-gaps): per event_type,
+# how many of the expected hourly buckets (the global min..max hour
+# spine) actually contain events, how many are missing, and the longest
+# gap in hours (LAG over the distinct present hours — the window runs
+# over hours x types, thousands of rows, never raw events). The
+# data-delivery SLA check every ingest pipeline runs; one distinct-hour
+# aggregation plus a tiny window.
+# ---------------------------------------------------------------------------
+@register(
+    "q143_completeness_gaps",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr
+      FROM events
+    ),
+    spine AS (
+      SELECT MIN(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) AS h0,
+             MAX(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) AS h1
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, hr,
+             hr - lag(hr) OVER (PARTITION BY event_type ORDER BY hr) - 1
+               AS gap
+      FROM h
+    )
+    SELECT g.event_type,
+           COUNT(*) AS n_hours_present,
+           CAST(s.h1 - s.h0 + 1 AS BIGINT) AS n_hours_expected,
+           CAST(s.h1 - s.h0 + 1 - COUNT(*) AS BIGINT) AS n_missing,
+           CAST(COALESCE(MAX(g.gap), 0) AS BIGINT) AS max_gap_hours
+    FROM gaps g, spine s
+    GROUP BY g.event_type, s.h0, s.h1
+    """,
+    description="Completeness audit: per event_type, present vs expected "
+    "hourly buckets on the global spine and the longest gap (LAG over "
+    "distinct hours — the window sees hours x types, never raw events); "
+    "the ingest-SLA check.",
+    tags=("audit", "window", "time", "data-quality"),
+)
+def q143_completeness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    hr = F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) div 3600")
+    h = ev.select("event_type", hr.alias("hr")).distinct()
+    spine = ev.agg(
+        F.expr("MIN(CAST(unix_timestamp(ts) AS BIGINT) div 3600)").alias("h0"),
+        F.expr("MAX(CAST(unix_timestamp(ts) AS BIGINT) div 3600)").alias("h1"),
+    ).withColumn("__k", F.lit(1))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    gaps = h.withColumn("gap", F.col("hr") - F.lag("hr").over(w) - 1)
+    return (
+        gaps.withColumn("__k", F.lit(1))
+        .join(F.broadcast(spine), "__k")
+        .groupBy("event_type", "h0", "h1")
+        .agg(
+            F.count("*").alias("n_hours_present"),
+            F.coalesce(F.max("gap"), F.lit(0)).cast("long")
+            .alias("max_gap_hours"),
+        )
+        .select(
+            "event_type",
+            "n_hours_present",
+            F.expr("CAST(h1 - h0 + 1 AS BIGINT)").alias("n_hours_expected"),
+            F.expr("CAST(h1 - h0 + 1 - n_hours_present AS BIGINT)").alias(
+                "n_missing"
+            ),
+            "max_gap_hours",
+        )
+    )
