@@ -152,6 +152,12 @@ _PRIORITY = [
     # q67/q78 keep the LAST stateful-UDF and UDTF external rows.
     "q141_trailing_range_window",
     "q142_forward_fill",
+    # q143-q145 stay OUT of the 50-slot window (parity-gated locally at
+    # two SFs + bare session): they compose machinery other rows hold —
+    # q143's lag window (q122), q144 = q68's CC + an argmax window
+    # (q112 carries the CC pipeline), q145 composes the q34/q36/q66
+    # oracles verbatim. The remaining (c) rows are the LAST external
+    # representatives of their constructs and keep their slots.
     # (c) oldest green first — r2:
     # (c) last green row is r5:
     "q67_streaming_sessionize",

@@ -7348,3 +7348,163 @@ def q143_completeness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_gap_hours",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — KEEP-BEST DEDUP (the production dedup output policy): q68's
+# duplicate clusters, but the canonical survivor is the HIGHEST-QUALITY
+# member (longest n_chars, doc_id tiebreak), not the arbitrary
+# min-doc_id — what a curation pipeline actually ships (q31's
+# keep-first is the cheap baseline). Per multi-member cluster: the kept
+# doc, member count, and an order-free integer checksum of the removed
+# ids. Costs q68's CC plus one argmax window over cluster members
+# (thousands of rows, never the corpus).
+# ---------------------------------------------------------------------------
+@register(
+    "q144_keep_best_dedup",
+    _cc_sql_prefix()
+    + """
+    , scored AS (
+      SELECT l.doc_id, l.cluster, d.n_chars
+      FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    ),
+    best AS (
+      SELECT cluster, doc_id AS keep_doc_id FROM (
+        SELECT cluster, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT s.cluster, b.keep_doc_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN s.doc_id <> b.keep_doc_id
+                         THEN s.doc_id ELSE 0 END) AS BIGINT)
+             AS removed_id_sum
+    FROM scored s JOIN best b ON b.cluster = s.cluster
+    GROUP BY s.cluster, b.keep_doc_id
+    """,
+    description="Keep-best dedup: q68's near-dup clusters with the "
+    "HIGHEST-QUALITY member kept (n_chars argmax, doc_id tiebreak) — "
+    "the survivor policy curation ships, vs q31's keep-first; per "
+    "cluster the kept doc, member count, and an order-free removed-id "
+    "checksum.",
+    tags=("dedup", "clustering", "quality", "training-data"),
+)
+def q144_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SIG_AGREE,
+    ).select("doc_a", "doc_b")
+    labels = dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+    scored = labels.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("doc_id").alias("keep_doc_id"))
+    )
+    return (
+        scored.join(best, "cluster")
+        .groupBy("cluster", "keep_doc_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") != F.col("keep_doc_id"), F.col("doc_id")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("removed_id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q145 — ANN RECALL EVALUATION: the deployment gate every approximate
+# index needs — recall@10 of the SRP-bucket (q36) and IVF (q66) paths
+# against the brute-force exact top-10 (q34) ground truth, for the same
+# query vector. All three pipelines are deterministic (md5 planes,
+# quantized argmin, total-order tops), so recall is an EXACT integer
+# here, not a sampled estimate — and the oracle composes the three
+# registered oracle subqueries verbatim, proving the whole eval is
+# reproducible outside Spark. Retrieval stays index-pruned (bucket /
+# cluster probes); only top-k lists (tens of rows) reach the join.
+# ---------------------------------------------------------------------------
+def _q145_oracle() -> str:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.registry import QUERIES as _Q
+
+    brute = _Q["q34_embedding_topk"].oracle
+    srp = _Q["q36_ann_srp_bucket"].oracle
+    ivf = _Q["q66_ivf_ann"].oracle
+    return f"""
+    WITH brute AS (SELECT vec_id FROM ({brute})),
+    srp AS (
+      SELECT vec_id FROM ({srp})
+      ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    ),
+    ivf AS (SELECT vec_id FROM ({ivf})),
+    cand AS (
+      SELECT 'srp_bucket' AS method, vec_id FROM srp
+      UNION ALL
+      SELECT 'ivf' AS method, vec_id FROM ivf
+    )
+    SELECT c.method,
+           COUNT(*) AS k_retrieved,
+           CAST(SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recalled,
+           CAST((1000 * SUM(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+                // 10 AS BIGINT) AS recall_permille
+    FROM cand c LEFT JOIN brute b ON b.vec_id = c.vec_id
+    GROUP BY c.method
+    """
+
+
+@register(
+    "q145_ann_recall_eval",
+    _q145_oracle(),
+    description="ANN recall@10 evaluation: SRP-bucket and IVF retrieval "
+    "scored against the brute-force exact top-10 for the same query "
+    "vector — exact integer recall (every pipeline is deterministic), "
+    "composed verbatim from the three registered oracles; only top-k "
+    "lists reach the eval join.",
+    tags=("similarity", "ann", "eval", "audit"),
+)
+def q145_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = q34_embedding_topk(spark, sf_dir).select("vec_id")
+    srp = (
+        q36_ann_srp_bucket(spark, sf_dir)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf = q66_ivf_ann(spark, sf_dir).select("vec_id")
+    cand = srp.withColumn("method", F.lit("srp_bucket")).unionByName(
+        ivf.withColumn("method", F.lit("ivf"))
+    )
+    flagged = cand.join(
+        F.broadcast(brute.withColumn("__hit", F.lit(1))), "vec_id", "left"
+    )
+    return flagged.groupBy("method").agg(
+        F.count("*").alias("k_retrieved"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_recalled"),
+        F.expr(
+            "CAST((1000 * SUM(COALESCE(__hit, 0))) div 10 AS BIGINT)"
+        ).alias("recall_permille"),
+    )
