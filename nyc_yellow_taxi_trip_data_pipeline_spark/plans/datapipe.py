@@ -7508,3 +7508,123 @@ def q145_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * SUM(COALESCE(__hit, 0))) div 10 AS BIGINT)"
         ).alias("recall_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — EXACT-INTEGER TREND (OLS slope without floats): per-source
+# daily token production fitted with least squares entirely in integer
+# arithmetic — slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) emitted as an
+# exact (numerator, denominator) BIGINT pair plus a floor'd permille
+# slope, so the capacity forecast ("is this source growing?") is
+# bit-identical in any engine — float OLS (ddof variance paths, fused
+# multiply-adds) is not. x = day index from the corpus epoch, y = daily
+# whitespace tokens. One (source, day) rollup then a 20-row fit.
+# ---------------------------------------------------------------------------
+@register(
+    "q146_integer_ols_trend",
+    """
+    WITH daily AS (
+      SELECT source,
+             CAST(doc_id % 30 AS BIGINT) AS day_idx,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents
+      GROUP BY source, day_idx
+    ),
+    fit AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(day_idx) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(day_idx * y) AS BIGINT) AS sxy,
+             CAST(SUM(day_idx * day_idx) AS BIGINT) AS sxx
+      FROM daily GROUP BY source
+    )
+    SELECT source, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_permille
+    FROM fit
+    """,
+    description="Exact-integer OLS: per-source daily-token trend as the "
+    "rational slope (n*Sxy-Sx*Sy)/(n*Sxx-Sx^2) in BIGINT pairs plus a "
+    "floor'd permille — bit-identical capacity forecasting where float "
+    "OLS is not; one (source, day) rollup + 20-row fit.",
+    tags=("agg", "regression", "audit", "training-data"),
+)
+def q146_integer_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    daily = docs.groupBy(
+        "source", F.expr("CAST(doc_id % 30 AS BIGINT)").alias("day_idx")
+    ).agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("y")
+    )
+    fit = daily.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("day_idx").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("day_idx") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("day_idx") * F.col("day_idx")).cast("long").alias("sxx"),
+    )
+    return fit.select(
+        "source",
+        "n",
+        F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
+        F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
+        F.expr(
+            "CAST((1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q147 — COHORT RETENTION MATRIX: users grouped by first-seen week
+# (cohort), counted in each subsequent activity week — the retention
+# triangle every growth dashboard draws. Two passes over one user_id
+# partitioning (first-seen via a whole-partition MIN window, then the
+# distinct (cohort, week, user) rollup); the matrix is weeks x weeks,
+# never rows. Week index = epoch days div 7 from the global epoch,
+# exact integer in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q147_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(week) AS cohort FROM e GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort, e.week
+      FROM e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort,
+           CAST(week - cohort AS BIGINT) AS weeks_since,
+           COUNT(*) AS n_active_users
+    FROM active
+    GROUP BY cohort, weeks_since
+    """,
+    description="Cohort retention triangle: users by first-seen week, "
+    "counted in each later activity week (weeks-since offset) — two "
+    "aggregations over one user_id key, matrix bounded by weeks^2, "
+    "exact integer week math.",
+    tags=("agg", "cohort", "window", "analytics"),
+)
+def q147_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800").alias("week"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort", "week")
+        .distinct()
+    )
+    return active.groupBy(
+        "cohort", F.expr("CAST(week - cohort AS BIGINT)").alias("weeks_since")
+    ).agg(F.count("*").alias("n_active_users"))
