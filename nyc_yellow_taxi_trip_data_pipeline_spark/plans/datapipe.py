@@ -7628,3 +7628,127 @@ def q147_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy(
         "cohort", F.expr("CAST(week - cohort AS BIGINT)").alias("weeks_since")
     ).agg(F.count("*").alias("n_active_users"))
+
+
+# ---------------------------------------------------------------------------
+# q148 — EMBEDDING COMPONENT VARIANCE SPECTRUM: per-dimension energy
+# (quantized mean and variance) across the corpus — the audit that says
+# WHY q119's Matryoshka truncation works (leading components carry the
+# variance) and which tail dimensions are dead weight. posexplode keeps
+# the dimension index; variance is the exact integer rational
+# (n*Sxx - Sx^2) over quantized components, scaled by integer division
+# (numerator provably non-negative); the mean uses FLOOR(x+0.5) on an
+# exactly-computed double because its sum CAN be negative and integer
+# division rounds negatives differently across engines (CLAUDE.md
+# lesson 11). The oracle casts the float32 array to DOUBLE[] first —
+# raw FLOAT arithmetic in DuckDB diverges from Spark's float64 lambda. One (dim) rollup, 16 output rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q148_component_variance",
+    """
+    WITH e AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    c0 AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(ev)),
+               i -> {'dim': i - 1,
+                     'q': CAST(FLOOR(ev[i] * 1000 + 0.5) AS BIGINT)}
+             )) AS s
+      FROM e
+    ),
+    c AS (SELECT s.dim AS dim, s.q AS q FROM c0),
+    agg AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(q) AS BIGINT) AS sx,
+             CAST(SUM(q * q) AS BIGINT) AS sxx
+      FROM c GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           CAST(FLOOR(CAST(1000 * sx AS DOUBLE) / n + 0.5) AS BIGINT)
+             AS mean_q,
+           CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_q
+    FROM agg
+    """,
+    description="Embedding component variance spectrum: per-dimension "
+    "quantized mean and exact integer variance ((n*Sxx-Sx^2)/n^2, no "
+    "float ddof path) — the energy audit behind q119's truncation "
+    "fidelity; posexplode + one dim rollup, 16 rows.",
+    tags=("embedding", "audit", "agg", "compression"),
+)
+def q148_component_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "q")
+    )
+    agg = c.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").cast("long").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * sx AS DOUBLE) / n + 0.5D) AS BIGINT)"
+        ).alias("mean_q"),
+        F.expr("CAST((n * sxx - sx * sx) div (n * n) AS BIGINT)").alias(
+            "var_q"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — CROSS-LANGUAGE DUPLICATE AUDIT: identical normalized content
+# appearing under MULTIPLE language labels — almost always a lang-ID
+# mislabel or a template leak, and a poison pair for language-balanced
+# sampling (q124/q126 quotas double-count it). One md5 fingerprint
+# aggregation; flagged groups carry their languages as a SORTED
+# comma-joined string (array order would be partition-dependent) and a
+# min-doc_id anchor for triage.
+# ---------------------------------------------------------------------------
+@register(
+    "q149_cross_language_dups",
+    """
+    WITH g AS (
+      SELECT md5(lower(text)) AS content_md5,
+             COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents
+      GROUP BY content_md5
+    )
+    SELECT n_langs,
+           COUNT(*) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups
+    FROM g GROUP BY n_langs
+    """,
+    description="Cross-language duplicate audit: content-fingerprint "
+    "groups bucketed by how many language labels they span — any "
+    "n_langs >= 2 row is a lang-ID mislabel / template leak that "
+    "breaks language-balanced quotas; one md5 fingerprint aggregation "
+    "plus a tiny rollup (always-populated summary, zero rows never "
+    "masks a broken probe).",
+    tags=("dedup", "audit", "text", "data-quality"),
+)
+def q149_cross_language_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5(F.lower("text")).alias("content_md5")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return g.groupBy("n_langs").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+    )
