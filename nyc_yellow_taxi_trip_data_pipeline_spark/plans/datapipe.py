@@ -7542,14 +7542,16 @@ def q145_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, n,
            CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
            CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-           CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+           CAST(FLOOR((1000.0 * CAST(n * sxy - sx * sy AS DOUBLE))
+                      / (n * sxx - sx * sx) + 0.5)
                 AS BIGINT) AS slope_permille
     FROM fit
     """,
     description="Exact-integer OLS: per-source daily-token trend as the "
     "rational slope (n*Sxy-Sx*Sy)/(n*Sxx-Sx^2) in BIGINT pairs plus a "
-    "floor'd permille — bit-identical capacity forecasting where float "
-    "OLS is not; one (source, day) rollup + 20-row fit.",
+    "round-half-up permille quantized on an exact double (signed-safe "
+    "per CLAUDE.md lesson 11) — bit-identical capacity forecasting where "
+    "float OLS is not; one (source, day) rollup + 20-row fit.",
     tags=("agg", "regression", "audit", "training-data"),
 )
 def q146_integer_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7572,8 +7574,15 @@ def q146_integer_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("slope_num"),
         F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("slope_den"),
         F.expr(
-            "CAST((1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
-            " AS BIGINT)"
+            # Lesson 11 (CLAUDE.md): integer `div`//`//` diverge on negative
+            # operands (truncate-toward-zero vs floor).  The slope numerator
+            # IS signed (roughly half the sources trend down), so quantize
+            # on an exactly-computed double instead: num/den are exact
+            # BIGINTs, and (1000.0*num)/den + 0.5 -> FLOOR is the identical
+            # IEEE sequence in both engines.  1000.0D forces DOUBLE (Spark
+            # SQL text parses bare 1000.0 as DECIMAL, CLAUDE.md rule 4).
+            "CAST(FLOOR((1000.0D * CAST(n * sxy - sx * sy AS DOUBLE))"
+            " / (n * sxx - sx * sx) + 0.5D) AS BIGINT)"
         ).alias("slope_permille"),
     )
 

@@ -268,3 +268,32 @@ def test_q135_replay_batches_are_time_sorted(spark, tmp_path):
     pdf = pd.read_parquet(os.path.join(d, f))
     keys = list(zip(pdf["ts"], pdf["event_id"]))
     assert keys == sorted(keys)
+
+
+def test_q146_negative_slope_quantization_cross_engine(spark):
+    """q146's permille slope must NOT rely on floor==truncate (CLAUDE.md
+    lesson 11: Spark `div` truncates toward zero, DuckDB `//` floors —
+    they diverge on signed operands). Fixture: a 3-point fit whose slope
+    numerator is negative (-33) and whose 1000*num is NOT divisible by
+    the denominator (14), so the old div/`//` pair would have returned
+    -2357 vs -2358. The shipped round-half-up-on-exact-double form must
+    give the identical value in Spark SQL and DuckDB."""
+    import duckdb
+
+    tail = (
+        "SELECT CAST(FLOOR((1000.0{d} * CAST(n * sxy - sx * sy AS DOUBLE))"
+        " / (n * sxx - sx * sx) + 0.5{d}) AS BIGINT) AS slope_permille "
+        "FROM fit"
+    )
+    fit_sql = (
+        "WITH daily(day_idx, y) AS (VALUES (0, 9), (1, 7), (3, 2)), "
+        "fit AS (SELECT COUNT(*) AS n, CAST(SUM(day_idx) AS BIGINT) AS sx, "
+        "CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(day_idx * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(day_idx * day_idx) AS BIGINT) AS sxx FROM daily) "
+    )
+    spark_val = spark.sql(fit_sql + tail.format(d="D")).collect()[0][0]
+    duck_val = duckdb.sql(fit_sql + tail.format(d="")).fetchone()[0]
+    # round-half-up(-33000/14) = round-half-up(-2357.142) = -2357;
+    # the old floor-division oracle would have said -2358.
+    assert spark_val == duck_val == -2357
