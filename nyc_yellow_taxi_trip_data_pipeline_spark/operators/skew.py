@@ -63,7 +63,23 @@ def salted_join(
     ``hint`` (e.g. ``"merge"``) is applied to the fact side right before
     the join so the salted co-partitioning is actually exercised in tests
     where the dim would otherwise auto-broadcast.
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` joins are
+    row-identical under salting: the dim side is REPLICATED n_salts
+    ways, so any join type that emits unmatched DIM rows (right/full/
+    right_semi/right_anti) would emit each unmatched dim row n_salts
+    times instead of once — rejected here rather than silently wrong.
+    (Unmatched FACT rows are fine: each fact row carries exactly one
+    salt.)
     """
+    how_norm = how.lower().replace("outer", "").strip("_")
+    if how_norm in {"right", "full", "rightsemi", "right_semi",
+                    "rightanti", "right_anti", "fullouter"}:
+        raise ValueError(
+            f"salted_join(how={how!r}): dim-side replication duplicates "
+            "unmatched dim rows n_salts-fold for right/full join types; "
+            "use inner/left/left_semi/left_anti (or salt the other side)"
+        )
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -7645,12 +7645,30 @@ def q147_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # WHY q119's Matryoshka truncation works (leading components carry the
 # variance) and which tail dimensions are dead weight. posexplode keeps
 # the dimension index; variance is the exact integer rational
-# (n*Sxx - Sx^2) over quantized components, scaled by integer division
-# (numerator provably non-negative); the mean uses FLOOR(x+0.5) on an
-# exactly-computed double because its sum CAN be negative and integer
-# division rounds negatives differently across engines (CLAUDE.md
-# lesson 11). The oracle casts the float32 array to DOUBLE[] first —
-# raw FLOAT arithmetic in DuckDB diverges from Spark's float64 lambda. One (dim) rollup, 16 output rows.
+# (n*Sxx - Sx^2)/n^2 over quantized components, but computed in the
+# CENTERED, DIVIDE-EARLY form so no intermediate needs the ~n^2*q^2
+# headroom the naive form does (n*Sxx overflows int64 around n~1e6 for
+# unit-scale embeddings at quantization 1000 — DuckDB would raise,
+# Spark would silently wrap):
+#   pass 1: per-dim integer mean m = round_half_up(Sx/n) (16 rows,
+#           broadcast back);
+#   pass 2: centered sums s1 = SUM(q-m), s2 = SUM((q-m)^2). Shift
+#           invariance gives n*Sxx - Sx^2 == n*s2 - s1^2 EXACTLY, and
+#           |s1| <= n/2 by the rounding, so with a = s2 div n,
+#           r = s2 % n (both operands non-negative, lesson 11 safe):
+#             var_q = (n*s2 - s1^2) div n^2
+#                   = a + floor((n*r - s1^2)/n^2)
+#                   = a - (1 if n*r < s1^2 else 0)
+#           because -n^2/4 <= n*r - s1^2 < n^2 pins the floor term to
+#           {-1, 0} — no wide product survives. Largest intermediates:
+#           s1^2 <= n^2/4 and n*r < n^2, so EXACT while n < 3.0e9 rows
+#           per dim (vs ~1e6 naive); s2 ~ n*var_q holds to n ~ 1e12.
+#   mean_q reconstructs Sx = s1 + n*m exactly (BIGINT, ~n*|mean|) and
+#   applies the lesson-11 round-half-up on an exact double (Sx can be
+#   negative; div/`//` would diverge).
+# The oracle casts the float32 array to DOUBLE[] first — raw FLOAT
+# arithmetic in DuckDB diverges from Spark's float64 lambda. One extra
+# tiny rollup + broadcast vs the naive form; 16 output rows.
 # ---------------------------------------------------------------------------
 @register(
     "q148_component_variance",
@@ -7667,22 +7685,32 @@ def q147_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ),
     c AS (SELECT s.dim AS dim, s.q AS q FROM c0),
-    agg AS (
-      SELECT dim, COUNT(*) AS n,
-             CAST(SUM(q) AS BIGINT) AS sx,
-             CAST(SUM(q * q) AS BIGINT) AS sxx
+    means AS (
+      SELECT dim,
+             CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS m
       FROM c GROUP BY dim
+    ),
+    agg AS (
+      SELECT c.dim, COUNT(*) AS n, ANY_VALUE(means.m) AS m,
+             CAST(SUM(q - m) AS BIGINT) AS s1,
+             CAST(SUM((q - m) * (q - m)) AS BIGINT) AS s2
+      FROM c JOIN means ON means.dim = c.dim
+      GROUP BY c.dim
     )
     SELECT CAST(dim AS BIGINT) AS dim, n,
-           CAST(FLOOR(CAST(1000 * sx AS DOUBLE) / n + 0.5) AS BIGINT)
-             AS mean_q,
-           CAST((n * sxx - sx * sx) // (n * n) AS BIGINT) AS var_q
+           CAST(FLOOR(CAST(1000 * (s1 + n * m) AS DOUBLE) / n + 0.5)
+                AS BIGINT) AS mean_q,
+           CAST((s2 // n) - (CASE WHEN n * (s2 % n) < s1 * s1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS var_q
     FROM agg
     """,
     description="Embedding component variance spectrum: per-dimension "
-    "quantized mean and exact integer variance ((n*Sxx-Sx^2)/n^2, no "
-    "float ddof path) — the energy audit behind q119's truncation "
-    "fidelity; posexplode + one dim rollup, 16 rows.",
+    "quantized mean and exact integer variance ((n*Sxx-Sx^2)/n^2), "
+    "computed via centered divide-early sums so intermediates stay in "
+    "int64 to ~3e9 rows/dim (naive n*Sxx wraps at ~1e6) — the energy "
+    "audit behind q119's truncation fidelity; posexplode + a 16-row "
+    "mean broadcast + one dim rollup, 16 rows.",
     tags=("embedding", "audit", "agg", "compression"),
 )
 def q148_component_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7697,20 +7725,34 @@ def q148_component_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dim", "q")
     )
-    agg = c.groupBy("dim").agg(
-        F.count("*").alias("n"),
-        F.sum("q").cast("long").alias("sx"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+    means = c.groupBy("dim").agg(
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(q) AS DOUBLE) / COUNT(*) + 0.5D) AS BIGINT)"
+        ).alias("m")
+    )
+    agg = (
+        c.join(F.broadcast(means), "dim")
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("m").alias("m"),
+            F.sum(F.col("q") - F.col("m")).cast("long").alias("s1"),
+            F.sum((F.col("q") - F.col("m")) * (F.col("q") - F.col("m")))
+            .cast("long")
+            .alias("s2"),
+        )
     )
     return agg.select(
         F.col("dim").cast("long").alias("dim"),
         "n",
         F.expr(
-            "CAST(FLOOR(CAST(1000 * sx AS DOUBLE) / n + 0.5D) AS BIGINT)"
+            "CAST(FLOOR(CAST(1000 * (s1 + n * m) AS DOUBLE) / n + 0.5D)"
+            " AS BIGINT)"
         ).alias("mean_q"),
-        F.expr("CAST((n * sxx - sx * sx) div (n * n) AS BIGINT)").alias(
-            "var_q"
-        ),
+        F.expr(
+            "CAST((s2 div n) - (CASE WHEN n * (s2 % n) < s1 * s1"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("var_q"),
     )
 
 
@@ -7760,4 +7802,116 @@ def q149_cross_language_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
         .cast("long")
         .alias("n_dup_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 — the CAPPED twin of q113: identical pHash fingerprints, identical
+# 4-band Hamming-LSH, but with the q92 hot-bucket cap switched ON — the
+# form that is actually safe at corpus scale (uncapped, one boilerplate
+# pHash bucket at 100x is O(bucket^2) pairs from a single band key;
+# measured in ARCHITECTURE.md). q113 keeps the uncapped registration
+# because uncapped banding == brute force by pigeonhole and its oracle
+# PROVES that; this query oracle-checks the capped program itself: the
+# oracle replays the cap exactly (COUNT(*) OVER per band key, drop
+# over-cap buckets) so the scale-safe plan — not just its uncapped
+# idealization — carries a hard external row. Pair survival under the
+# cap is deterministic (bucket membership is a pure function of the
+# fingerprints), so the oracle is exact, as q92 already demonstrates.
+# ---------------------------------------------------------------------------
+_MEDIA_MAX_BUCKET = 64
+
+
+def _phash_capped_oracle(n_bits: int, n_bands: int, max_hamming: int,
+                         max_bucket: int) -> str:
+    bw = n_bits // n_bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, phash, {b} AS band_id, "
+        f"(phash // {1 << (bw * b)}) % {1 << bw} AS band_key FROM f"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, i,
+             ((n_bytes % 256) * (i + 3) * 2654435761) % 256 AS p
+      FROM d, generate_series(0, {n_bits - 1}) t(i)
+    ),
+    m AS (
+      SELECT doc_id, CAST(SUM(p) // {n_bits} AS BIGINT) AS mean_px
+      FROM px GROUP BY doc_id
+    ),
+    h AS (
+      SELECT px.doc_id,
+             CAST(SUM(CASE WHEN px.p > m.mean_px
+                           THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM px JOIN m ON m.doc_id = px.doc_id
+      GROUP BY px.doc_id
+    ),
+    f AS (
+      SELECT h.doc_id,
+             xor(h.ahash,
+                 CAST(1 AS BIGINT)
+                 << CAST((d.n_bytes // 256) % {n_bits} AS INTEGER)) AS phash
+      FROM h JOIN d ON d.doc_id = h.doc_id
+    ),
+    bands AS ({band_rows}),
+    capped AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands
+      ) WHERE bn <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a
+      JOIN capped b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(fa.phash, fb.phash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN f fa ON fa.doc_id = c.doc_a
+    JOIN f fb ON fb.doc_id = c.doc_b
+    WHERE bit_count(xor(fa.phash, fb.phash)) <= {max_hamming}
+    """
+
+
+@register(
+    "q150_media_neardup_capped",
+    _phash_capped_oracle(56, 4, 3, _MEDIA_MAX_BUCKET),
+    description="Media near-dup pairs under the SCALE-SAFE dial: q113's "
+    "exact pHash pipeline with the q92 hot-bucket cap ON "
+    f"(max_bucket={_MEDIA_MAX_BUCKET}) — over-cap band buckets (identical-"
+    "hash boilerplate media) are dropped before the self-join, bounding "
+    "candidates at any corpus size; the oracle replays the cap exactly, "
+    "so the 100TB-shaped plan itself is oracle-checked (q113 remains the "
+    "uncapped banding==brute-force recall proof).",
+    tags=("multimodal", "dedup", "lsh", "pandas-udf", "scale-dial"),
+)
+def q150_media_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = mm.phash_images(
+        mm.payload_metadata(mm.attach_binary_payload(docs))
+    )
+    fp = hashed.select(
+        "doc_id",
+        F.expr(
+            "ahash ^ shiftleft(CAST(1 AS BIGINT),"
+            " CAST((n_bytes div 256) % 56 AS INT))"
+        ).alias("phash"),
+    )
+    return dd.simhash_near_duplicates(
+        fp,
+        n_bits=56,
+        n_bands=4,
+        max_hamming=3,
+        fp_col="phash",
+        max_bucket=_MEDIA_MAX_BUCKET,
     )

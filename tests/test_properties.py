@@ -321,3 +321,33 @@ def test_ngram_fingerprints_match_pure_python(spark_global, words, n):
         for i in range(len(toks) - n + 1)
     ) if len(toks) >= n else []
     assert got == expected
+
+
+@given(
+    qs=st.lists(st.integers(min_value=-4000, max_value=4000),
+                min_size=1, max_size=40),
+    shift=st.integers(min_value=-10**9, max_value=10**9),
+)
+@settings(max_examples=200, deadline=None)
+def test_q148_divide_early_variance_identity(qs, shift):
+    """q148's centered divide-early algebra must equal the naive exact
+    integer variance (n*Sxx - Sx^2) // n^2 for ANY integer inputs —
+    including large shifted means (the overflow case the naive form
+    can't survive: Python bigints play the arbitrary-precision referee
+    here) and negative sums. Also pins |s1| <= n/2 (the bound that
+    keeps s1^2 inside int64 to n ~ 3e9) and that the floor term is
+    always in {-1, 0}."""
+    import math
+
+    qs = [q + shift for q in qs]
+    n = len(qs)
+    sx, sxx = sum(qs), sum(q * q for q in qs)
+    naive = (n * sxx - sx * sx) // (n * n)
+
+    m = math.floor(sx / n + 0.5)  # the exact-double round-half-up
+    s1 = sum(q - m for q in qs)
+    s2 = sum((q - m) ** 2 for q in qs)
+    assert abs(s1) <= n  # n/2 + double-rounding slack; never near n^2
+    floor_term = -1 if n * (s2 % n) < s1 * s1 else 0
+    assert floor_term in (-1, 0)
+    assert (s2 // n) + floor_term == naive

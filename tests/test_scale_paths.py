@@ -397,3 +397,21 @@ def test_salted_join_left_preserves_unmatched(spark):
     assert len(rows) == 2
     unmatched = [r for r in rows if r.fk == 99]
     assert len(unmatched) == 1 and unmatched[0].attr is None
+
+
+def test_salted_join_rejects_dim_preserving_join_types(spark):
+    """right/full joins would emit each unmatched (replicated) dim row
+    n_salts times — salted_join must refuse them loudly, not return
+    silently-duplicated rows."""
+    import pytest as _pytest
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(20).withColumnRenamed("id", "k2")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salted_join(fact, dim, "k", "k2", F.col("k"), how=how)
+    # the supported types still construct (no raise at build time)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(fact, dim, "k", "k2", F.col("k"), how=how)
