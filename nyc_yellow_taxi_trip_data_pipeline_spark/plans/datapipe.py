@@ -251,8 +251,12 @@ def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Exact cosine top-10 against a stored query vector: "
     "broadcast the query, one map-only scan (zip_with/aggregate vector "
-    "math, JVM-side), tiny top-k reduce — no vector shuffle.",
-    tags=("similarity", "topk"),
+    "math, JVM-side), tiny top-k reduce — no vector shuffle. "
+    "VERIFIER: the exact full-scan baseline ANN recall is measured "
+    "against (q145 does exactly that); the scale path is the "
+    "cluster-pruned IVF probe.",
+    tags=("similarity", "topk", "verifier"),
+    scale_twin="q66_ivf_ann",
 )
 def q34_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
@@ -699,8 +703,13 @@ def q44_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stop-shingle df-cap (a shingle in f docs emits O(f^2) join rows; "
     "df>64 shingles are dropped and Jaccard is defined over the filtered "
     "shingle universe — the standard recall/straggler trade-off), set "
-    "sizes precomputed — the exact twin of the MinHash-LSH path.",
-    tags=("dedup", "jaccard"),
+    "sizes precomputed — the exact twin of the MinHash-LSH path. "
+    "VERIFIER: candidate mass rides shingle document-frequency, not a "
+    "fixed bucket cap — the small-scale recall referee for the LSH "
+    "forms, not the plan to run on a full corpus (scale twin: q32; "
+    "q92 is the bit-sampling cousin).",
+    tags=("dedup", "jaccard", "verifier"),
+    scale_twin="q32_minhash_lsh_neardup",
 )
 def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -4728,8 +4737,11 @@ def q112_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(one-bit size-band perturbation exercises radius 2) within Hamming "
     "3 via uncapped 4-band Hamming-LSH — pigeonhole full recall makes "
     "the band join EXACTLY brute force, and the brute-force oracle "
-    "proves it; the q92 hot-bucket cap is the scale dial.",
-    tags=("multimodal", "dedup", "lsh", "pandas-udf"),
+    "proves it; the q92 hot-bucket cap is the scale dial. VERIFIER: "
+    "uncapped buckets grow with boilerplate mass — the capped "
+    "registration (q150) is the form to run at corpus scale.",
+    tags=("multimodal", "dedup", "lsh", "pandas-udf", "verifier"),
+    scale_twin="q150_media_neardup_capped",
 )
 def q113_media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")

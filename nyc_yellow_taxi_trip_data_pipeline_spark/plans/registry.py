@@ -32,6 +32,16 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # Set on VERIFIER-ONLY queries: plans whose cost is deliberately
+    # unbounded (all-pairs scans, uncapped LSH buckets) because their
+    # job is to PROVE a bounded plan's recall at small scale, never to
+    # run on a full corpus. Points at the registered query that is the
+    # production-scale form of the same operation. Enforced by
+    # tests/test_queries_parity.py: every scale_twin must name an
+    # existing registry entry, and carrying one implies the "verifier"
+    # tag (and vice versa) so the distinction is machine-checkable
+    # instead of living only in ARCHITECTURE.md prose.
+    scale_twin: str | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -42,6 +52,7 @@ def register(
     oracle: str | None,
     description: str = "",
     tags: tuple[str, ...] = (),
+    scale_twin: str | None = None,
 ) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable]:
     """Decorator: register a (spark_fn, oracle_sql) pair under ``name``."""
 
@@ -51,8 +62,15 @@ def register(
             # without any gate noticing (the replaced query simply stops
             # being verified) — fail at import time instead.
             raise ValueError(f"duplicate query registration: {name}")
+        if (scale_twin is not None) != ("verifier" in tags):
+            raise ValueError(
+                f"{name}: scale_twin and the 'verifier' tag must appear "
+                "together (a verifier names its production form; a "
+                "production form never claims to be a verifier)"
+            )
         QUERIES[name] = QuerySpec(
-            name=name, spark=fn, oracle=oracle, description=description, tags=tags
+            name=name, spark=fn, oracle=oracle, description=description,
+            tags=tags, scale_twin=scale_twin,
         )
         return fn
 

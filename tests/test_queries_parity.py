@@ -297,3 +297,18 @@ def test_q146_negative_slope_quantization_cross_engine(spark):
     # round-half-up(-33000/14) = round-half-up(-2357.142) = -2357;
     # the old floor-division oracle would have said -2358.
     assert spark_val == duck_val == -2357
+
+
+def test_verifier_queries_name_existing_scale_twins():
+    """Every verifier-tagged query must point at a registered scale twin
+    (and vice versa — the pairing is enforced at registration, this
+    pins resolution + that the known verifiers actually carry the tag)."""
+    verifiers = {n: s for n, s in QUERIES.items() if "verifier" in s.tags}
+    assert {"q45_ngram_jaccard", "q34_embedding_topk",
+            "q113_media_neardup_phash"} <= set(verifiers)
+    for name, spec in verifiers.items():
+        assert spec.scale_twin in QUERIES, (name, spec.scale_twin)
+        twin = QUERIES[spec.scale_twin]
+        assert "verifier" not in twin.tags, (
+            f"{name}: scale twin {twin.name} is itself a verifier"
+        )
