@@ -11,6 +11,23 @@ the session so every entry point gets the same tuned configuration:
   machines (and comparable to UTC-naive engines like DuckDB).
 - Shuffle partitions sized to the local core count for tests; on a cluster
   AQE coalesces from a deliberately-high initial number instead.
+
+Two PROFILES own the knobs whose right value flips between a laptop-scale
+smoke corpus and a 1000-executor cluster (``SPARK_GRAFT_PROFILE`` env var,
+or the ``profile=`` argument):
+
+- ``local`` (default): split size 2 MB — compressed text explodes into far
+  more compute than its file size suggests (regex/shingle/md5 over
+  documents: a 6 MB compressed corpus is ~4M tokens of HOF/regex work),
+  and a coarse split leaves it scanning on 1-2 cores while 30 idle
+  (measured on the 10x smoke: q105 38.4s -> 5.5s from scan parallelism
+  alone). 2 MB + the default 4 MB openCostInBytes ≈ one task per small
+  file. Shuffle partitions = local core count.
+- ``cluster``: split size 128 MB — at petabyte scale with many ~256 MB
+  files per table, split count comes from file count and tiny splits
+  would just multiply task-launch overhead; shuffle partitions start
+  HIGH (4096) and AQE coalesces down, which beats starting low because
+  AQE can merge but never re-split a too-coarse exchange.
 """
 
 from __future__ import annotations
@@ -21,40 +38,57 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Per-profile values for the scale-sensitive knobs. Everything not listed
+# here is scale-invariant and set unconditionally in get_spark().
+PROFILES: dict[str, dict[str, str]] = {
+    "local": {
+        "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    },
+    "cluster": {
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": "4096",
+    },
+}
+
 
 def get_spark(
     app_name: str = "nyc-yellow-taxi-pipeline-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
     Local mode is a single JVM where ``spark.driver.memory`` is the only
     memory knob; on a cluster the same config block applies unchanged and
-    AQE takes over partition sizing.
+    AQE takes over partition sizing. ``profile`` (or the
+    ``SPARK_GRAFT_PROFILE`` env var) selects the scale-sensitive knob
+    set — see module docstring; an explicit ``shuffle_partitions``
+    argument still wins over the profile.
     """
+    profile = profile or os.environ.get("SPARK_GRAFT_PROFILE", "local")
+    if profile not in PROFILES:
+        raise ValueError(
+            f"unknown SPARK_GRAFT_PROFILE {profile!r}; "
+            f"choose one of {sorted(PROFILES)}"
+        )
+    prof = PROFILES[profile]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or prof["spark.sql.shuffle.partitions"]),
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Input splits sized for CPU-per-byte, not just bytes: compressed
-        # text explodes into far more compute than its file size suggests
-        # (regex/shingle/md5 over documents — a 6 MB compressed corpus is
-        # ~4M tokens of HOF/regex work), and a coarse split leaves it
-        # scanning on 1-2 cores while 30 idle (measured on the 10x smoke:
-        # q105 38.4s -> 5.5s from scan parallelism alone). 2 MB + the
-        # default 4 MB openCostInBytes ≈ one task per small file. At
-        # petabyte scale with many ~256 MB files per table, RAISE this
-        # back toward 128 MB — split count then comes from file count,
-        # and tiny splits would just multiply task overhead.
-        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            prof["spark.sql.files.maxPartitionBytes"],
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
