@@ -26,17 +26,32 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # (b) q143-q149 — registered late in r7, never driver-verified
 #     (q146 additionally carries this round's signed-div fix and NEEDS a
 #     hard row to prove the quantized form under the driver env);
-# (c) the ENTIRE r5-green pool (40 queries) — their last external rows
-#     are three rounds old, exactly filling the remaining slots.
-# Result: after r8, no query's latest external row is older than r7,
-# except any registered after this window (parity-gated locally at two
-# SFs + bare session; they rotate in next round). All 147+ queries
+# (b2) round-8 NEW queries q150-q153 (never verified by definition);
+# (c) the r5-green pool (36 of its 40 — four sit out for (b2), see the
+#     inline rationale; sitting out keeps them AT r5, the boundary).
+# Result: after r8, no query's latest external row is older than r5,
+# and only the four documented sit-outs are older than r7. All queries
 # remain parity-gated regardless (tools/parity.py runs ALL of them).
 _PRIORITY = [
     # (a) r2-stale multimodal/ANN trio:
     "q64_multimodal_resize",
     "q65_frame_sample",
     "q66_ivf_ann",
+    # (b) never driver-verified round-8 additions (a never-verified query
+    # outranks a re-verification): q150 capped media near-dup (the
+    # scale-safe q113 twin the r7 verdict asked to oracle-check), q151
+    # split-leakage audit, q152 source overlap matrix, q153 domain rank.
+    # Four r5-green rows sit out for them — the most trivially-oracled of
+    # that pool, constructs all double-covered by staying rows: q30 exact
+    # dedup (md5 fingerprint groups recur in q94/q98/q149/q151), q31
+    # keep-first window (q144's keep-best window is in-window, q122's
+    # row_number machinery stays), q13 distinct+sort (Catalyst built-ins;
+    # q19/q58 set/rank coverage stays), q10 floor-bucket histogram
+    # (q107/q111 bucket rollups went green in r7).
+    "q150_media_neardup_capped",
+    "q151_split_leakage_audit",
+    "q152_source_overlap_matrix",
+    "q153_domain_rank",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -55,12 +70,8 @@ _PRIORITY = [
     "q07_daily_multi_agg",
     "q08_argmax_day",
     "q09_quantiles_iqr",
-    "q10_histogram",
     "q11_summary_stats",
     "q12_error_metrics",
-    "q13_distinct_months",
-    "q30_dedup_exact",
-    "q31_dedup_keep_first",
     "q32_minhash_lsh_neardup",
     "q33_simhash",
     "q34_embedding_topk",

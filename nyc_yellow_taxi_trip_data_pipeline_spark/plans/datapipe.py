@@ -7927,3 +7927,326 @@ def q150_media_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_col="phash",
         max_bucket=_MEDIA_MAX_BUCKET,
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — SPLIT LEAKAGE AUDIT: near-duplicate pairs straddling the
+# train/valid/test hash split — the contamination mode that inflates
+# eval scores silently (a test doc whose near-twin sits in train is a
+# leaked answer key). Composes the q32 MinHash-LSH pair pipeline with
+# the q124-style deterministic md5 split (800/100/100 permille on
+# doc_id), then rolls pairs up by (split_a, split_b): any off-diagonal
+# row is leakage. Scale shape: the pair set is the LSH output (bounded
+# by band caps), the split is a map-only derived column, and the rollup
+# is 9 rows — the audit costs one doc_id equi-join more than q32
+# itself. The oracle embeds the SAME parameterized MinHash SQL q32/q68
+# verify against.
+# ---------------------------------------------------------------------------
+_SPLIT_FOLD = _hex_fold_sql("md5(concat('split:', CAST(doc_id AS {st})))")
+_SPLIT_CASE = (
+    "CASE WHEN ({fold}) % 1000 < 800 THEN 'train' "
+    "WHEN ({fold}) % 1000 < 900 THEN 'valid' ELSE 'test' END"
+)
+
+
+def _q151_sql(string_type: str) -> str:
+    fold = _SPLIT_FOLD.format(st=string_type)
+    split_case = _SPLIT_CASE.format(fold=fold)
+    return f"""
+    WITH prs AS ({_mh_sql()}),
+    sp AS (
+      SELECT doc_id, {split_case} AS split FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs,
+           CAST(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END
+                AS BIGINT) AS is_leak,
+           CAST(MIN(p.doc_a) AS BIGINT) AS min_doc_a
+    FROM prs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    GROUP BY sa.split, sb.split
+    """
+
+
+@register(
+    "q151_split_leakage_audit",
+    _q151_sql("VARCHAR"),
+    description="Train/test split leakage: MinHash-LSH near-dup pairs "
+    "(the q32 pipeline, same dials) joined to a deterministic md5 "
+    "800/100/100 doc split and rolled up by (split_a, split_b) — "
+    "off-diagonal rows are eval contamination (a test doc's near-twin "
+    "in train). One doc_id equi-join over the bounded LSH pair set; "
+    "9-row output with a min-doc anchor for triage.",
+    tags=("dedup", "lsh", "governance", "training-data", "audit"),
+)
+def q151_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(
+        docs,
+        threshold=0.5,
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+        shingle_n=2,
+        max_bucket=_MH_MAX_BUCKET,
+        sig_agree_min=_MH_SIG_AGREE,
+    ).select("doc_a", "doc_b")
+    fold = _SPLIT_FOLD.format(st="STRING")
+    sp = docs.select(
+        "doc_id", F.expr(_SPLIT_CASE.format(fold=fold)).alias("split")
+    )
+    j = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+    )
+    return j.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_leak"),
+        F.min("doc_a").cast("long").alias("min_doc_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — SOURCE OVERLAP MATRIX: exact pairwise bigram-shingle Jaccard
+# between every pair of SOURCES — the corpus-acquisition dashboard that
+# says which feeds are rebrands/mirrors of each other (near-1 overlap
+# means paying twice for the same crawl). Distinct (source, shingle)
+# inverted index self-joined on shingle: each shingle row fans out to
+# at most C(n_sources, 2) pairs, so candidate mass is LINEAR in the
+# distinct shingle mass times a constant — no doc-pair quadratic
+# anywhere, and the matrix is n_sources^2 rows regardless of corpus
+# size. Jaccard emitted as round-half-up permille on exact integer
+# counts (lesson-11-safe: counts are non-negative, division quantized
+# on an exact double).
+# ---------------------------------------------------------------------------
+@register(
+    "q152_source_overlap_matrix",
+    """
+    WITH w AS (
+      SELECT source, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    sh0 AS (
+      SELECT source,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS s
+      FROM w
+    ),
+    sh AS (SELECT DISTINCT source, unnest(s) AS shingle FROM sh0),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(FLOOR(1000.0 * CAST(i.n_common AS DOUBLE)
+                      / (sa.n + sb.n - i.n_common) + 0.5)
+                AS BIGINT) AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    description="Pairwise source-level bigram-shingle Jaccard matrix: "
+    "distinct (source, shingle) inverted index self-joined on shingle "
+    "(fan-out bounded by n_sources per shingle — linear in shingle "
+    "mass, never doc-quadratic), exact integer intersections, "
+    "round-half-up permille Jaccard; the mirror/rebrand detector for "
+    "corpus acquisition.",
+    tags=("dedup", "jaccard", "audit", "training-data"),
+)
+def q152_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.select("source", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    sh = (
+        w.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ',"
+                    " element_at(w, i + 1)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(FLOOR(1000.0D * CAST(n_common AS DOUBLE)"
+                " / (n_a + n_b - n_common) + 0.5D) AS BIGINT)"
+            ).alias("jaccard_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — DOMAIN RANK: 3 unrolled rounds of damped power iteration
+# (PageRank) over the source-level shared-content graph — the crawl-
+# prioritization signal ("which feeds sit at the center of the mirror/
+# syndication web"). Edges: source pairs sharing exact content
+# fingerprints (distinct (md5, source) pairs self-joined on the
+# fingerprint — fan-out per fingerprint is bounded by n_sources after
+# the distinct, so edge building is LINEAR in distinct fingerprint
+# mass); weights = shared-fingerprint counts. Ranks are integer ppm:
+# teleport (15*base) div 100 plus damped (85*Σ contrib) div 100 where
+# contrib = FLOOR(r_u * w_uv / W_u + 0.5) on an exact double — every
+# div operand non-negative (lesson 11 safe), every SUM over BIGINT, so
+# three rounds are bit-identical across engines. The oracle unrolls
+# the identical three rounds as CTEs; the Spark side is a 3-step
+# DataFrame loop over a ~n_sources-row rank table (no checkpoint needed
+# at this depth — the iterative-checkpoint machinery is q68's).
+# ---------------------------------------------------------------------------
+def _q153_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.source AS v,
+             CAST((15 * (1000000 // (SELECT COUNT(*) FROM nodes))) // 100
+                  + (85 * COALESCE(SUM(CAST(FLOOR(
+                        CAST({prev}.r AS DOUBLE) * e.w / deg.wu + 0.5)
+                      AS BIGINT)), 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN e ON e.v = n.source
+      LEFT JOIN {prev} ON {prev}.v = e.u
+      LEFT JOIN deg ON deg.u = e.u
+      GROUP BY n.source
+    )"""
+
+
+@register(
+    "q153_domain_rank",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT md5(lower(text)) AS fp, source FROM documents
+    ),
+    e AS (
+      SELECT a.source AS u, b.source AS v, COUNT(*) AS w
+      FROM g a JOIN g b ON a.fp = b.fp AND a.source <> b.source
+      GROUP BY 1, 2
+    ),
+    nodes AS (SELECT DISTINCT source FROM documents),
+    deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wu FROM e GROUP BY u),
+    r0 AS (
+      SELECT source AS v,
+             CAST(1000000 // (SELECT COUNT(*) FROM nodes) AS BIGINT) AS r
+      FROM nodes
+    ),
+    {_q153_round_sql("r0", "r1")},
+    {_q153_round_sql("r1", "r2")},
+    {_q153_round_sql("r2", "r3")}
+    SELECT v AS source, r AS rank_ppm FROM r3
+    """,
+    description="Domain rank: 3 unrolled damped power-iteration rounds "
+    "(PageRank, d=0.85, integer-ppm arithmetic, lesson-11-safe "
+    "non-negative div) over the source graph whose edges are shared "
+    "exact-content fingerprints — edge building is linear in distinct "
+    "fingerprint mass (fan-out bounded by n_sources per fingerprint), "
+    "rank iteration touches only an n_sources-row table; the crawl-"
+    "prioritization twin of the q68 clustering family.",
+    tags=("graph", "iterative", "audit", "training-data"),
+)
+def q153_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.select(F.md5(F.lower("text")).alias("fp"), "source").distinct()
+    a = g.select(F.col("fp"), F.col("source").alias("u"))
+    b = g.select(F.col("fp"), F.col("source").alias("v"))
+    e = (
+        a.join(b, "fp")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        # n_sources^2 rows at most; materialize once so the 3-round loop
+        # joins a tiny cached table instead of re-running the corpus-wide
+        # edge build every round (same subtree-reuse lesson as the q68 CC
+        # loop — the un-checkpointed plan carried 39 exchanges).
+        .localCheckpoint(eager=True)
+    )
+    nodes = docs.select("source").distinct().localCheckpoint(eager=True)
+    ncnt = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    deg = e.groupBy("u").agg(F.sum("w").cast("long").alias("wu"))
+    r = (
+        nodes.crossJoin(F.broadcast(ncnt))
+        .select(
+            F.col("source").alias("v"),
+            F.expr("CAST(1000000 div n_nodes AS BIGINT)").alias("r"),
+        )
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(
+                r.select(F.col("v").alias("u"), F.col("r").alias("ru")), "u"
+            )
+            .join(deg, "u")
+            .select(
+                "v",
+                F.expr(
+                    "CAST(FLOOR(CAST(ru AS DOUBLE) * w / wu + 0.5D)"
+                    " AS BIGINT)"
+                ).alias("c"),
+            )
+        )
+        agg = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("s"))
+        r = (
+            nodes.crossJoin(F.broadcast(ncnt))
+            .join(agg, nodes.source == agg.v, "left")
+            .select(
+                F.col("source").alias("v"),
+                F.expr(
+                    "CAST((15 * (1000000 div n_nodes)) div 100"
+                    " + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                    " AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("v").alias("source"), F.col("r").alias("rank_ppm"))

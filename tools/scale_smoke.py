@@ -69,6 +69,10 @@ QUERIES_TO_RUN = [
     "q112_dup_cluster_histogram",  # CC labels + size rollup
     "q113_media_neardup_phash",    # pHash 4-band Hamming-LSH (uncapped)
     "q114_curated_shard_build",    # gates -> dedup -> DSIR -> shards
+    "q150_media_neardup_capped",   # pHash LSH with hot-bucket cap ON
+    "q151_split_leakage_audit",    # LSH pairs x md5 split rollup
+    "q152_source_overlap_matrix",  # source-level shingle Jaccard
+    "q153_domain_rank",            # 3-round integer power iteration
 ]
 
 
