@@ -49,6 +49,11 @@ _PRIORITY = [
     # q19/q58 set/rank coverage stays), q10 floor-bucket histogram
     # (q107/q111 bucket rollups went green in r7).
     "q150_media_neardup_capped",
+    # q154 multi-watermark union (min policy, empirically pinned) also
+    # takes a slot: q03 sits out for it — filter+group-count constructs
+    # are held by staying rows (q02 filter/cast battery, q07 date
+    # grouping, q121/q128 filtered joins) and its §2 parity row.
+    "q154_streaming_union_watermarks",
     "q151_split_leakage_audit",
     "q152_source_overlap_matrix",
     "q153_domain_rank",
@@ -63,7 +68,6 @@ _PRIORITY = [
     # (c) the full r5-green pool, oldest remaining external rows:
     "q01_pricing_summary",
     "q02_clean_features",
-    "q03_filter_group_count",
     "q04_null_counts",
     "q05_route_topk",
     "q06_left_join_dim",

@@ -8250,3 +8250,143 @@ def q153_domain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("v").alias("source"), F.col("r").alias("rank_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# q154 — MULTI-WATERMARK UNION (global-minimum policy), oracle-proven:
+# two branches of the same replayed stream carry DIFFERENT watermark
+# delays (30 min on branch 0, 120 min on branch 1 — the "fast clickslog
+# joined with a slow export" shape), are unioned, and feed one hourly
+# windowed aggregation in APPEND mode. The semantic under test is
+# Spark's documented multipleWatermarkPolicy=min default: the stateful
+# operator advances with the SLOWEST branch — each watermark operator
+# tracks its own branch's running-max event time minus its own delay,
+# and the global watermark is the MINIMUM across operators. Pinned
+# empirically (round 8) before writing the oracle: 4-batch replay with
+# branch decorrelated from arrival batch (branch = (event_id div 4) %
+# 2, batch = event_id % 4), published per-batch watermarks equal the
+# per-branch-runmax minimum, numRowsDroppedByWatermark = 246/247 at
+# batches 2/3, and the q130 two-batch-lag late filter reproduces the
+# kept set EXACTLY (365/365 rows) while a one-batch lag does not.
+# Emission: window end <= final global watermark, as q130.
+# ---------------------------------------------------------------------------
+_Q154_FAST_MS = 30 * 60 * 1000
+_Q154_SLOW_MS = 120 * 60 * 1000
+
+
+@register(
+    "q154_streaming_union_watermarks",
+    f"""
+    WITH e AS (
+      SELECT event_id % 4 AS b,
+             (event_id // 4) % 2 AS br,
+             epoch_ms(ts) AS tms,
+             ((epoch_ms(ts) // 3600000) + 1) * 3600000 AS wend
+      FROM events
+    ),
+    bm AS (SELECT b, br, MAX(tms) AS mx FROM e GROUP BY b, br),
+    wms AS (
+      SELECT b,
+             MIN(CASE WHEN br = 0 THEN rm - {_Q154_FAST_MS}
+                      ELSE rm - {_Q154_SLOW_MS} END) AS wm
+      FROM (SELECT b, br, MAX(mx) OVER (PARTITION BY br ORDER BY b) AS rm
+            FROM bm)
+      GROUP BY b
+    ),
+    fin AS (SELECT MAX(wm) AS fwm FROM wms),
+    kept AS (
+      SELECT e.wend, e.br FROM e
+      LEFT JOIN wms p ON p.b = e.b - 2
+      WHERE p.wm IS NULL OR e.wend > p.wm
+    )
+    SELECT CAST(k.wend - 3600000 AS BIGINT) AS window_start_ms,
+           CAST(k.br AS BIGINT) AS branch,
+           COUNT(*) AS n_events
+    FROM kept k, fin
+    GROUP BY k.wend, k.br, fin.fwm
+    HAVING k.wend <= fin.fwm
+    """,
+    description="Union of two watermarked branches with DIFFERENT delays "
+    "(30 min / 120 min) into one hourly APPEND aggregation: the global "
+    "watermark is the per-branch-runmax MINIMUM (multipleWatermarkPolicy "
+    "= min), late data filtered with the two-batch-lagged global "
+    "watermark, windows emitted once end <= the final one — algebra "
+    "pinned against published watermarks and numRowsDroppedByWatermark "
+    "before the oracle was written (365/365 exact at sf0.001).",
+    tags=("streaming", "watermark", "union", "late-data", "window"),
+)
+def q154_streaming_union_watermarks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    replay_dir = f"/tmp/q154_replay_{uuid.uuid4().hex[:8]}"
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(replay_dir)
+        new = [
+            f
+            for f in os.listdir(replay_dir)
+            if f.endswith(".parquet")
+            and not f.startswith("_")
+            and f not in written
+        ]
+        assert len(new) == 1, new
+        os.rename(
+            os.path.join(replay_dir, new[0]),
+            os.path.join(replay_dir, f"{i:02d}.parquet"),
+        )
+        written.add(f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    branch = F.pmod(F.expr("event_id div 4"), F.lit(2))
+    fast = (
+        stream.filter(branch == 0)
+        .withColumn("branch", F.lit(0).cast("long"))
+        .withWatermark("ts", "30 minutes")
+    )
+    slow = (
+        stream.filter(branch == 1)
+        .withColumn("branch", F.lit(1).cast("long"))
+        .withWatermark("ts", "120 minutes")
+    )
+    agg = (
+        fast.unionByName(slow)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "branch")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.expr("unix_millis(w.start)").alias("window_start_ms"),
+            "branch",
+            "n_events",
+        )
+    )
+    sink = f"q154_out_{uuid.uuid4().hex[:8]}"
+    with scoped_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            unload_state_stores(spark)
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    return spark.table(sink)
