@@ -57,6 +57,15 @@ _PRIORITY = [
     "q151_split_leakage_audit",
     "q152_source_overlap_matrix",
     "q153_domain_rank",
+    # Round-8 second batch q155-q157 (vocab growth / l-diversity / FD
+    # audit). Three more r5-green rows sit out: q04 (null counts —
+    # construct held by staying q02 cast/filter battery + unit tests),
+    # q12 (error-metric battery — q146's exact regression row stays in-
+    # window and the ML metrics are bounds-tested), q63 (date battery —
+    # q07 date grouping stays; §2.12 goldens pin the conventions).
+    "q155_vocab_growth",
+    "q156_l_diversity_audit",
+    "q157_fd_violation_audit",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -68,14 +77,12 @@ _PRIORITY = [
     # (c) the full r5-green pool, oldest remaining external rows:
     "q01_pricing_summary",
     "q02_clean_features",
-    "q04_null_counts",
     "q05_route_topk",
     "q06_left_join_dim",
     "q07_daily_multi_agg",
     "q08_argmax_day",
     "q09_quantiles_iqr",
     "q11_summary_stats",
-    "q12_error_metrics",
     "q32_minhash_lsh_neardup",
     "q33_simhash",
     "q34_embedding_topk",
@@ -89,7 +96,6 @@ _PRIORITY = [
     "q57_grouping_sets",
     "q58_rank_family",
     "q61_conditional_aggs",
-    "q63_date_math",
     "q69_lookback_range_join",
     "q70_stratified_sample",
     "q71_token_counts",

@@ -8390,3 +8390,255 @@ def q154_streaming_union_watermarks(
             unload_state_stores(spark)
     shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q155 — VOCABULARY GROWTH CURVE (Heaps-law audit): cumulative distinct
+# bigram vocabulary as the corpus grows through 10 equal doc_id deciles
+# — the measurement behind "is more crawl still buying new language?"
+# (a flattening curve says new data is rehash, i.e. dedup ROI rises).
+# Scale shape: "cumulative distinct over growing prefixes" is NOT a
+# re-scan per prefix — each distinct shingle contributes exactly once
+# at its FIRST decile (groupBy shingle -> MIN(bucket)), then a 10-row
+# running sum finishes the curve. One shingle aggregation, one tiny
+# window; bucket boundaries come from a broadcast 1-row MAX(doc_id).
+# ---------------------------------------------------------------------------
+@register(
+    "q155_vocab_growth",
+    """
+    WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS shingle
+      FROM w
+    ),
+    bsh AS (
+      SELECT (sh.doc_id * 10) // mx.m AS bucket, sh.shingle
+      FROM sh, mx
+    ),
+    firsts AS (
+      SELECT shingle, MIN(bucket) AS first_bucket FROM bsh GROUP BY shingle
+    ),
+    nv AS (
+      SELECT first_bucket AS bucket, COUNT(*) AS vocab_new
+      FROM firsts GROUP BY first_bucket
+    ),
+    toks AS (
+      SELECT (d.doc_id * 10) // mx.m AS bucket,
+             CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_docs
+      FROM documents d, mx
+      GROUP BY 1
+    )
+    SELECT t.bucket,
+           t.n_docs,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY t.bucket) AS BIGINT)
+             AS tokens_cum,
+           CAST(COALESCE(nv.vocab_new, 0) AS BIGINT) AS vocab_new,
+           CAST(SUM(COALESCE(nv.vocab_new, 0)) OVER (ORDER BY t.bucket)
+                AS BIGINT) AS vocab_cum
+    FROM toks t LEFT JOIN nv ON nv.bucket = t.bucket
+    """,
+    description="Heaps-law vocabulary growth: cumulative distinct bigram "
+    "vocabulary across 10 doc_id deciles, computed via first-occurrence "
+    "buckets (each shingle counted once at MIN(bucket) — one shingle "
+    "aggregation, never a per-prefix re-scan) + a 10-row running sum; "
+    "the dedup-ROI / crawl-saturation audit.",
+    tags=("text", "agg", "audit", "training-data"),
+)
+def q155_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    w = docs.select("doc_id", "text", F.split("text", " ").alias("w"))
+    sh = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ',"
+                    " element_at(w, i + 1)))"
+                )
+            ).alias("shingle"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(doc_id * 10) div m").alias("bucket"), "shingle"
+        )
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("bucket").alias("first_bucket"))
+    nv = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count("*").alias("vocab_new")
+    )
+    toks = (
+        w.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("(doc_id * 10) div m").alias("bucket"))
+        .agg(
+            F.sum(F.size("w")).cast("long").alias("n_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    win = Window.orderBy("bucket")  # 10-row frame — global sort is free
+    return (
+        toks.join(nv, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            F.sum("n_tokens").over(win).cast("long").alias("tokens_cum"),
+            F.coalesce(F.col("vocab_new"), F.lit(0))
+            .cast("long")
+            .alias("vocab_new"),
+            F.sum(F.coalesce(F.col("vocab_new"), F.lit(0)))
+            .over(win)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q156 — L-DIVERSITY AUDIT, the q136 companion: k-anonymity counts rows
+# per quasi-identifier group, but a large group whose SENSITIVE value
+# is constant still leaks ("everyone in cohort 12 on Jan 3 purchased").
+# Per QI group (user cohort x day) count DISTINCT sensitive values
+# (event_type); groups with l < 2 are homogeneous disclosures. One
+# QI-tuple aggregation with a distinct-count (state bounded by QI x
+# sensitive cardinality), rolled up per day.
+# ---------------------------------------------------------------------------
+@register(
+    "q156_l_diversity_audit",
+    """
+    WITH qi AS (
+      SELECT user_id // 10 AS cohort,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(DISTINCT event_type) AS l,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY cohort, d
+    )
+    SELECT d,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous,
+           CAST(SUM(CASE WHEN l < 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_disclosed,
+           CAST(MIN(l) AS BIGINT) AS min_l
+    FROM qi GROUP BY d
+    """,
+    description="l-diversity audit (l>=2) over (user cohort x day) "
+    "quasi-identifier groups with event_type as the sensitive value: "
+    "homogeneous groups leak even when k-anonymous (q136's blind spot); "
+    "one QI aggregation with bounded distinct-count state, per-day "
+    "rollup.",
+    tags=("audit", "privacy", "agg", "training-data"),
+)
+def q156_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    qi = ev.groupBy(
+        F.expr("user_id div 10").alias("cohort"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(
+        F.countDistinct("event_type").alias("l"),
+        F.count("*").alias("n"),
+    )
+    return qi.groupBy("d").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_homogeneous"),
+        F.sum(F.when(F.col("l") < 2, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_disclosed"),
+        F.min("l").cast("long").alias("min_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — FUNCTIONAL-DEPENDENCY VIOLATION AUDIT: data-quality gate that
+# checks candidate FDs X -> Y and reports, per FD, how many X groups
+# carry MULTIPLE Y values and how much row mass sits in those groups —
+# the structural-integrity complement to q117's referential checks
+# (which verify key EXISTENCE, not value consistency). Three candidate
+# FDs over two tables, each one groupBy-X shuffle with a tiny distinct
+# state, unioned into a 3-row report. The three candidates span the
+# spectrum (generator-dependent: part->supplier is near-functional,
+# order->returnflag and customer->priority are deliberately weak) so
+# the audit exercises both zero- and non-zero-violation paths.
+# ---------------------------------------------------------------------------
+def _fd_sql(fd_name: str, table: str, x: str, y: str) -> str:
+    return f"""
+    SELECT '{fd_name}' AS fd,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_in_violation,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_y
+    FROM (
+      SELECT {x}, COUNT(DISTINCT {y}) AS nd, COUNT(*) AS n
+      FROM {table} GROUP BY {x}
+    )
+    """
+
+
+@register(
+    "q157_fd_violation_audit",
+    f"""
+    {_fd_sql("lineitem:orderkey->returnflag", "lineitem",
+             "l_orderkey", "l_returnflag")}
+    UNION ALL
+    {_fd_sql("lineitem:partkey->suppkey", "lineitem",
+             "l_partkey", "l_suppkey")}
+    UNION ALL
+    {_fd_sql("orders:custkey->orderpriority", "orders",
+             "o_custkey", "o_orderpriority")}
+    """,
+    description="Functional-dependency audit: for candidate FDs X->Y "
+    "(order->returnflag, part->supplier, customer->priority), the X "
+    "groups carrying multiple Y values and their row mass — schema-"
+    "consistency gate complementing q117's existence checks; one "
+    "distinct-count aggregation per FD, 3-row report.",
+    tags=("audit", "data-quality", "agg"),
+)
+def q157_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def fd(df: DataFrame, fd_name: str, x: str, y: str) -> DataFrame:
+        g = df.groupBy(x).agg(
+            F.countDistinct(y).alias("nd"), F.count("*").alias("n")
+        )
+        return g.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count("*").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.sum(F.when(F.col("nd") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_in_violation"),
+            F.max("nd").cast("long").alias("max_distinct_y"),
+        )
+
+    return (
+        fd(li, "lineitem:orderkey->returnflag", "l_orderkey", "l_returnflag")
+        .unionByName(
+            fd(li, "lineitem:partkey->suppkey", "l_partkey", "l_suppkey")
+        )
+        .unionByName(
+            fd(
+                orders,
+                "orders:custkey->orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+    )

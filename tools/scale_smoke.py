@@ -73,6 +73,8 @@ QUERIES_TO_RUN = [
     "q151_split_leakage_audit",    # LSH pairs x md5 split rollup
     "q152_source_overlap_matrix",  # source-level shingle Jaccard
     "q153_domain_rank",            # 3-round integer power iteration
+    "q155_vocab_growth",           # first-occurrence vocab deciles
+    "q157_fd_violation_audit",     # per-FD distinct-count shuffles
 ]
 
 
