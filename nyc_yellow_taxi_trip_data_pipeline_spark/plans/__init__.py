@@ -66,6 +66,13 @@ _PRIORITY = [
     "q155_vocab_growth",
     "q156_l_diversity_audit",
     "q157_fd_violation_audit",
+    # Round-8 third batch: q158 Misra-Gries exact heavy hitters, q159
+    # max-policy watermark twin. Two more r5-green rows sit out: q61
+    # (conditional aggs — CASE-sum machinery held by staying q136/q156
+    # and r7-green q91/q104), q39 (md5 projection — fingerprint
+    # constructs held by staying q151/q153 and r7-green q94/q98/q106).
+    "q158_heavy_hitters",
+    "q159_streaming_union_watermark_max",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -88,14 +95,12 @@ _PRIORITY = [
     "q34_embedding_topk",
     "q37_text_quality",
     "q38_lang_id",
-    "q39_fingerprint",
     "q40_multimodal_meta",
     "q41_multimodal_decode",
     "q42_approx_sketches",
     "q56_regex_extract",
     "q57_grouping_sets",
     "q58_rank_family",
-    "q61_conditional_aggs",
     "q69_lookback_range_join",
     "q70_stratified_sample",
     "q71_token_counts",

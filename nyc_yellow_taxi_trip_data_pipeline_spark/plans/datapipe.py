@@ -8642,3 +8642,230 @@ def q157_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — EXACT HEAVY HITTERS via Misra-Gries candidate pruning: every
+# word whose corpus frequency exceeds n/(k+1), with EXACT counts — the
+# canonical "frequent tokens without shuffling the token mass" pattern.
+# Stage 1 (mapInPandas, one pass): each partition keeps a k-counter
+# Misra-Gries summary (bounded memory, k=255) and yields only its
+# candidate WORDS. Pigeonhole guarantee: a word absent from partition
+# p's summary has freq_p <= n_p/(k+1), so a word absent from EVERY
+# summary has freq <= n/(k+1) — the candidate union provably contains
+# all true heavy hitters NO MATTER how rows are partitioned. Stage 2:
+# exact recount of candidate words only (explode + broadcast semi-join
+# + one small groupBy), filtered by the integer cross-multiplied
+# threshold cnt*(k+1) > n. The candidate SET is partitioning-dependent;
+# the OUTPUT is deterministic because stage 2 recounts exactly and the
+# guarantee covers every partitioning — which is why a plain GROUP BY /
+# HAVING oracle can verify it value-for-value. At 100 TB the shuffle
+# carries <= k * n_partitions candidate words + the tiny recount of
+# pre-filtered tokens, never the full token mass.
+# ---------------------------------------------------------------------------
+_HH_K = 255
+
+
+@register(
+    "q158_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT t.w AS word,
+           COUNT(*) AS n_occurrences,
+           CAST(FLOOR(1000.0 * COUNT(*) / ANY_VALUE(n.n) + 0.5) AS BIGINT)
+             AS share_permille
+    FROM tok t, n
+    GROUP BY t.w
+    HAVING COUNT(*) * {_HH_K + 1} > ANY_VALUE(n.n)
+    """,
+    description=f"Exact heavy hitters (freq > n/{_HH_K + 1}) with exact "
+    "counts via two stages: bounded-memory Misra-Gries summaries per "
+    "partition (mapInPandas, k counters, yields candidate words only; "
+    "pigeonhole guarantees every true hitter survives ANY partitioning) "
+    "then an exact recount of candidates behind a broadcast semi-join — "
+    "the shuffle carries k*partitions words, never the token mass; the "
+    "plain GROUP BY oracle verifies the output value-for-value.",
+    tags=("text", "sketch", "pandas-udf", "agg", "training-data"),
+)
+def q158_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+
+    k = _HH_K
+
+    def mg_candidates(batches):
+        # Self-contained (CLAUDE.md invariant 3): executor workers cannot
+        # import this package.
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for w in str(text).lower().split(" "):
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < k:
+                        counters[w] = 1
+                    else:
+                        # decrement-all: removes k+1 distinct occurrences
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    cand = (
+        docs.select("text")
+        .mapInPandas(mg_candidates, schema="word string")
+        .distinct()
+    )
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    n = tok.agg(F.count("*").cast("long").alias("n"))
+    counts = (
+        tok.join(F.broadcast(cand), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .filter(F.col("n_occurrences") * (k + 1) > F.col("n"))
+        .select(
+            "word",
+            "n_occurrences",
+            F.expr(
+                "CAST(FLOOR(1000.0D * n_occurrences / n + 0.5D) AS BIGINT)"
+            ).alias("share_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — the MAX-POLICY twin of q154: same two-delay union replay with
+# spark.sql.streaming.multipleWatermarkPolicy=max, where the global
+# watermark advances with the FASTEST branch — the "low latency beats
+# slow-source completeness" dial (late rows of the slow branch are
+# sacrificed). Pinned empirically alongside q154 before the oracle was
+# written: published watermarks equal the per-branch-runmax MAXIMUM,
+# drop counts diverge from the min run (246/248 vs 246/247), and the
+# MAX-aggregate oracle reproduces the kept set exactly (367/367 at
+# sf0.001) while the MIN algebra does not. The policy conf is set and
+# restored around the stream start (it is read at query start, so the
+# scoped set works under the driver's bare session too).
+# ---------------------------------------------------------------------------
+@register(
+    "q159_streaming_union_watermark_max",
+    f"""
+    WITH e AS (
+      SELECT event_id % 4 AS b,
+             (event_id // 4) % 2 AS br,
+             epoch_ms(ts) AS tms,
+             ((epoch_ms(ts) // 3600000) + 1) * 3600000 AS wend
+      FROM events
+    ),
+    bm AS (SELECT b, br, MAX(tms) AS mx FROM e GROUP BY b, br),
+    wms AS (
+      SELECT b,
+             MAX(CASE WHEN br = 0 THEN rm - {_Q154_FAST_MS}
+                      ELSE rm - {_Q154_SLOW_MS} END) AS wm
+      FROM (SELECT b, br, MAX(mx) OVER (PARTITION BY br ORDER BY b) AS rm
+            FROM bm)
+      GROUP BY b
+    ),
+    fin AS (SELECT MAX(wm) AS fwm FROM wms),
+    kept AS (
+      SELECT e.wend FROM e
+      LEFT JOIN wms p ON p.b = e.b - 2
+      WHERE p.wm IS NULL OR e.wend > p.wm
+    )
+    SELECT CAST(k.wend - 3600000 AS BIGINT) AS window_start_ms,
+           COUNT(*) AS n_events
+    FROM kept k, fin
+    GROUP BY k.wend, fin.fwm
+    HAVING k.wend <= fin.fwm
+    """,
+    description="q154's union replay under multipleWatermarkPolicy=max: "
+    "the global watermark is the per-branch-runmax MAXIMUM (fast branch "
+    "wins, slow-branch late data dropped) — both policies' algebras "
+    "pinned against published watermarks and drop metrics, and the two "
+    "oracles are measurably non-interchangeable on the same replay.",
+    tags=("streaming", "watermark", "union", "late-data", "window"),
+)
+def q159_streaming_union_watermark_max(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    replay_dir = f"/tmp/q159_replay_{uuid.uuid4().hex[:8]}"
+    written: set[str] = set()
+    for i in range(4):
+        ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(replay_dir)
+        new = [
+            f
+            for f in os.listdir(replay_dir)
+            if f.endswith(".parquet")
+            and not f.startswith("_")
+            and f not in written
+        ]
+        assert len(new) == 1, new
+        os.rename(
+            os.path.join(replay_dir, new[0]),
+            os.path.join(replay_dir, f"{i:02d}.parquet"),
+        )
+        written.add(f"{i:02d}.parquet")
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay_dir)
+    )
+    branch = F.pmod(F.expr("event_id div 4"), F.lit(2))
+    fast = stream.filter(branch == 0).withWatermark("ts", "30 minutes")
+    slow = stream.filter(branch == 1).withWatermark("ts", "120 minutes")
+    agg = (
+        fast.unionByName(slow)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.expr("unix_millis(w.start)").alias("window_start_ms"),
+            "n_events",
+        )
+    )
+    sink = f"q159_out_{uuid.uuid4().hex[:8]}"
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev = spark.conf.get(policy_key, "min")
+    spark.conf.set(policy_key, "max")
+    try:
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+    finally:
+        spark.conf.set(policy_key, prev)
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    return spark.table(sink)

@@ -75,6 +75,7 @@ QUERIES_TO_RUN = [
     "q153_domain_rank",            # 3-round integer power iteration
     "q155_vocab_growth",           # first-occurrence vocab deciles
     "q157_fd_violation_audit",     # per-FD distinct-count shuffles
+    "q158_heavy_hitters",          # MG candidate pruning + recount
 ]
 
 
