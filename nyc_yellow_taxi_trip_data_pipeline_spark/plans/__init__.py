@@ -73,6 +73,10 @@ _PRIORITY = [
     # constructs held by staying q151/q153 and r7-green q94/q98/q106).
     "q158_heavy_hitters",
     "q159_streaming_union_watermark_max",
+    # q160 Python DataSource scan (Spark 4 extension surface). q40 sits
+    # out: octet-length metadata is held by staying q41/q64/q65 (the
+    # full multimodal Arrow path) and its unit tests.
+    "q160_python_datasource_scan",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -95,7 +99,6 @@ _PRIORITY = [
     "q34_embedding_topk",
     "q37_text_quality",
     "q38_lang_id",
-    "q40_multimodal_meta",
     "q41_multimodal_decode",
     "q42_approx_sketches",
     "q56_regex_extract",

@@ -8869,3 +8869,70 @@ def q159_streaming_union_watermark_max(
         spark.conf.set(policy_key, prev)
     shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q160 — PYTHON DATASOURCE SCAN (Spark 4 pyspark.sql.datasource API):
+# the documents table read through a custom manifest-sharded source
+# (sources/pydatasource.py) with an EqualTo('source', ...) filter
+# PUSHED into the Python reader — partitions are pruned via parquet
+# row-group min/max stats before any row is read, the custom-source
+# analogue of partition pruning; one partition per manifest file keeps
+# scan parallelism = ingest-batch count. Result: the per-source rollup
+# with a doc_id-sum checksum certifying the custom scan read exactly
+# the native scan's rows (oracle = plain SQL over the same parquet).
+# The filter-pushdown conf is runtime-set and restored so the driver's
+# bare session exercises the same code path.
+# ---------------------------------------------------------------------------
+@register(
+    "q160_python_datasource_scan",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_checksum
+    FROM documents
+    WHERE source = 'src3'
+    GROUP BY source
+    """,
+    description="Custom Python DataSource scan (Spark 4 API): manifest-"
+    "sharded document reader with EqualTo filter pushdown + row-group-"
+    "stats partition pruning inside the Python source, one partition "
+    "per ingest file; rollup checksummed against the native-scan "
+    "oracle, proving the extension surface reads bit-identical rows.",
+    tags=("source", "python-datasource", "pushdown", "agg"),
+)
+def q160_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.pydatasource import (
+        manifest_datasource,
+    )
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, "false")
+    spark.conf.set(conf_key, "true")
+    spark.dataSource.register(manifest_datasource())
+    df = (
+        spark.read.format("doc_manifest")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+        .filter(F.col("source") == "src3")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+        )
+    )
+    # Materialize under the pushdown conf, then restore it: the conf is
+    # read at scan planning time, and the parity/driver harness collects
+    # AFTER this function returns — so force the read into a local
+    # result and hand back a tiny createDataFrame instead of a lazy plan
+    # that would observe a restored conf.
+    rows = df.collect()
+    spark.conf.set(conf_key, prev)
+    return spark.createDataFrame(
+        rows, "source string, n_docs bigint, sum_chars bigint,"
+        " doc_id_checksum bigint"
+    )

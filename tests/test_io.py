@@ -172,3 +172,43 @@ def test_write_training_shards_deterministic_and_md5_ordered(spark, tmp_path):
         .collect()
     ]
     assert ids_in_file_order == md5_sorted
+
+
+def test_python_datasource_stats_pruning_and_roundtrip(spark, tmp_path):
+    """The custom manifest source must (a) prune whole files via
+    row-group source min/max stats when the filter is pushed, and
+    (b) read rows identical to the native parquet scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.pydatasource import (
+        manifest_datasource,
+    )
+
+    d = tmp_path / "docs.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "source": ["aaa", "abb"],
+                  "n_chars": [10, 20]}), d / "p0.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [3, 4], "source": ["zzz", "zzy"],
+                  "n_chars": [30, 40]}), d / "p1.parquet")
+
+    cls = manifest_datasource()
+    reader = cls({"path": str(d)}).reader(None)
+    assert len(reader.partitions()) == 2  # no filter: both files
+    reader.src_filter = "abb"
+    pruned = reader.partitions()
+    assert len(pruned) == 1 and pruned[0].path.endswith("p0.parquet")
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(cls)
+        df = (spark.read.format("doc_manifest")
+              .option("path", str(d)).load())
+        assert df.count() == 4
+        got = {(r.doc_id, r.n_chars)
+               for r in df.filter(df.source == "zzy").collect()}
+        assert got == {(4, 40)}
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
