@@ -77,6 +77,12 @@ _PRIORITY = [
     # out: octet-length metadata is held by staying q41/q64/q65 (the
     # full multimodal Arrow path) and its unit tests.
     "q160_python_datasource_scan",
+    # q161 built-in session_window + q162 VARIANT round-trip (Spark 4
+    # surfaces). Two more r5 sit-outs: q42 (sketch bounds battery —
+    # held by r7-green q99/q100 twins and staying q84), q56 (regex
+    # extract — held by staying q37 and r7-green q88/q103 regex rows).
+    "q161_session_window_batch",
+    "q162_variant_roundtrip",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -100,8 +106,6 @@ _PRIORITY = [
     "q37_text_quality",
     "q38_lang_id",
     "q41_multimodal_decode",
-    "q42_approx_sketches",
-    "q56_regex_extract",
     "q57_grouping_sets",
     "q58_rank_family",
     "q69_lookback_range_join",

@@ -8936,3 +8936,125 @@ def q160_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "source string, n_docs bigint, sum_chars bigint,"
         " doc_id_checksum bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — BUILT-IN SESSION WINDOWS, batch mode: Spark's session_window()
+# operator (dynamic-gap session assignment inside Catalyst — a
+# SessionWindow physical node, not a window-function composition)
+# verified value-for-value against the classic gaps-and-islands SQL.
+# Completes the sessionization triangle: q20 is the lag+cumsum window
+# form, q67 the custom stateful-UDF streaming form, q161 the built-in
+# operator — all three must agree on the same 30-minute gap. Session
+# semantics under test: window.start = first event time, window.end =
+# LAST event time + gap, events chain transitively while consecutive
+# gaps <= 30 min. One (user_id) shuffle; per-user session state is
+# sort-local within the partition.
+# ---------------------------------------------------------------------------
+@register(
+    "q161_session_window_batch",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             epoch_ms(ts) AS tms,
+             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, tms,
+             CASE WHEN prev IS NULL OR tms - prev > 1800000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, tms,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(tms) AS BIGINT) AS session_start_ms,
+           CAST(MAX(tms) + 1800000 AS BIGINT) AS session_end_ms,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    description="Built-in session_window() (SessionWindow Catalyst "
+    "operator, 30-min gap) in batch mode, value-matched against the "
+    "gaps-and-islands oracle — session start = first event, end = last "
+    "event + gap; the third corner of the sessionization triangle "
+    "(q20 lag+cumsum, q67 stateful-UDF streaming).",
+    tags=("window", "session", "agg"),
+)
+def q161_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr("unix_millis(w.start)").alias("session_start_ms"),
+            F.expr("unix_millis(w.end)").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — VARIANT ROUND-TRIP (Spark 4 semi-structured type): each event
+# serialized to a nested JSON envelope, parsed back with parse_json()
+# into a VARIANT, and fields extracted via variant_get typed paths
+# ('$.user.id', '$.meta.kind', '$.val') — the open-schema ingestion
+# shape (logs/API payloads) where columns are not known at write time.
+# The rollup over extracted fields must equal the same rollup over the
+# ORIGINAL columns (the oracle never sees JSON), proving the
+# serialize -> variant -> typed-path pipeline is lossless including a
+# quantized double through the JSON text representation. Map-only until
+# the final small aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q162_variant_roundtrip",
+    """
+    SELECT event_type AS kind,
+           COUNT(*) AS n,
+           CAST(SUM(user_id) AS BIGINT) AS user_id_checksum,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS qvalue_sum
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Spark 4 VARIANT round-trip: events serialized to nested "
+    "JSON, parse_json() into VARIANT, fields back out via typed "
+    "variant_get paths ($.user.id, $.meta.kind, $.val) — rollup equals "
+    "the original-column oracle, proving lossless open-schema ingestion "
+    "(ints and a quantized double survive the text hop); map-only + one "
+    "small aggregation.",
+    tags=("variant", "json", "agg", "source"),
+)
+def q162_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    env = ev.select(
+        F.to_json(
+            F.struct(
+                F.struct(F.col("user_id").alias("id")).alias("user"),
+                F.struct(F.col("event_type").alias("kind")).alias("meta"),
+                F.col("value").alias("val"),
+            )
+        ).alias("j")
+    )
+    v = env.select(F.parse_json(F.col("j")).alias("v"))
+    ex = v.select(
+        F.variant_get(F.col("v"), "$.meta.kind", "string").alias("kind"),
+        F.variant_get(F.col("v"), "$.user.id", "bigint").alias("uid"),
+        F.variant_get(F.col("v"), "$.val", "double").alias("val"),
+    )
+    return ex.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum("uid").cast("long").alias("user_id_checksum"),
+        F.sum(F.floor(F.col("val") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("qvalue_sum"),
+    )
