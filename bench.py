@@ -10,7 +10,9 @@ Env:
                       vector - the reference's headline 115.2s/8.8s
                       fit/eval workload, BASELINE.md). Off by default to
                       keep the per-round bench query-focused; measured
-                      2026-08-13 on this machine: fit 78.1s, eval 3.0s.
+                      2026-08-14 on this machine: fit 23.7s, eval 2.7s
+                      (16-partition fit — see the repartition note below).
+  BENCH_SKIP_QUERIES=1  skip the query inventory (ML-only iteration).
 
 Each query is materialized through the `noop` sink — full execution of the
 physical plan (scan, shuffles, Python stages) without collect-to-driver or
@@ -89,7 +91,7 @@ def main() -> None:
     # pass runs UNCONDITIONALLY even when the cold pass alone blew the
     # budget — min-of-N must never degrade to min-of-1).
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "550"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "700"))
     # One failing query must never cost the run its other timings (round 5
     # lost the whole benchmark to a single AnalysisException): record the
     # error, keep going.
