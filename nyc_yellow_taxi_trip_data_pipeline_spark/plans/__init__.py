@@ -83,6 +83,10 @@ _PRIORITY = [
     # extract — held by staying q37 and r7-green q88/q103 regex rows).
     "q161_session_window_batch",
     "q162_variant_roundtrip",
+    # q163 CUPED adjusted A/B readout. q33 sits out: its 16-bit SimHash
+    # fingerprint construct is held in-window by q113/q150 (Hamming-LSH
+    # banding on 56-bit fingerprints) and r6-green q92.
+    "q163_cuped_adjusted_ab",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -101,7 +105,6 @@ _PRIORITY = [
     "q09_quantiles_iqr",
     "q11_summary_stats",
     "q32_minhash_lsh_neardup",
-    "q33_simhash",
     "q34_embedding_topk",
     "q37_text_quality",
     "q38_lang_id",

@@ -9058,3 +9058,138 @@ def q162_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qvalue_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — CUPED VARIANCE-REDUCED A/B READOUT: the adjusted-metric
+# estimator every experimentation platform runs (Deng et al., WSDM'13
+# — public method): per-user PRE-period metric as covariate, pooled
+# theta = cov(x,y)/var(x), per-arm adjusted mean
+# y_bar - theta * (x_bar - x_bar_pool). All sufficient statistics are
+# exact quantized BIGINTs (one user rollup + a 1-row pooled aggregate
+# broadcast back); theta and the adjusted means are then derived in a
+# FIXED sequence of IEEE double ops from those exact integers —
+# deterministic across engines because both execute the identical
+# expression text on identical integers (q146's signed-safe pattern;
+# FLOOR(x+0.5) quantization at the end). The pre/post cut is the
+# data-derived midpoint day, a broadcast scalar. Two output rows.
+# ---------------------------------------------------------------------------
+_Q163_FORMULAS = dict(
+    theta=(
+        "CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0{d} "
+        "ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END"
+    ),
+    mean_y=("FLOOR(10.0{d} * CAST(ay AS DOUBLE) / n_users + 0.5{d})"),
+    adj=(
+        "FLOOR(10.0{d} * (CAST(ay AS DOUBLE) / n_users"
+        " - ({theta}) * (CAST(ax AS DOUBLE) / n_users"
+        " - CAST(sx AS DOUBLE) / n)) + 0.5{d})"
+    ),
+)
+
+
+def _q163_sql() -> str:
+    theta = _Q163_FORMULAS["theta"].format(d="")
+    return f"""
+    WITH base AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    cut AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS c FROM base),
+    u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(SUM(CASE WHEN day < cut.c THEN qv ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN day >= cut.c THEN qv ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM base, cut GROUP BY user_id
+    ),
+    pool AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM u
+    ),
+    arm AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS ax,
+             CAST(SUM(y) AS BIGINT) AS ay
+      FROM u GROUP BY variant
+    )
+    SELECT variant, n_users,
+           CAST({_Q163_FORMULAS["mean_y"].format(d="")} AS BIGINT)
+             AS mean_y_milli,
+           CAST({_Q163_FORMULAS["adj"].format(d="", theta=theta)} AS BIGINT)
+             AS adj_mean_y_milli,
+           CAST(FLOOR(1000000.0 * ({theta}) + 0.5) AS BIGINT)
+             AS theta_micro
+    FROM arm, pool
+    """
+
+
+@register(
+    "q163_cuped_adjusted_ab",
+    _q163_sql(),
+    description="CUPED variance-reduced A/B readout: pre-period covariate "
+    "per user (midpoint-day cut, broadcast scalar), pooled "
+    "theta=cov/var from exact quantized BIGINT sufficient statistics, "
+    "per-arm adjusted mean via a fixed IEEE double sequence quantized "
+    "to milli-units — one user rollup, a 1-row pooled broadcast, 2 "
+    "output rows.",
+    tags=("experiment", "agg", "audit", "training-data"),
+)
+def q163_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    cut = base.agg(
+        F.expr("CAST((MIN(day) + MAX(day) + 1) div 2 AS BIGINT)").alias("c")
+    )
+    u = (
+        base.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(user_id % 2 AS BIGINT)").alias("variant"),
+            F.expr(
+                "CAST(SUM(CASE WHEN day < c THEN qv ELSE 0 END) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CASE WHEN day >= c THEN qv ELSE 0 END) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    pool = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    arm = u.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").cast("long").alias("ax"),
+        F.sum("y").cast("long").alias("ay"),
+    )
+    theta = _Q163_FORMULAS["theta"].format(d="D")
+    return arm.crossJoin(F.broadcast(pool)).select(
+        "variant",
+        "n_users",
+        F.expr(
+            f"CAST({_Q163_FORMULAS['mean_y'].format(d='D')} AS BIGINT)"
+        ).alias("mean_y_milli"),
+        F.expr(
+            f"CAST({_Q163_FORMULAS['adj'].format(d='D', theta=theta)}"
+            " AS BIGINT)"
+        ).alias("adj_mean_y_milli"),
+        F.expr(
+            f"CAST(FLOOR(1000000.0D * ({theta}) + 0.5D) AS BIGINT)"
+        ).alias("theta_micro"),
+    )
