@@ -87,6 +87,10 @@ _PRIORITY = [
     # fingerprint construct is held in-window by q113/q150 (Hamming-LSH
     # banding on 56-bit fingerprints) and r6-green q92.
     "q163_cuped_adjusted_ab",
+    # q164 rank-weighted retrieval eval (exact AP@10/RR). q38 sits out:
+    # the lang-ID CASE battery is held by staying q37 text features and
+    # r5-green q52's char-ngram twin plus unit goldens.
+    "q164_retrieval_rank_eval",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -107,7 +111,6 @@ _PRIORITY = [
     "q32_minhash_lsh_neardup",
     "q34_embedding_topk",
     "q37_text_quality",
-    "q38_lang_id",
     "q41_multimodal_decode",
     "q57_grouping_sets",
     "q58_rank_family",

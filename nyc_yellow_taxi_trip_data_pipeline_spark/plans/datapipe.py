@@ -9193,3 +9193,124 @@ def q163_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR(1000000.0D * ({theta}) + 0.5D) AS BIGINT)"
         ).alias("theta_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — RANK-WEIGHTED RETRIEVAL EVAL (AP@10 + reciprocal rank), the
+# position-sensitive companion to q145's recall: recall says WHETHER
+# the true neighbors were found, AP/RR say WHERE they landed. Both
+# metrics are computed EXACTLY in integers: precision@p terms are
+# scaled by lcm(1..10) = 2520 so AP@10 = ap_scaled / 25200 is a pure
+# BIGINT rational (no order-dependent float summation — summing
+# doubles over ranked rows is engine-order-dependent, the one trap a
+# ranked metric adds over q145), and RR = 1e6 // first_hit_rank. The
+# oracle composes the three registered retrieval oracles verbatim with
+# the identical ROW_NUMBER total order (score desc, vec_id).
+# ---------------------------------------------------------------------------
+def _q164_oracle() -> str:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.registry import QUERIES as _Q
+
+    brute = _Q["q34_embedding_topk"].oracle
+    srp = _Q["q36_ann_srp_bucket"].oracle
+    ivf = _Q["q66_ivf_ann"].oracle
+    return f"""
+    WITH brute AS (SELECT vec_id FROM ({brute})),
+    srp AS (
+      SELECT vec_id, cosine_sim FROM ({srp})
+      ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    ),
+    ivf AS (SELECT vec_id, cosine_sim FROM ({ivf})),
+    cand AS (
+      SELECT 'srp_bucket' AS method, vec_id, cosine_sim FROM srp
+      UNION ALL
+      SELECT 'ivf' AS method, vec_id, cosine_sim FROM ivf
+    ),
+    ranked AS (
+      SELECT c.method, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY c.method
+                                ORDER BY c.cosine_sim DESC, c.vec_id) AS pos,
+             CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM cand c LEFT JOIN brute b ON b.vec_id = c.vec_id
+    ),
+    run AS (
+      SELECT method, pos, rel,
+             SUM(rel) OVER (PARTITION BY method ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS hits
+      FROM ranked
+    )
+    SELECT method,
+           COUNT(*) AS k_retrieved,
+           CAST(SUM(rel * hits * (2520 // pos)) AS BIGINT) AS ap_scaled,
+           CAST((1000000 * SUM(rel * hits * (2520 // pos))) // 25200
+                AS BIGINT) AS ap_micro,
+           CAST(COALESCE(1000000 // MIN(CASE WHEN rel = 1 THEN pos END), 0)
+                AS BIGINT) AS rr_micro
+    FROM run GROUP BY method
+    """
+
+
+@register(
+    "q164_retrieval_rank_eval",
+    _q164_oracle(),
+    description="Exact AP@10 + reciprocal rank for the SRP and IVF "
+    "retrieval paths against brute-force ground truth: precision terms "
+    "scaled by lcm(1..10)=2520 so average precision is a BIGINT "
+    "rational (no order-dependent float sums over ranked rows); "
+    "composes the three registered retrieval oracles with an identical "
+    "ROW_NUMBER total order — the position-sensitive companion to "
+    "q145's recall gate.",
+    tags=("similarity", "ann", "eval", "audit"),
+)
+def q164_retrieval_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    brute = q34_embedding_topk(spark, sf_dir).select("vec_id")
+    srp = (
+        q36_ann_srp_bucket(spark, sf_dir)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cosine_sim")
+        .withColumn("method", F.lit("srp_bucket"))
+    )
+    ivf = (
+        q66_ivf_ann(spark, sf_dir)
+        .select("vec_id", "cosine_sim")
+        .withColumn("method", F.lit("ivf"))
+    )
+    cand = srp.unionByName(ivf)
+    ranked = cand.join(
+        F.broadcast(brute.withColumn("__rel", F.lit(1))), "vec_id", "left"
+    ).select(
+        "method",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("method").orderBy(
+                F.desc("cosine_sim"), F.asc("vec_id")
+            )
+        )
+        .alias("pos"),
+        F.coalesce(F.col("__rel"), F.lit(0)).alias("rel"),
+    )
+    run = ranked.withColumn(
+        "hits",
+        F.sum("rel").over(
+            Window.partitionBy("method")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return run.groupBy("method").agg(
+        F.count("*").alias("k_retrieved"),
+        F.expr("CAST(SUM(rel * hits * (2520 div pos)) AS BIGINT)").alias(
+            "ap_scaled"
+        ),
+        F.expr(
+            "CAST((1000000 * SUM(rel * hits * (2520 div pos))) div 25200"
+            " AS BIGINT)"
+        ).alias("ap_micro"),
+        F.expr(
+            "CAST(COALESCE(1000000 div MIN(CASE WHEN rel = 1 THEN pos END),"
+            " 0) AS BIGINT)"
+        ).alias("rr_micro"),
+    )
