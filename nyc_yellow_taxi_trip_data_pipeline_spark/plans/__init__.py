@@ -91,6 +91,10 @@ _PRIORITY = [
     # the lang-ID CASE battery is held by staying q37 text features and
     # r5-green q52's char-ngram twin plus unit goldens.
     "q164_retrieval_rank_eval",
+    # q165 corpus datasheet (release integrity battery). q41 sits out —
+    # the LAST r5 cut this round: its Arrow map-iter decode shape is
+    # held in-window by q64/q65/q113/q150 (four Arrow media rows).
+    "q165_corpus_datasheet",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -111,7 +115,6 @@ _PRIORITY = [
     "q32_minhash_lsh_neardup",
     "q34_embedding_topk",
     "q37_text_quality",
-    "q41_multimodal_decode",
     "q57_grouping_sets",
     "q58_rank_family",
     "q69_lookback_range_join",

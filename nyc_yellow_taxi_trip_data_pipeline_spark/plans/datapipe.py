@@ -9314,3 +9314,71 @@ def q164_retrieval_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0) AS BIGINT)"
         ).alias("rr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — CORPUS DATASHEET (Gebru et al.'s "Datasheets for Datasets",
+# public methodology): one integrity row per released table — row
+# count, primary-key distinctness (dup keys = silent join fan-out
+# downstream), key-sum checksum (order-free, catches partial loads
+# bit-exactly), and null mass in the most load-bearing column. The
+# artifact a data release ships next to its tables; each table costs
+# one aggregation pass, the report is 5 rows. The oracle is the same
+# battery in plain SQL.
+# ---------------------------------------------------------------------------
+def _datasheet_sql(table: str, key: str, probe: str) -> str:
+    return f"""
+    SELECT '{table}' AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_distinct_keys,
+           CAST(SUM({key}) AS BIGINT) AS key_checksum,
+           CAST(SUM(CASE WHEN {probe} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_probe
+    FROM {table}
+    """
+
+
+@register(
+    "q165_corpus_datasheet",
+    " UNION ALL ".join(
+        _datasheet_sql(t, k, p)
+        for t, k, p in (
+            ("documents", "doc_id", "text"),
+            ("events", "event_id", "ts"),
+            ("embeddings", "vec_id", "embedding"),
+            ("orders", "o_orderkey", "o_totalprice"),
+            ("lineitem", "l_orderkey", "l_extendedprice"),
+        )
+    ),
+    description="Corpus datasheet: per released table, row count, "
+    "primary-key distinctness (dup keys fan out silently in downstream "
+    "joins), order-free key-sum checksum (catches partial loads "
+    "bit-exactly), and null mass in the load-bearing column — the "
+    "release artifact of 'Datasheets for Datasets'; one aggregation "
+    "pass per table, 5-row report.",
+    tags=("audit", "data-quality", "agg", "training-data"),
+)
+def q165_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def sheet(table: str, key: str, probe: str) -> DataFrame:
+        df = read_table(spark, sf_dir, table)
+        return df.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_distinct_keys"),
+            F.sum(key).cast("long").alias("key_checksum"),
+            F.sum(F.when(F.col(probe).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_probe"),
+        )
+
+    out = None
+    for t, k, p in (
+        ("documents", "doc_id", "text"),
+        ("events", "event_id", "ts"),
+        ("embeddings", "vec_id", "embedding"),
+        ("orders", "o_orderkey", "o_totalprice"),
+        ("lineitem", "l_orderkey", "l_extendedprice"),
+    ):
+        s = sheet(t, k, p)
+        out = s if out is None else out.unionByName(s)
+    return out
