@@ -1612,7 +1612,9 @@ def q69_lookback_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT event_type, COUNT(*) AS n_total FROM events GROUP BY 1)
     SELECT t.event_type, t.n_total,
            COUNT(s.value) AS n_sample,
-           ROUND(COUNT(s.value) / CAST(t.n_total AS DOUBLE), 4) AS sample_rate,
+           (CAST(FLOOR(CAST(10000 * COUNT(s.value) AS DOUBLE)
+                       / t.n_total + 0.5) AS BIGINT) / 10000.0)
+             AS sample_rate,
            {qavg} AS sample_avg_value
     FROM tot t LEFT JOIN s ON s.event_type = t.event_type
     GROUP BY 1, 2
@@ -1645,10 +1647,15 @@ def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_total",
             F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
-            F.round(
-                F.coalesce("n_sample", F.lit(0))
-                / F.col("n_total").cast("double"),
-                4,
+            # FLOOR-quantized, not round(): Spark's round() goes through
+            # the double's shortest decimal repr (half-up) while DuckDB
+            # rounds the raw binary — they diverge exactly on decimal
+            # ties, which rationals like count/total CAN hit (the q86
+            # sf0.001 red). FLOOR of an identical IEEE quotient is
+            # engine-identical always.
+            F.expr(
+                "CAST(FLOOR(CAST(10000 * coalesce(n_sample, 0) AS DOUBLE)"
+                " / n_total + 0.5D) AS BIGINT) / 10000.0D"
             ).alias("sample_rate"),
             "sample_avg_value",
         )
@@ -1674,7 +1681,8 @@ def q70_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
-           ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 4)
+           (CAST(FLOOR(CAST(10000 * SUM(n_tokens) AS DOUBLE)
+                       / COUNT(*) + 0.5) AS BIGINT) / 10000.0)
              AS avg_tokens_per_doc
     FROM d
     GROUP BY lang
@@ -1698,8 +1706,9 @@ def q71_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_subwords").cast("long").alias("total_subwords"),
-        F.round(
-            F.sum("n_tokens") / F.count("*").cast("double"), 4
+        F.expr(
+            "CAST(FLOOR(CAST(10000 * SUM(n_tokens) AS DOUBLE)"
+            " / COUNT(*) + 0.5D) AS BIGINT) / 10000.0D"
         ).alias("avg_tokens_per_doc"),
     )
 
@@ -1764,7 +1773,8 @@ def q72_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.j AS INTEGER) AS j,
            CAST(s.n AS BIGINT) AS n_members,
            ROUND(cc.c, 6) AS old_c,
-           ROUND(s.sq / (s.n * 1000.0), 6) AS new_c
+           (CAST(FLOOR(CAST(1000 * s.sq AS DOUBLE) / s.n + 0.5)
+                 AS BIGINT) / 1000000.0) AS new_c
     FROM sums s
     JOIN ccomp cc ON cc.cid = s.cluster AND cc.j = s.j
     """,
@@ -1805,9 +1815,10 @@ def q73_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             F.col("n_members").cast("long").alias("n_members"),
             F.round("old_c", 6).alias("old_c"),
-            F.round(F.col("sq") / (F.col("n_members") * 1000.0), 6).alias(
-                "new_c"
-            ),
+            F.expr(
+                "CAST(FLOOR(CAST(1000 * sq AS DOUBLE) / n_members + 0.5D)"
+                " AS BIGINT) / 1000000.0D"
+            ).alias("new_c"),
         )
     )
 
@@ -2016,8 +2027,10 @@ def q76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_used,
-           ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                      AS BIGINT) / 100.0 / COUNT(*), 4) AS trimmed_mean
+           (CAST(FLOOR(CAST(100 * SUM(CAST(FLOOR(value * 100 + 0.5)
+                                          AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) + 0.5) AS BIGINT) / 10000.0)
+             AS trimmed_mean
     FROM r
     WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
       AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
@@ -2044,12 +2057,10 @@ def q77_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_used"),
-            F.round(
-                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
-                .cast("bigint")
-                / F.lit(100.0)
-                / F.count("*"),
-                4,
+            F.expr(
+                "CAST(FLOOR(CAST(100 * SUM(CAST(FLOOR(value * 100 + 0.5D)"
+                " AS BIGINT)) AS DOUBLE) / COUNT(*) + 0.5D) AS BIGINT)"
+                " / 10000.0D"
             ).alias("trimmed_mean"),
         )
     )
@@ -2079,8 +2090,10 @@ def q77_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day,
            COUNT(*) AS n_used,
-           ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
-                      AS BIGINT) / 100.0 / COUNT(*), 4) AS trimmed_mean
+           (CAST(FLOOR(CAST(100 * SUM(CAST(FLOOR(value * 100 + 0.5)
+                                          AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) + 0.5) AS BIGINT) / 10000.0)
+             AS trimmed_mean
     FROM r
     WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
       AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
@@ -2097,17 +2110,20 @@ def q86_trimmed_mean_udaf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def _tmean(v):
-        # Quantized mean (registry contract): integer sum of
-        # floor(v*100+0.5) is order-exact, so pandas' summation order and
-        # DuckDB's agree bit-for-bit — no float-accumulation tie risk.
+    def _tsum(v):
+        # Quantized integer cents sum of the trimmed set (registry
+        # contract): integer summation is order-exact, and returning the
+        # INTEGER (not a rounded float mean) lets the expression layer
+        # derive the mean with FLOOR quantization — Spark's round() on a
+        # double goes through its shortest decimal repr (half-up) while
+        # DuckDB rounds the raw binary, so exact decimal ties like
+        # q/(100n) = x.xxxx5 diverged (the round-8 sf0.001 red).
         import numpy as np
 
         s = v.sort_values()
         k = int(len(s) // 10)
         kept = s.iloc[k : len(s) - k] if k else s
-        q = np.floor(kept.to_numpy() * 100 + 0.5).astype("int64").sum()
-        return float(q) / 100.0 / len(kept)
+        return int(np.floor(kept.to_numpy() * 100 + 0.5).astype("int64").sum())
 
     def _tcount(v):
         k = int(len(v) // 10)
@@ -2115,9 +2131,9 @@ def q86_trimmed_mean_udaf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
 
     # Real annotations: `from __future__ import annotations` in this
     # module would stringify inline hints and break pandas_udf inspection.
-    _tmean.__annotations__ = {"v": pd.Series, "return": float}
+    _tsum.__annotations__ = {"v": pd.Series, "return": int}
     _tcount.__annotations__ = {"v": pd.Series, "return": int}
-    tmean_udf = pandas_udf("double")(_tmean)
+    tsum_udf = pandas_udf("long")(_tsum)
     tcount_udf = pandas_udf("long")(_tcount)
 
     ev = read_table(spark, sf_dir, "events")
@@ -2126,7 +2142,16 @@ def q86_trimmed_mean_udaf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type", "day")
         .agg(
             tcount_udf("value").alias("n_used"),
-            F.round(tmean_udf("value"), 4).alias("trimmed_mean"),
+            tsum_udf("value").alias("__qsum"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_used",
+            F.expr(
+                "CAST(FLOOR(CAST(100 * __qsum AS DOUBLE) / n_used + 0.5D)"
+                " AS BIGINT) / 10000.0D"
+            ).alias("trimmed_mean"),
         )
     )
 

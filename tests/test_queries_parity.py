@@ -312,3 +312,29 @@ def test_verifier_queries_name_existing_scale_twins():
         assert "verifier" not in twin.tags, (
             f"{name}: scale twin {twin.name} is itself a verifier"
         )
+
+
+def test_round_on_decimal_tie_diverges_and_floor_form_does_not(spark):
+    """The round-8 q86 red, pinned as a fixture: Spark's round() converts
+    the double to its SHORTEST DECIMAL repr then rounds half-up, DuckDB
+    rounds the raw binary double — on an exact decimal tie (q=40709
+    cents over n=8 rows: mean = 50.88625, whose nearest double sits
+    below the tie) they disagree. The FLOOR-quantized form computes one
+    identical IEEE quotient and must agree in both engines. Guards the
+    q70/q71/q73/q77/q86 fix."""
+    import duckdb
+
+    spark_round = spark.sql(
+        "SELECT ROUND(40709 / 100.0D / 8, 4) AS r"
+    ).collect()[0][0]
+    duck_round = duckdb.sql("SELECT ROUND(40709 / 100.0 / 8, 4)").fetchone()[0]
+    # The trap this test documents: the engines genuinely disagree here.
+    assert spark_round != duck_round, (spark_round, duck_round)
+
+    floor_sql = (
+        "SELECT CAST(FLOOR(CAST(100 * 40709 AS DOUBLE) / 8 + 0.5{d})"
+        " AS BIGINT) / 10000.0{d} AS r"
+    )
+    spark_floor = spark.sql(floor_sql.format(d="D")).collect()[0][0]
+    duck_floor = duckdb.sql(floor_sql.format(d="")).fetchone()[0]
+    assert spark_floor == duck_floor == 50.8863
