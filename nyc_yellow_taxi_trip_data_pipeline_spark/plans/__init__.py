@@ -95,6 +95,11 @@ _PRIORITY = [
     # the LAST r5 cut this round: its Arrow map-iter decode shape is
     # held in-window by q64/q65/q113/q150 (four Arrow media rows).
     "q165_corpus_datasheet",
+    # q166 Neyman allocation (exact stratified design). q57 sits out:
+    # GROUPING SETS is a Catalyst built-in with local parity + plan
+    # audit, its rollup shape held by staying q17/q26 cousins' history
+    # and in-window q07 multi-agg.
+    "q166_neyman_allocation",
     # (b) never driver-verified round-7 tail:
     "q143_completeness_gaps",
     "q144_keep_best_dedup",
@@ -115,7 +120,6 @@ _PRIORITY = [
     "q32_minhash_lsh_neardup",
     "q34_embedding_topk",
     "q37_text_quality",
-    "q57_grouping_sets",
     "q58_rank_family",
     "q69_lookback_range_join",
     "q70_stratified_sample",

@@ -9407,3 +9407,160 @@ def q165_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = sheet(t, k, p)
         out = s if out is None else out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q166 — NEYMAN ALLOCATION (optimal stratified sampling design): split a
+# fixed labeling/eval budget of T=1000 draws across sources in
+# proportion to N_h * S_h (stratum size x stratum std — the allocation
+# minimizing estimator variance; Neyman 1934, public methodology),
+# entirely in exact integer arithmetic so the design is reproducible:
+# stratum variance of quantized value-cents via the q148 centered
+# divide-early form, S_h = FLOOR(SQRT(var)) (double sqrt of an exact
+# integer — identical IEEE op both engines), seats = largest-remainder
+# apportionment (base = T*w_h div W, leftover seats to the largest
+# remainders with a total-order tiebreak). One stratum rollup + a
+# 20-row allocation window; the draw itself is q124's hash-threshold
+# machinery with these rates.
+# ---------------------------------------------------------------------------
+_NEYMAN_T = 1000
+
+
+@register(
+    "q166_neyman_allocation",
+    f"""
+    WITH q AS (
+      SELECT event_type AS stratum,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    m AS (
+      SELECT stratum,
+             CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+               AS mu
+      FROM q GROUP BY stratum
+    ),
+    s AS (
+      SELECT q.stratum, COUNT(*) AS n,
+             CAST(SUM(qv - m.mu) AS BIGINT) AS s1,
+             CAST(SUM((qv - m.mu) * (qv - m.mu)) AS BIGINT) AS s2
+      FROM q JOIN m ON m.stratum = q.stratum
+      GROUP BY q.stratum
+    ),
+    v AS (
+      SELECT stratum, n,
+             (s2 // n) - (CASE WHEN n * (s2 % n) < s1 * s1
+                          THEN 1 ELSE 0 END) AS var_q
+      FROM s
+    ),
+    w AS (
+      SELECT stratum, n,
+             CAST(n * CAST(FLOOR(SQRT(CAST(var_q AS DOUBLE))) AS BIGINT)
+                  AS BIGINT) AS wt
+      FROM v
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+    base AS (
+      SELECT w.stratum, w.n, w.wt,
+             CASE WHEN t.tw = 0 THEN 0
+                  ELSE ({_NEYMAN_T} * w.wt) // t.tw END AS seats0,
+             CASE WHEN t.tw = 0 THEN 0
+                  ELSE ({_NEYMAN_T} * w.wt) % t.tw END AS rem
+      FROM w, tot t
+    ),
+    ranked AS (
+      SELECT stratum, n, wt, seats0, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, stratum) AS rk,
+             CAST({_NEYMAN_T} AS BIGINT) - SUM(seats0) OVER () AS leftover
+      FROM base
+    )
+    SELECT stratum,
+           CAST(n AS BIGINT) AS n_rows,
+           wt AS weight,
+           CAST(seats0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM ranked
+    """,
+    description=f"Neyman allocation of a T={_NEYMAN_T} sampling budget "
+    "across strata proportional to N_h*S_h: exact integer stratum "
+    "variance (q148's centered divide-early form), integer sqrt via an "
+    "identical-IEEE double, and largest-remainder apportionment with a "
+    "total-order tiebreak — the optimal stratified design, bit-"
+    "reproducible; one stratum rollup + a stratum-count-sized window.",
+    tags=("sampling", "agg", "training-data", "audit"),
+)
+def q166_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    q = ev.select(
+        F.col("event_type").alias("stratum"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("qv"),
+    )
+    m = q.groupBy("stratum").agg(
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*) + 0.5D) AS BIGINT)"
+        ).alias("mu")
+    )
+    s = (
+        q.join(F.broadcast(m), "stratum")
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("qv") - F.col("mu")).cast("long").alias("s1"),
+            F.sum((F.col("qv") - F.col("mu")) * (F.col("qv") - F.col("mu")))
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    w = s.select(
+        "stratum",
+        "n",
+        F.expr(
+            "CAST(n * CAST(FLOOR(SQRT(CAST("
+            "(s2 div n) - (CASE WHEN n * (s2 % n) < s1 * s1"
+            " THEN 1 ELSE 0 END)"
+            " AS DOUBLE))) AS BIGINT) AS BIGINT)"
+        ).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        "wt",
+        F.expr(
+            f"CASE WHEN tw = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE ({_NEYMAN_T} * wt) div tw END"
+        ).alias("seats0"),
+        F.expr(
+            f"CASE WHEN tw = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE ({_NEYMAN_T} * wt) % tw END"
+        ).alias("rem"),
+    )
+    ranked = base.select(
+        "stratum",
+        "n",
+        "wt",
+        "seats0",
+        "rem",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("stratum")))
+        .alias("rk"),
+        (
+            F.lit(_NEYMAN_T).cast("long")
+            - F.sum("seats0").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "stratum",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("wt").alias("weight"),
+        F.expr(
+            "CAST(seats0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("n_alloc"),
+    )

@@ -164,3 +164,18 @@ def test_q162_variant_totals_match_source(spark):
     n_events = read_table(spark, SF_DIR, "events").count()
     rows = QUERIES["q162_variant_roundtrip"].spark(spark, SF_DIR).collect()
     assert sum(r.n for r in rows) == n_events
+
+
+def test_q166_allocation_sums_to_budget(spark):
+    """Largest-remainder apportionment must hand out EXACTLY the budget
+    (when total weight > 0) with every stratum getting a nonnegative
+    share bounded by the budget."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import _NEYMAN_T
+
+    rows = QUERIES["q166_neyman_allocation"].spark(spark, SF_DIR).collect()
+    assert rows
+    total_w = sum(r.weight for r in rows)
+    if total_w > 0:
+        assert sum(r.n_alloc for r in rows) == _NEYMAN_T
+    for r in rows:
+        assert 0 <= r.n_alloc <= _NEYMAN_T
