@@ -72,13 +72,22 @@ def salted_join(
     (Unmatched FACT rows are fine: each fact row carries exactly one
     salt.)
     """
-    how_norm = how.lower().replace("outer", "").strip("_")
-    if how_norm in {"right", "full", "rightsemi", "right_semi",
-                    "rightanti", "right_anti", "fullouter"}:
+    # Allowlist, not string surgery: bare "outer" is Spark's alias for FULL
+    # OUTER, and lower().replace("outer","") normalized it to "" — which the
+    # old denylist waved through, silently n_salts-replicating unmatched dim
+    # rows. Every join type that can emit unmatched DIM rows must be here.
+    _SAFE = {
+        "inner", "cross",
+        "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi",
+        "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE}:
         raise ValueError(
             f"salted_join(how={how!r}): dim-side replication duplicates "
-            "unmatched dim rows n_salts-fold for right/full join types; "
-            "use inner/left/left_semi/left_anti (or salt the other side)"
+            "unmatched dim rows n_salts-fold for right/full/outer join "
+            "types; use inner/left/left_semi/left_anti (or salt the other "
+            "side)"
         )
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -17,121 +17,88 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. Round 8
-# pays the rotation debt the round-7 verdict flagged: every round-7
-# addition went green in CORRECTNESS_r07 (50/50), so those 45 rows are the
-# FRESHEST on the board and fund the slots. The r8 window is therefore:
-# (a) q64/q65/q66 — last external-green in r2, five rounds stale (the
-#     Arrow map-iter multimodal pair and the IVF cluster-pruned ANN);
-# (b) q143-q149 — registered late in r7, never driver-verified
-#     (q146 additionally carries this round's signed-div fix and NEEDS a
-#     hard row to prove the quantized form under the driver env);
-# (b2) round-8 NEW queries q150-q153 (never verified by definition);
-# (c) the r5-green pool (36 of its 40 — four sit out for (b2), see the
-#     inline rationale; sitting out keeps them AT r5, the boundary).
-# Result: after r8, no query's latest external row is older than r5,
-# and only the four documented sit-outs are older than r7. All queries
-# remain parity-gated regardless (tools/parity.py runs ALL of them).
+# order therefore decides which queries earn a hard external row. The r9
+# window closes the r8 verdict's two staleness findings and rotates the
+# oldest remaining rows back in:
+# (a) STALE-AFTER-EDIT (verdict 'What's wrong' #2, now a tested invariant
+#     — tests/test_round9_invariants.py + tools/verified_hashes.json):
+#     every query whose plan/oracle source changed since its newest
+#     external row. That is: the seven r9 edits (q130/q135 rmtree-in-
+#     finally, q154/q159 ditto, q160 conf try/finally, q161 microsecond
+#     oracle, q163 centered sufficient statistics), the r8-edit pair
+#     q77/q86 (FLOOR-quantization fix landed AFTER their r06 rows), and
+#     the r8-touched subtrees q44/q45/q76 the verdict named.
+# (b) the FULL 17-query r05 pool — their sit-out rationales have been
+#     cashed for two rounds; verdict item #1 says rotate all back.
+# (c) r06-oldest rotation: the contiguous q14-q29 block (oldest-
+#     registered r6-green rows). The remaining r6 pool (q35-q96 block,
+#     26 rows) rotates in r10; every one of them stays parity-gated at
+#     three scale factors locally regardless.
+# (d) round-9 NEW queries (never verified by definition) — appended as
+#     registered.
+# Slot math: 12 (a) + 17 (b) + 16 (c) = 45, leaving 5 slots for (d).
+# After r9: no green row older than r6, and the freshest-row floor
+# advances r5 -> r6 (47-row r6 pool minus the 21 rotated here).
 _PRIORITY = [
-    # (a) r2-stale multimodal/ANN trio:
-    "q64_multimodal_resize",
-    "q65_frame_sample",
-    "q66_ivf_ann",
-    # (b) never driver-verified round-8 additions (a never-verified query
-    # outranks a re-verification): q150 capped media near-dup (the
-    # scale-safe q113 twin the r7 verdict asked to oracle-check), q151
-    # split-leakage audit, q152 source overlap matrix, q153 domain rank.
-    # Four r5-green rows sit out for them — the most trivially-oracled of
-    # that pool, constructs all double-covered by staying rows: q30 exact
-    # dedup (md5 fingerprint groups recur in q94/q98/q149/q151), q31
-    # keep-first window (q144's keep-best window is in-window, q122's
-    # row_number machinery stays), q13 distinct+sort (Catalyst built-ins;
-    # q19/q58 set/rank coverage stays), q10 floor-bucket histogram
-    # (q107/q111 bucket rollups went green in r7).
-    "q150_media_neardup_capped",
-    # q154 multi-watermark union (min policy, empirically pinned) also
-    # takes a slot: q03 sits out for it — filter+group-count constructs
-    # are held by staying rows (q02 filter/cast battery, q07 date
-    # grouping, q121/q128 filtered joins) and its §2 parity row.
+    # (a) stale-after-edit — r9 edits first (never-verified source):
+    "q130_streaming_late_drop",
+    "q135_streaming_dedup_within_watermark",
     "q154_streaming_union_watermarks",
-    "q151_split_leakage_audit",
-    "q152_source_overlap_matrix",
-    "q153_domain_rank",
-    # Round-8 second batch q155-q157 (vocab growth / l-diversity / FD
-    # audit). Three more r5-green rows sit out: q04 (null counts —
-    # construct held by staying q02 cast/filter battery + unit tests),
-    # q12 (error-metric battery — q146's exact regression row stays in-
-    # window and the ML metrics are bounds-tested), q63 (date battery —
-    # q07 date grouping stays; §2.12 goldens pin the conventions).
-    "q155_vocab_growth",
-    "q156_l_diversity_audit",
-    "q157_fd_violation_audit",
-    # Round-8 third batch: q158 Misra-Gries exact heavy hitters, q159
-    # max-policy watermark twin. Two more r5-green rows sit out: q61
-    # (conditional aggs — CASE-sum machinery held by staying q136/q156
-    # and r7-green q91/q104), q39 (md5 projection — fingerprint
-    # constructs held by staying q151/q153 and r7-green q94/q98/q106).
-    "q158_heavy_hitters",
     "q159_streaming_union_watermark_max",
-    # q160 Python DataSource scan (Spark 4 extension surface). q40 sits
-    # out: octet-length metadata is held by staying q41/q64/q65 (the
-    # full multimodal Arrow path) and its unit tests.
     "q160_python_datasource_scan",
-    # q161 built-in session_window + q162 VARIANT round-trip (Spark 4
-    # surfaces). Two more r5 sit-outs: q42 (sketch bounds battery —
-    # held by r7-green q99/q100 twins and staying q84), q56 (regex
-    # extract — held by staying q37 and r7-green q88/q103 regex rows).
     "q161_session_window_batch",
-    "q162_variant_roundtrip",
-    # q163 CUPED adjusted A/B readout. q33 sits out: its 16-bit SimHash
-    # fingerprint construct is held in-window by q113/q150 (Hamming-LSH
-    # banding on 56-bit fingerprints) and r6-green q92.
     "q163_cuped_adjusted_ab",
-    # q164 rank-weighted retrieval eval (exact AP@10/RR). q38 sits out:
-    # the lang-ID CASE battery is held by staying q37 text features and
-    # r5-green q52's char-ngram twin plus unit goldens.
-    "q164_retrieval_rank_eval",
-    # q165 corpus datasheet (release integrity battery). q41 sits out —
-    # the LAST r5 cut this round: its Arrow map-iter decode shape is
-    # held in-window by q64/q65/q113/q150 (four Arrow media rows).
-    "q165_corpus_datasheet",
-    # q166 Neyman allocation (exact stratified design). q57 sits out:
-    # GROUPING SETS is a Catalyst built-in with local parity + plan
-    # audit, its rollup shape held by staying q17/q26 cousins' history
-    # and in-window q07 multi-agg.
-    "q166_neyman_allocation",
-    # (b) never driver-verified round-7 tail:
-    "q143_completeness_gaps",
-    "q144_keep_best_dedup",
-    "q145_ann_recall_eval",
-    "q146_integer_ols_trend",
-    "q147_cohort_retention",
-    "q148_component_variance",
-    "q149_cross_language_dups",
-    # (c) the full r5-green pool, oldest remaining external rows:
-    "q01_pricing_summary",
-    "q02_clean_features",
-    "q05_route_topk",
-    "q06_left_join_dim",
-    "q07_daily_multi_agg",
-    "q08_argmax_day",
-    "q09_quantiles_iqr",
-    "q11_summary_stats",
-    "q32_minhash_lsh_neardup",
-    "q34_embedding_topk",
-    "q37_text_quality",
-    "q58_rank_family",
-    "q69_lookback_range_join",
-    "q70_stratified_sample",
-    "q71_token_counts",
-    "q72_incremental_rollup",
-    "q73_kmeans_step",
-    "q74_reservoir_topn",
-    "q75_embedding_quantize",
-    "q79_curation_funnel",
-    "q80_stream_static_join",
-    "q82_triangle_count",
-    "q84_grouped_sketch_quantiles",
+    # (a) r8-edit debt: q77/q86 carry the lesson-16 FLOOR fix (2151df6)
+    # unverified externally; q44/q45/q76 were touched in r8 after r06.
+    "q77_trimmed_mean_udaf",
+    "q86_trimmed_mean_udaf_bounded",
+    "q44_streaming_hourly",
+    "q45_ngram_jaccard",
+    "q76_stream_stream_join",
+    # (b) the full r05 pool:
+    "q03_filter_group_count",
+    "q04_null_counts",
+    "q10_histogram",
+    "q12_error_metrics",
+    "q13_distinct_months",
+    "q30_dedup_exact",
+    "q31_dedup_keep_first",
+    "q33_simhash",
+    "q38_lang_id",
+    "q39_fingerprint",
+    "q40_multimodal_meta",
+    "q41_multimodal_decode",
+    "q42_approx_sketches",
+    "q56_regex_extract",
+    "q57_grouping_sets",
+    "q61_conditional_aggs",
+    "q63_date_math",
+    # (c) r06-oldest rotation (registration-order block q14-q29):
+    "q14_ordered_limit",
+    "q15_label_map",
+    "q16_top_customers",
+    "q17_priority_rollup",
+    "q18_topk_per_segment",
+    "q19_set_ops",
+    "q20_sessionization",
+    "q21_asof_join",
+    "q22_pivot_counts",
+    "q23_hourly_rollup",
+    "q24_revenue_by_nation",
+    "q25_salted_agg",
+    "q26_status_cube",
+    "q27_grouped_zscore",
+    "q28_pandas_udf_bucketing",
+    "q29_json_roundtrip",
+    # (d) round-9 new queries:
+    "q167_keep_best_indexed",
+    "q168_bpe_train_loop",
+    # (c continued) next-in-line r06 rows hold the remaining slots; each
+    # is swapped out as a round-9 query lands (keeps the window at the
+    # hard 50 throughout the round).
+    "q36_ann_srp_bucket",
+    "q43_sql_api",
+    "q46_tfidf_topterms",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

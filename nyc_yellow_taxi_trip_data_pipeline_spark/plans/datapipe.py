@@ -6148,68 +6148,75 @@ def q130_streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
     replay_dir = f"/tmp/q130_replay_{uuid.uuid4().hex[:8]}"
-    # Deterministic arrival order: one file per batch, renamed so path
-    # order and mtime order agree (each write is a separate job, so
-    # mtimes are strictly increasing).
-    written: set[str] = set()
-    for i in range(_Q130_BATCHES):
-        ev.filter(F.pmod("event_id", F.lit(_Q130_BATCHES)) == i).coalesce(
-            1
-        ).write.mode("append" if i else "overwrite").parquet(replay_dir)
-        new = [
-            f
-            for f in os.listdir(replay_dir)
-            if f.endswith(".parquet")
-            and not f.startswith("_")
-            and f not in written
-        ]
-        assert len(new) == 1, new
-        os.rename(
-            os.path.join(replay_dir, new[0]),
-            os.path.join(replay_dir, f"{i:02d}.parquet"),
-        )
-        written.add(f"{i:02d}.parquet")
-
-    schema = spark.read.parquet(replay_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay_dir)
-    )
-    agg = (
-        stream.withWatermark("ts", "90 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(
-            F.count("*").alias("n_events"),
-            (
-                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
-                / 100.0
-            ).alias("sum_value"),
-        )
-        .select(
-            F.expr("unix_millis(w.start)").alias("window_start_ms"),
-            "n_events",
-            "sum_value",
-        )
-    )
-    sink = f"q130_out_{uuid.uuid4().hex[:8]}"
-    with scoped_shuffle_partitions(spark, 8):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            unload_state_stores(spark)
     # The memory sink holds the rows; the replay files are dead weight
-    # (repeated bench passes would otherwise accumulate them in /tmp).
+    # (repeated bench passes would otherwise accumulate them in /tmp) —
+    # try/finally so a failed write/stream can't strand the dir either.
     import shutil
 
-    shutil.rmtree(replay_dir, ignore_errors=True)
+    try:
+        # Deterministic arrival order: one file per batch, renamed so path
+        # order and mtime order agree (each write is a separate job, so
+        # mtimes are strictly increasing).
+        written: set[str] = set()
+        for i in range(_Q130_BATCHES):
+            ev.filter(
+                F.pmod("event_id", F.lit(_Q130_BATCHES)) == i
+            ).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(replay_dir)
+            new = [
+                f
+                for f in os.listdir(replay_dir)
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and f not in written
+            ]
+            assert len(new) == 1, new
+            os.rename(
+                os.path.join(replay_dir, new[0]),
+                os.path.join(replay_dir, f"{i:02d}.parquet"),
+            )
+            written.add(f"{i:02d}.parquet")
+
+        schema = spark.read.parquet(replay_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "90 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                (
+                    F.sum(
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                    )
+                    / 100.0
+                ).alias("sum_value"),
+            )
+            .select(
+                F.expr("unix_millis(w.start)").alias("window_start_ms"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        sink = f"q130_out_{uuid.uuid4().hex[:8]}"
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -6757,60 +6764,65 @@ def q135_streaming_dedup_within_watermark(
         "event_id", "user_id", "event_type", "ts"
     )
     replay_dir = f"/tmp/q135_replay_{uuid.uuid4().hex[:8]}"
-    written: set[str] = set()
-    for i in range(4):
-        # Each batch file is SORTED by (ts, event_id): the dedup operator
-        # sees a key's rows in event-time order (single map task per
-        # file, order preserved per reducer), so the state seed is the
-        # MIN event time BY CONSTRUCTION — not scan-order luck. Without
-        # the sort, Spark seeds from whichever duplicate happens first
-        # in file order and the oracle would be row-order-dependent
-        # (min-vs-max seeding measurably diverges at sf0.1).
-        ev.filter(F.pmod("event_id", F.lit(4)) == i).orderBy(
-            "ts", "event_id"
-        ).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(replay_dir)
-        new = [
-            f
-            for f in os.listdir(replay_dir)
-            if f.endswith(".parquet")
-            and not f.startswith("_")
-            and f not in written
-        ]
-        assert len(new) == 1, new
-        os.rename(
-            os.path.join(replay_dir, new[0]),
-            os.path.join(replay_dir, f"{i:02d}.parquet"),
-        )
-        written.add(f"{i:02d}.parquet")
-
-    schema = spark.read.parquet(replay_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay_dir)
-        .withWatermark("ts", "90 minutes")
-    )
-    dedup = stream.dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
-    ).select("user_id", "event_type")
-    sink = f"q135_out_{uuid.uuid4().hex[:8]}"
-    with scoped_shuffle_partitions(spark, 8):
-        q = (
-            dedup.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            unload_state_stores(spark)
+    # try/finally: a failed replay-write or stream must not strand the
+    # /tmp dir (same class as the r8 ADVICE finding on q154/q159).
     import shutil
 
-    shutil.rmtree(replay_dir, ignore_errors=True)
+    try:
+        written: set[str] = set()
+        for i in range(4):
+            # Each batch file is SORTED by (ts, event_id): the dedup
+            # operator sees a key's rows in event-time order (single map
+            # task per file, order preserved per reducer), so the state
+            # seed is the MIN event time BY CONSTRUCTION — not scan-order
+            # luck. Without the sort, Spark seeds from whichever duplicate
+            # happens first in file order and the oracle would be
+            # row-order-dependent (min-vs-max seeding measurably diverges
+            # at sf0.1).
+            ev.filter(F.pmod("event_id", F.lit(4)) == i).orderBy(
+                "ts", "event_id"
+            ).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(replay_dir)
+            new = [
+                f
+                for f in os.listdir(replay_dir)
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and f not in written
+            ]
+            assert len(new) == 1, new
+            os.rename(
+                os.path.join(replay_dir, new[0]),
+                os.path.join(replay_dir, f"{i:02d}.parquet"),
+            )
+            written.add(f"{i:02d}.parquet")
+
+        schema = spark.read.parquet(replay_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+            .withWatermark("ts", "90 minutes")
+        )
+        dedup = stream.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        ).select("user_id", "event_type")
+        sink = f"q135_out_{uuid.uuid4().hex[:8]}"
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                dedup.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
     per_key = (
         spark.table(sink)
         .groupBy("user_id", "event_type")
@@ -8354,66 +8366,72 @@ def q154_streaming_union_watermarks(
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
     replay_dir = f"/tmp/q154_replay_{uuid.uuid4().hex[:8]}"
-    written: set[str] = set()
-    for i in range(4):
-        ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(replay_dir)
-        new = [
-            f
-            for f in os.listdir(replay_dir)
-            if f.endswith(".parquet")
-            and not f.startswith("_")
-            and f not in written
-        ]
-        assert len(new) == 1, new
-        os.rename(
-            os.path.join(replay_dir, new[0]),
-            os.path.join(replay_dir, f"{i:02d}.parquet"),
-        )
-        written.add(f"{i:02d}.parquet")
+    # try/finally: a failed replay-write or stream must not strand the
+    # /tmp dir (ADVICE r8 — cleanup only ran on the success path).
+    try:
+        written: set[str] = set()
+        for i in range(4):
+            ev.filter(
+                F.pmod("event_id", F.lit(4)) == i
+            ).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(replay_dir)
+            new = [
+                f
+                for f in os.listdir(replay_dir)
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and f not in written
+            ]
+            assert len(new) == 1, new
+            os.rename(
+                os.path.join(replay_dir, new[0]),
+                os.path.join(replay_dir, f"{i:02d}.parquet"),
+            )
+            written.add(f"{i:02d}.parquet")
 
-    schema = spark.read.parquet(replay_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay_dir)
-    )
-    branch = F.pmod(F.expr("event_id div 4"), F.lit(2))
-    fast = (
-        stream.filter(branch == 0)
-        .withColumn("branch", F.lit(0).cast("long"))
-        .withWatermark("ts", "30 minutes")
-    )
-    slow = (
-        stream.filter(branch == 1)
-        .withColumn("branch", F.lit(1).cast("long"))
-        .withWatermark("ts", "120 minutes")
-    )
-    agg = (
-        fast.unionByName(slow)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "branch")
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.expr("unix_millis(w.start)").alias("window_start_ms"),
-            "branch",
-            "n_events",
+        schema = spark.read.parquet(replay_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
         )
-    )
-    sink = f"q154_out_{uuid.uuid4().hex[:8]}"
-    with scoped_shuffle_partitions(spark, 8):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
+        branch = F.pmod(F.expr("event_id div 4"), F.lit(2))
+        fast = (
+            stream.filter(branch == 0)
+            .withColumn("branch", F.lit(0).cast("long"))
+            .withWatermark("ts", "30 minutes")
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            unload_state_stores(spark)
-    shutil.rmtree(replay_dir, ignore_errors=True)
+        slow = (
+            stream.filter(branch == 1)
+            .withColumn("branch", F.lit(1).cast("long"))
+            .withWatermark("ts", "120 minutes")
+        )
+        agg = (
+            fast.unionByName(slow)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "branch")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.expr("unix_millis(w.start)").alias("window_start_ms"),
+                "branch",
+                "n_events",
+            )
+        )
+        sink = f"q154_out_{uuid.uuid4().hex[:8]}"
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -8836,63 +8854,69 @@ def q159_streaming_union_watermark_max(
 
     ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
     replay_dir = f"/tmp/q159_replay_{uuid.uuid4().hex[:8]}"
-    written: set[str] = set()
-    for i in range(4):
-        ev.filter(F.pmod("event_id", F.lit(4)) == i).coalesce(1).write.mode(
-            "append" if i else "overwrite"
-        ).parquet(replay_dir)
-        new = [
-            f
-            for f in os.listdir(replay_dir)
-            if f.endswith(".parquet")
-            and not f.startswith("_")
-            and f not in written
-        ]
-        assert len(new) == 1, new
-        os.rename(
-            os.path.join(replay_dir, new[0]),
-            os.path.join(replay_dir, f"{i:02d}.parquet"),
-        )
-        written.add(f"{i:02d}.parquet")
-
-    schema = spark.read.parquet(replay_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay_dir)
-    )
-    branch = F.pmod(F.expr("event_id div 4"), F.lit(2))
-    fast = stream.filter(branch == 0).withWatermark("ts", "30 minutes")
-    slow = stream.filter(branch == 1).withWatermark("ts", "120 minutes")
-    agg = (
-        fast.unionByName(slow)
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.expr("unix_millis(w.start)").alias("window_start_ms"),
-            "n_events",
-        )
-    )
-    sink = f"q159_out_{uuid.uuid4().hex[:8]}"
-    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
-    prev = spark.conf.get(policy_key, "min")
-    spark.conf.set(policy_key, "max")
+    # try/finally: a failed replay-write or stream must not strand the
+    # /tmp dir (ADVICE r8 — cleanup only ran on the success path).
     try:
-        with scoped_shuffle_partitions(spark, 8):
-            q = (
-                agg.writeStream.format("memory")
-                .queryName(sink)
-                .outputMode("append")
-                .start()
+        written: set[str] = set()
+        for i in range(4):
+            ev.filter(
+                F.pmod("event_id", F.lit(4)) == i
+            ).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(replay_dir)
+            new = [
+                f
+                for f in os.listdir(replay_dir)
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and f not in written
+            ]
+            assert len(new) == 1, new
+            os.rename(
+                os.path.join(replay_dir, new[0]),
+                os.path.join(replay_dir, f"{i:02d}.parquet"),
             )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-                unload_state_stores(spark)
+            written.add(f"{i:02d}.parquet")
+
+        schema = spark.read.parquet(replay_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+        branch = F.pmod(F.expr("event_id div 4"), F.lit(2))
+        fast = stream.filter(branch == 0).withWatermark("ts", "30 minutes")
+        slow = stream.filter(branch == 1).withWatermark("ts", "120 minutes")
+        agg = (
+            fast.unionByName(slow)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.expr("unix_millis(w.start)").alias("window_start_ms"),
+                "n_events",
+            )
+        )
+        sink = f"q159_out_{uuid.uuid4().hex[:8]}"
+        policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+        prev = spark.conf.get(policy_key, "min")
+        spark.conf.set(policy_key, "max")
+        try:
+            with scoped_shuffle_partitions(spark, 8):
+                q = (
+                    agg.writeStream.format("memory")
+                    .queryName(sink)
+                    .outputMode("append")
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
+                    unload_state_stores(spark)
+        finally:
+            spark.conf.set(policy_key, prev)
     finally:
-        spark.conf.set(policy_key, prev)
-    shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(replay_dir, ignore_errors=True)
     return spark.table(sink)
 
 
@@ -8937,26 +8961,30 @@ def q160_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_key = "spark.sql.python.filterPushdown.enabled"
     prev = spark.conf.get(conf_key, "false")
     spark.conf.set(conf_key, "true")
-    spark.dataSource.register(manifest_datasource())
-    df = (
-        spark.read.format("doc_manifest")
-        .option("path", os.path.join(sf_dir, "documents.parquet"))
-        .load()
-        .filter(F.col("source") == "src3")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("long").alias("sum_chars"),
-            F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+    try:
+        spark.dataSource.register(manifest_datasource())
+        df = (
+            spark.read.format("doc_manifest")
+            .option("path", os.path.join(sf_dir, "documents.parquet"))
+            .load()
+            .filter(F.col("source") == "src3")
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.sum("doc_id").cast("long").alias("doc_id_checksum"),
+            )
         )
-    )
-    # Materialize under the pushdown conf, then restore it: the conf is
-    # read at scan planning time, and the parity/driver harness collects
-    # AFTER this function returns — so force the read into a local
-    # result and hand back a tiny createDataFrame instead of a lazy plan
-    # that would observe a restored conf.
-    rows = df.collect()
-    spark.conf.set(conf_key, prev)
+        # Materialize under the pushdown conf, then restore it: the conf
+        # is read at scan planning time, and the parity/driver harness
+        # collects AFTER this function returns — so force the read into a
+        # local result and hand back a tiny createDataFrame instead of a
+        # lazy plan that would observe a restored conf. try/finally so a
+        # failing register/plan/collect can't leak the conf into the
+        # shared session (lesson 15 discipline; r8 verdict finding #1).
+        rows = df.collect()
+    finally:
+        spark.conf.set(conf_key, prev)
     return spark.createDataFrame(
         rows, "source string, n_docs bigint, sum_chars bigint,"
         " doc_id_checksum bigint"
@@ -8975,32 +9003,41 @@ def q160_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LAST event time + gap, events chain transitively while consecutive
 # gaps <= 30 min. One (user_id) shuffle; per-user session state is
 # sort-local within the partition.
+# Boundary + precision PINNED empirically (r9, two-event fixtures in
+# tests/test_round9_invariants.py): a gap of EXACTLY 30 min MERGES
+# (adjacent windows coalesce when next.start == prev.end); 30 min +
+# 1 us SPLITS — so the oracle's break rule is strict `>` at FULL
+# MICROSECOND precision (tus - prev > 1800000000). The r8 oracle
+# compared ms-truncated epochs, which merges any gap in
+# (30min, 30min+1ms) that Spark splits (ADVICE r8); event times are
+# us-grained so that interval has real mass. Outputs stay in ms:
+# unix_millis floors, and floor(us/1000) commutes with +30min.
 # ---------------------------------------------------------------------------
 @register(
     "q161_session_window_batch",
     """
     WITH ordered AS (
       SELECT user_id, ts,
-             epoch_ms(ts) AS tms,
-             lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+             epoch_us(ts) AS tus,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
       FROM events
     ),
     flagged AS (
-      SELECT user_id, tms,
-             CASE WHEN prev IS NULL OR tms - prev > 1800000
+      SELECT user_id, tus,
+             CASE WHEN prev IS NULL OR tus - prev > 1800000000
                   THEN 1 ELSE 0 END AS brk
       FROM ordered
     ),
     sess AS (
-      SELECT user_id, tms,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+      SELECT user_id, tus,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )
     SELECT user_id,
-           CAST(MIN(tms) AS BIGINT) AS session_start_ms,
-           CAST(MAX(tms) + 1800000 AS BIGINT) AS session_end_ms,
+           CAST(MIN(tus) // 1000 AS BIGINT) AS session_start_ms,
+           CAST(MAX(tus) // 1000 + 1800000 AS BIGINT) AS session_end_ms,
            COUNT(*) AS n_events
     FROM sess GROUP BY user_id, sid
     """,
@@ -9099,16 +9136,34 @@ def q162_variant_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FLOOR(x+0.5) quantization at the end). The pre/post cut is the
 # data-derived midpoint day, a broadcast scalar. Two output rows.
 # ---------------------------------------------------------------------------
+# Centered, divide-early sufficient statistics (q148's pattern, applied
+# here per ADVICE r8): the r8 form computed theta from RAW products
+# n*SUM(x*y) and n*SUM(x*x) — per-user cent sums make those BIGINT
+# products wrap silently in Spark (DuckDB raises) once n_users*mean^2
+# nears 2^63. Centering first (integer per-pool means mx/my, broadcast
+# back) and dividing by n INSIDE the double expression keeps every
+# integer intermediate at SUM((x-mx)^2) ~ n_users*dev^2 — exact while
+# n_users * dev^2 < 2^63, e.g. 9e8 users at per-user deviation 1e5
+# cents ($1k), vs ~1e6 users for the raw form at the same deviation.
+# Shift invariance: n*Sxy - Sx*Sy == n*SUM((x-mx)(y-my)) - s1x*s1y and
+# likewise for xx, so theta is ALGEBRAICALLY unchanged; the computed
+# value differs only in IEEE rounding order, and both engines execute
+# the identical expression text on identical integers (determinism
+# contract preserved). var(x)=0 is detected exactly via MIN(x)=MAX(x)
+# instead of the wide-product zero test.
 _Q163_FORMULAS = dict(
     theta=(
-        "CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0{d} "
-        "ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END"
+        "CASE WHEN minx = maxx THEN 0.0{d} "
+        "ELSE (CAST(sxy_c AS DOUBLE)"
+        " - CAST(s1x AS DOUBLE) * CAST(s1y AS DOUBLE) / n)"
+        " / (CAST(sxx_c AS DOUBLE)"
+        " - CAST(s1x AS DOUBLE) * CAST(s1x AS DOUBLE) / n) END"
     ),
     mean_y=("FLOOR(10.0{d} * CAST(ay AS DOUBLE) / n_users + 0.5{d})"),
     adj=(
         "FLOOR(10.0{d} * (CAST(ay AS DOUBLE) / n_users"
         " - ({theta}) * (CAST(ax AS DOUBLE) / n_users"
-        " - CAST(sx AS DOUBLE) / n)) + 0.5{d})"
+        " - (CAST(mx AS DOUBLE) + CAST(s1x AS DOUBLE) / n))) + 0.5{d})"
     ),
 )
 
@@ -9132,13 +9187,23 @@ def _q163_sql() -> str:
                   AS BIGINT) AS y
       FROM base, cut GROUP BY user_id
     ),
+    m AS (
+      SELECT CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS mx,
+             CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) + 0.5)
+                  AS BIGINT) AS my
+      FROM u
+    ),
     pool AS (
       SELECT COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
-      FROM u
+             ANY_VALUE(m.mx) AS mx,
+             CAST(SUM(x - m.mx) AS BIGINT) AS s1x,
+             CAST(SUM(y - m.my) AS BIGINT) AS s1y,
+             CAST(SUM((x - m.mx) * (y - m.my)) AS BIGINT) AS sxy_c,
+             CAST(SUM((x - m.mx) * (x - m.mx)) AS BIGINT) AS sxx_c,
+             MIN(x) AS minx,
+             MAX(x) AS maxx
+      FROM u, m
     ),
     arm AS (
       SELECT variant, COUNT(*) AS n_users,
@@ -9191,12 +9256,30 @@ def q163_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
     )
-    pool = u.agg(
+    # Two-pass centered pool stats (see _Q163_FORMULAS comment): pass 1
+    # is a 1-row integer-mean aggregate broadcast back; pass 2 sums the
+    # centered products — no n*Sxx-style wide BIGINT product anywhere.
+    m = u.agg(
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5D) AS BIGINT)"
+        ).alias("mx"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(y) AS DOUBLE) / COUNT(*) + 0.5D) AS BIGINT)"
+        ).alias("my"),
+    )
+    pool = u.crossJoin(F.broadcast(m)).agg(
         F.count("*").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.first("mx").alias("mx"),
+        F.sum(F.col("x") - F.col("mx")).cast("long").alias("s1x"),
+        F.sum(F.col("y") - F.col("my")).cast("long").alias("s1y"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+        .cast("long")
+        .alias("sxy_c"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+        .cast("long")
+        .alias("sxx_c"),
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
     )
     arm = u.groupBy("variant").agg(
         F.count("*").alias("n_users"),
@@ -9563,4 +9646,381 @@ def q166_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(seats0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
             " AS BIGINT)"
         ).alias("n_alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — KEEP-BEST DEDUP AGAINST THE MATERIALIZED SIGNATURE INDEX (the
+# r8 verdict's #2 ask): q144 recomputes MinHash signatures for the WHOLE
+# corpus every run — the right shape for a once-per-snapshot rebuild,
+# but at 100 TB the per-ingest-batch form must pay O(|delta|) only.
+# q167 is that production twin: the accepted corpus lives in q98's
+# bucketed signature index (dedup.write_signature_index — SAME base
+# table, identical build inputs/params, so a session builds it once for
+# both queries); each batch computes signatures for the DELTA alone,
+# finds exact (fp equality) and near (asymmetric capped band join +
+# >=6/12 signature agreement) matches against the index, and applies
+# the keep-best POLICY per delta doc: 'new' (no match), 'replace' (the
+# delta doc beats the best-quality matched index member on n_chars,
+# doc_id tiebreak), or 'drop'. Only the delta's band rows shuffle; the
+# index sides are read pre-clustered (bucketed scans). The oracle
+# recomputes everything from raw text — materialized vs recomputed
+# signatures are bit-identical (the q98 portability contract).
+# ---------------------------------------------------------------------------
+def _q167_sql() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_MH_N)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs".format(
+            b=b,
+            key=" || ".join(f"mh{b * _MH_BAND + j}" for j in range(_MH_BAND)),
+        )
+        for b in range(_MH_N // _MH_BAND)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_MH_N)
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i + 1]) AS s
+      FROM w
+    ),
+    sh AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh0),
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    delta AS (
+      SELECT doc_id, n_chars, md5(lower(text)) AS fp FROM documents
+      WHERE doc_id % 10 = 0
+    ),
+    idx AS (
+      SELECT doc_id, n_chars, md5(lower(text)) AS fp FROM documents
+      WHERE doc_id % 10 <> 0
+    ),
+    bands AS ({band_selects}),
+    idx_bands AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands WHERE doc_id % 10 <> 0
+      ) WHERE bn <= {_MH_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN idx_bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      WHERE a.doc_id % 10 = 0
+    ),
+    near AS (
+      SELECT DISTINCT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b
+      WHERE {agree} >= {_MH_MIN_AGREE}
+    ),
+    exact AS (
+      SELECT d.doc_id AS doc_a, x.doc_id AS doc_b
+      FROM delta d JOIN idx x ON d.fp = x.fp
+    ),
+    matches AS (SELECT doc_a, doc_b FROM near
+                UNION SELECT doc_a, doc_b FROM exact),
+    ranked AS (
+      SELECT m.doc_a, m.doc_b, i.n_chars AS b_chars,
+             ROW_NUMBER() OVER (PARTITION BY m.doc_a
+                                ORDER BY i.n_chars DESC, m.doc_b) AS rn,
+             COUNT(*) OVER (PARTITION BY m.doc_a) AS nm
+      FROM matches m JOIN idx i ON i.doc_id = m.doc_b
+    ),
+    best AS (SELECT doc_a, doc_b, b_chars, nm FROM ranked WHERE rn = 1)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(COALESCE(b.nm, 0) AS BIGINT) AS n_matches,
+           CAST(COALESCE(b.doc_b, -1) AS BIGINT) AS best_match_id,
+           CAST(COALESCE(b.b_chars, -1) AS BIGINT) AS best_match_chars,
+           CASE WHEN b.doc_b IS NULL THEN 'new'
+                WHEN d.n_chars > b.b_chars
+                     OR (d.n_chars = b.b_chars AND d.doc_id < b.doc_b)
+                THEN 'replace' ELSE 'drop' END AS decision
+    FROM delta d LEFT JOIN best b ON b.doc_a = d.doc_id
+    """
+
+
+@register(
+    "q167_keep_best_indexed",
+    _q167_sql(),
+    description="Keep-best dedup in the per-batch INDEXED form (q144's "
+    "production twin): delta docs matched against the materialized "
+    "bucketed signature index (exact fp + capped asymmetric band join "
+    "with >=6/12 signature agreement), then the survivor policy per "
+    "delta doc — new / replace (beats the best matched index member on "
+    "n_chars, doc_id tiebreak) / drop. O(|delta|) per batch; index "
+    "sides read pre-clustered.",
+    tags=("dedup", "minhash", "lsh", "incremental", "index", "quality",
+          "training-data"),
+)
+def q167_keep_best_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    delta = docs.filter(is_new)
+
+    # Shared snapshot index with q98 (identical build inputs and params
+    # — whichever query runs first in a session builds it once).
+    base = f"q98_sig_index_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(f"{base}_bands"):
+        dd.write_signature_index(
+            docs.filter(~is_new),
+            base,
+            n_hashes=_MH_N,
+            band_size=_MH_BAND,
+        )
+    sigs_idx = spark.table(f"{base}_sigs")
+    bands_idx = spark.table(f"{base}_bands")
+
+    # Per-batch work: delta signatures fresh (checkpointed — reused by
+    # both the band derivation and the agreement join), candidates via
+    # the asymmetric capped band join, near-dup by signature agreement.
+    sigs_d = dd.minhash_signatures(
+        dd.shingle_distinct(delta, n=2), n_hashes=_MH_N
+    ).localCheckpoint(eager=True)
+    bands_d = dd.lsh_bands(sigs_d, n_hashes=_MH_N, band_size=_MH_BAND)
+    cand = dd.lsh_candidate_pairs_asymmetric(
+        bands_d, bands_idx, max_bucket=_MH_MAX_BUCKET
+    )
+    sigs_all = sigs_d.unionByName(sigs_idx.select(*sigs_d.columns))
+    near = dd.sig_agreement_filter(
+        cand, sigs_all, min_agree=_MH_MIN_AGREE, n_hashes=_MH_N
+    )
+    exact = (
+        delta.select(
+            F.col("doc_id").alias("doc_a"),
+            F.md5(F.lower("text")).alias("fp"),
+        )
+        .join(sigs_idx.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .select("doc_a", "doc_b")
+    )
+    matches = near.unionByName(exact).distinct()
+
+    # Quality metadata for the matched index members; the keep-best
+    # argmax runs over match rows (delta-sized, never the corpus).
+    idx_chars = docs.filter(~is_new).select(
+        F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("b_chars")
+    )
+    ranked = (
+        matches.join(idx_chars, "doc_b")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_a").orderBy(
+                    F.desc("b_chars"), F.asc("doc_b")
+                )
+            ),
+        )
+        .withColumn("nm", F.count("*").over(Window.partitionBy("doc_a")))
+    )
+    best = ranked.filter(F.col("rn") == 1).select(
+        "doc_a", "doc_b", "b_chars", "nm"
+    )
+    return (
+        delta.select("doc_id", "n_chars")
+        .join(best, F.col("doc_id") == F.col("doc_a"), "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce(F.col("doc_b"), F.lit(-1))
+            .cast("long")
+            .alias("best_match_id"),
+            F.coalesce(F.col("b_chars"), F.lit(-1))
+            .cast("long")
+            .alias("best_match_chars"),
+            F.when(F.col("doc_b").isNull(), F.lit("new"))
+            .when(
+                (F.col("n_chars") > F.col("b_chars"))
+                | (
+                    (F.col("n_chars") == F.col("b_chars"))
+                    & (F.col("doc_id") < F.col("doc_b"))
+                ),
+                F.lit("replace"),
+            )
+            .otherwise(F.lit("drop"))
+            .alias("decision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — FULL BPE TRAINING LOOP (8 merges), the end-to-end form of
+# q109's single step (r8 verdict ask #6): per iteration, adjacent
+# symbol-pair counts weighted by word frequency -> argmax merge (count
+# desc, pair asc total order) -> greedy left-to-right merge applied to
+# the vocabulary; repeat. Scale shape: the corpus collapses to its
+# VOCABULARY once (one corpus scan, map-side-combined, then
+# localCheckpoint so iterations NEVER rescan the corpus); each of the 8
+# iterations is vocab-bound work plus a documented 1-row argmax pull
+# (the q73 k-means-loop precedent). The greedy merge is a JVM-side
+# array fold (F.aggregate) — equivalent to the oracle's positional
+# form: for a != b, adjacent matches can never chain (a match at i and
+# i+1 would force b = a), so all matches commit; for a == b, matches
+# chain only inside runs of the same symbol, where greedy keeps every
+# other match (odd positions within the island) — the oracle unrolls
+# all 8 stages with that gaps-and-islands rule and must produce the
+# identical merge table.
+# ---------------------------------------------------------------------------
+_BPE_STEPS = 8
+
+
+def _q168_sql() -> str:
+    stages = []
+    for i in range(1, _BPE_STEPS + 1):
+        stages.append(f"""
+    pos{i} AS (
+      SELECT word, freq,
+             unnest(list_transform(generate_series(1, len(syms)),
+                    j -> {{'j': j, 's': syms[j]}})) AS u
+      FROM v{i - 1}
+    ),
+    pp{i} AS (
+      SELECT word, freq, u.j AS j, u.s AS s,
+             LEAD(u.s) OVER (PARTITION BY word ORDER BY u.j) AS nxt
+      FROM pos{i}
+    ),
+    cnt{i} AS (
+      SELECT s AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM pp{i} WHERE nxt IS NOT NULL GROUP BY s, nxt
+    ),
+    best{i} AS MATERIALIZED (SELECT a, b, c FROM cnt{i} ORDER BY c DESC, a, b LIMIT 1),
+    runs{i} AS MATERIALIZED (
+      SELECT p.word, p.freq, p.j, p.s,
+             CASE WHEN p.s = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS m
+      FROM pp{i} p, best{i} b
+    ),
+    isl{i} AS MATERIALIZED (
+      SELECT word, j,
+             j - ROW_NUMBER() OVER (PARTITION BY word ORDER BY j) AS rid
+      FROM runs{i} WHERE m = 1
+    ),
+    keep{i} AS MATERIALIZED (
+      SELECT word, j FROM (
+        SELECT word, j,
+               ROW_NUMBER() OVER (PARTITION BY word, rid ORDER BY j) AS k
+        FROM isl{i}
+      ) WHERE k % 2 = 1
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT r.word, r.freq,
+             list(CASE WHEN kj.j IS NOT NULL THEN r.s || b.b
+                       ELSE r.s END ORDER BY r.j) AS syms
+      FROM runs{i} r
+      CROSS JOIN best{i} b
+      LEFT JOIN keep{i} kj ON kj.word = r.word AND kj.j = r.j
+      LEFT JOIN keep{i} kd ON kd.word = r.word AND kd.j = r.j - 1
+      WHERE kd.j IS NULL
+      GROUP BY r.word, r.freq
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, a AS lhs, b AS rhs,"
+        f" a || b AS merged, c AS n_occurrences FROM best{i}"
+        for i in range(1, _BPE_STEPS + 1)
+    )
+    return f"""
+    WITH wf AS (
+      SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)) AS syms
+      FROM wf WHERE length(word) >= 2
+    ),{",".join(stages)}
+    {union}
+    """
+
+
+@register(
+    "q168_bpe_train_loop",
+    _q168_sql(),
+    description=f"Full BPE tokenizer training loop ({_BPE_STEPS} merges): "
+    "iterated pair-count -> total-order argmax -> greedy left-to-right "
+    "vocabulary merge, end-to-end oracle-checked against an unrolled "
+    "8-stage gaps-and-islands SQL twin — one corpus scan collapses to "
+    "the checkpointed vocabulary, every iteration is vocab-bound with a "
+    "documented 1-row argmax pull (q73 loop precedent).",
+    tags=("text", "tokenizer", "training-data", "iterative", "agg"),
+)
+def q168_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = (
+        wf.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(word)),"
+                " i -> substr(word, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)  # iterations never rescan the corpus
+    )
+    merges: list[tuple] = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " j -> struct(element_at(syms, j) AS a,"
+                    "             element_at(syms, j + 1) AS b))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").cast("long").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # documented 1-row argmax pull per iteration
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, top[0].c
+        merges.append((step, a, b, a + b, c))
+        # Greedy left-to-right merge as a JVM-side array fold: append x,
+        # unless the running last element is `a` and x is `b` — then
+        # replace the last element with the merged symbol. After a
+        # merge the last element is a||b (strictly longer than a), so a
+        # fold can never chain through a just-merged symbol.
+        vocab = vocab.withColumn(
+            "syms",
+            F.aggregate(
+                F.col("syms"),
+                F.expr("CAST(array() AS array<string>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, lhs string, rhs string, merged string,"
+        " n_occurrences bigint",
     )

@@ -409,9 +409,14 @@ def test_salted_join_rejects_dim_preserving_join_types(spark):
 
     fact = spark.range(10).withColumnRenamed("id", "k")
     dim = spark.range(20).withColumnRenamed("id", "k2")
-    for how in ("right", "full", "full_outer", "right_outer"):
+    # "outer" is Spark's bare alias for FULL OUTER — the round-8 denylist
+    # normalized it to "" and waved it through (ADVICE r8); it must raise.
+    for how in ("right", "full", "full_outer", "right_outer", "outer",
+                "fullouter", "rightouter", "right_semi", "right_anti",
+                "garbage"):
         with _pytest.raises(ValueError, match="salted_join"):
             salted_join(fact, dim, "k", "k2", F.col("k"), how=how)
     # the supported types still construct (no raise at build time)
-    for how in ("inner", "left", "left_semi", "left_anti"):
+    for how in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                "leftsemi", "left_anti", "leftanti", "semi", "anti"):
         salted_join(fact, dim, "k", "k2", F.col("k"), how=how)
