@@ -93,12 +93,9 @@ _PRIORITY = [
     # (d) round-9 new queries:
     "q167_keep_best_indexed",
     "q168_bpe_train_loop",
-    # (c continued) next-in-line r06 rows hold the remaining slots; each
-    # is swapped out as a round-9 query lands (keeps the window at the
-    # hard 50 throughout the round).
-    "q36_ann_srp_bucket",
-    "q43_sql_api",
-    "q46_tfidf_topterms",
+    "q169_retrieval_ndcg",
+    "q170_bucketed_ctas_join",
+    "q171_batch_ann_topk",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -9653,20 +9653,27 @@ def q166_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q167 — KEEP-BEST DEDUP AGAINST THE MATERIALIZED SIGNATURE INDEX (the
 # r8 verdict's #2 ask): q144 recomputes MinHash signatures for the WHOLE
 # corpus every run — the right shape for a once-per-snapshot rebuild,
-# but at 100 TB the per-ingest-batch form must pay O(|delta|) only.
-# q167 is that production twin: the accepted corpus lives in q98's
-# bucketed signature index (dedup.write_signature_index — SAME base
-# table, identical build inputs/params, so a session builds it once for
-# both queries); each batch computes signatures for the DELTA alone,
-# finds exact (fp equality) and near (asymmetric capped band join +
-# >=6/12 signature agreement) matches against the index, and applies
-# the keep-best POLICY per delta doc: 'new' (no match), 'replace' (the
-# delta doc beats the best-quality matched index member on n_chars,
-# doc_id tiebreak), or 'drop'. Only the delta's band rows shuffle; the
-# index sides are read pre-clustered (bucketed scans). The oracle
+# but at 100 TB the per-ingest-batch form must pay O(|batch|) only.
+# q167 is that production twin: the accepted corpus lives in a bucketed
+# signature index (dedup.write_signature_index); each batch computes
+# signatures for the BATCH alone, finds exact (fp equality) and near
+# (asymmetric capped band join + >=6/12 signature agreement) matches
+# against the index, and applies the keep-best POLICY per batch doc:
+# 'new' (no match), 'replace' (the batch doc beats the best-quality
+# matched index member on n_chars, doc_id tiebreak), or 'drop'. Only
+# the batch's band rows shuffle; the index sides are read pre-clustered
+# (bucketed scans). The batch is FIXED-SIZE (doc_id % 10 == 0 AND
+# doc_id < 10000) — an ingest batch does not grow because the archive
+# did, and modeling it that way is what makes the measured 10x ratio
+# reflect the production cost (the first cut used a %-only batch that
+# grew 10x with the corpus and measured 3.4x; the fixed batch measures
+# ~1x against a 10x index, q98's warm-delta result). The oracle
 # recomputes everything from raw text — materialized vs recomputed
 # signatures are bit-identical (the q98 portability contract).
 # ---------------------------------------------------------------------------
+_Q167_BATCH_MAX_ID = 10_000
+
+
 def _q167_sql() -> str:
     sig_cols = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_MH_N)
@@ -9681,6 +9688,7 @@ def _q167_sql() -> str:
     agree = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(_MH_N)
     )
+    bmax = _Q167_BATCH_MAX_ID
     return f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -9696,25 +9704,25 @@ def _q167_sql() -> str:
     sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     delta AS (
       SELECT doc_id, n_chars, md5(lower(text)) AS fp FROM documents
-      WHERE doc_id % 10 = 0
+      WHERE doc_id % 10 = 0 AND doc_id < {bmax}
     ),
     idx AS (
       SELECT doc_id, n_chars, md5(lower(text)) AS fp FROM documents
-      WHERE doc_id % 10 <> 0
+      WHERE doc_id % 10 <> 0 OR doc_id >= {bmax}
     ),
     bands AS ({band_selects}),
     idx_bands AS (
       SELECT doc_id, band_id, band_key FROM (
         SELECT doc_id, band_id, band_key,
                COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
-        FROM bands WHERE doc_id % 10 <> 0
+        FROM bands WHERE doc_id % 10 <> 0 OR doc_id >= {bmax}
       ) WHERE bn <= {_MH_MAX_BUCKET}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
       JOIN idx_bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-      WHERE a.doc_id % 10 = 0
+      WHERE a.doc_id % 10 = 0 AND a.doc_id < {bmax}
     ),
     near AS (
       SELECT DISTINCT c.doc_a, c.doc_b
@@ -9768,12 +9776,14 @@ def q167_keep_best_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 10 == 0
+    is_new = (F.col("doc_id") % 10 == 0) & (
+        F.col("doc_id") < _Q167_BATCH_MAX_ID
+    )
     delta = docs.filter(is_new)
 
-    # Shared snapshot index with q98 (identical build inputs and params
-    # — whichever query runs first in a session builds it once).
-    base = f"q98_sig_index_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # Own snapshot index (q167's accepted set differs from q98's: the
+    # fixed batch excludes only doc_id%10==0 below the batch cap).
+    base = f"q167_sig_index_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
     if not spark.catalog.tableExists(f"{base}_bands"):
         dd.write_signature_index(
             docs.filter(~is_new),
@@ -10023,4 +10033,354 @@ def q168_bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "step bigint, lhs string, rhs string, merged string,"
         " n_occurrences bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — NDCG@10 for the retrieval family (completes q145 recall + q164
+# AP/RR with the graded position-discount metric). The cross-engine
+# trap NDCG adds is the LOGARITHM: IEEE libm log() is not bit-specified
+# and may differ between the JVM and DuckDB — so the discount weights
+# 1/log2(pos+1) are PRE-QUANTIZED IN PYTHON at registration time
+# (w_pos = round(1e6/log2(pos+1)), ten integer literals embedded
+# identically in both dialects), and DCG/IDCG/NDCG are then pure BIGINT
+# arithmetic: dcg = SUM(rel * w_pos), idcg = the weight prefix-sum over
+# min(|truth|, 10) ideal positions, ndcg_milli = (1000*dcg) div idcg
+# (non-negative operands, lesson-11 safe). Same retrieval composition
+# as q164: only top-k lists (tens of rows) reach the eval join.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_NDCG_K = 10
+_NDCG_W = [
+    round(1_000_000 / _math.log2(p + 1)) for p in range(1, _NDCG_K + 1)
+]
+_NDCG_CASE = (
+    "CASE pos "
+    + " ".join(f"WHEN {p + 1} THEN {w}" for p, w in enumerate(_NDCG_W))
+    + " ELSE 0 END"
+)
+_NDCG_IDEAL_CASE = (
+    "CASE WHEN n_truth >= 10 THEN {all} ELSE ({prefix}) END".format(
+        all=sum(_NDCG_W),
+        prefix=" + ".join(
+            f"(CASE WHEN n_truth >= {p + 1} THEN {w} ELSE 0 END)"
+            for p, w in enumerate(_NDCG_W)
+        ),
+    )
+)
+
+
+def _q169_oracle() -> str:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.registry import QUERIES as _Q
+
+    brute = _Q["q34_embedding_topk"].oracle
+    srp = _Q["q36_ann_srp_bucket"].oracle
+    ivf = _Q["q66_ivf_ann"].oracle
+    return f"""
+    WITH brute AS (SELECT vec_id FROM ({brute})),
+    truth AS (SELECT COUNT(*) AS n_truth FROM brute),
+    srp AS (
+      SELECT vec_id, cosine_sim FROM ({srp})
+      ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    ),
+    ivf AS (SELECT vec_id, cosine_sim FROM ({ivf})),
+    cand AS (
+      SELECT 'srp_bucket' AS method, vec_id, cosine_sim FROM srp
+      UNION ALL
+      SELECT 'ivf' AS method, vec_id, cosine_sim FROM ivf
+    ),
+    ranked AS (
+      SELECT c.method,
+             ROW_NUMBER() OVER (PARTITION BY c.method
+                                ORDER BY c.cosine_sim DESC, c.vec_id) AS pos,
+             CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM cand c LEFT JOIN brute b ON b.vec_id = c.vec_id
+    )
+    SELECT method,
+           COUNT(*) AS k_retrieved,
+           CAST(SUM(rel * ({_NDCG_CASE})) AS BIGINT) AS dcg_scaled,
+           CAST((1000 * SUM(rel * ({_NDCG_CASE})))
+                // ANY_VALUE({_NDCG_IDEAL_CASE}) AS BIGINT) AS ndcg_milli
+    FROM ranked, truth
+    GROUP BY method
+    """
+
+
+@register(
+    "q169_retrieval_ndcg",
+    _q169_oracle(),
+    description="NDCG@10 for the SRP and IVF retrieval paths against "
+    "brute-force ground truth: the 1/log2(pos+1) discount weights are "
+    "pre-quantized to integer micro-units in Python (identical literals "
+    "in both dialects — IEEE libm log is not bit-portable), so "
+    "DCG/IDCG/NDCG are exact BIGINT arithmetic; composes the three "
+    "registered retrieval oracles with the q164 total order.",
+    tags=("similarity", "ann", "eval", "audit"),
+)
+def q169_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    brute = q34_embedding_topk(spark, sf_dir).select("vec_id")
+    n_truth = brute.agg(F.count("*").alias("n_truth"))
+    srp = (
+        q36_ann_srp_bucket(spark, sf_dir)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "cosine_sim")
+        .withColumn("method", F.lit("srp_bucket"))
+    )
+    ivf = (
+        q66_ivf_ann(spark, sf_dir)
+        .select("vec_id", "cosine_sim")
+        .withColumn("method", F.lit("ivf"))
+    )
+    ranked = (
+        srp.unionByName(ivf)
+        .join(F.broadcast(brute.withColumn("__rel", F.lit(1))), "vec_id", "left")
+        .select(
+            "method",
+            F.row_number()
+            .over(
+                Window.partitionBy("method").orderBy(
+                    F.desc("cosine_sim"), F.asc("vec_id")
+                )
+            )
+            .alias("pos"),
+            F.coalesce(F.col("__rel"), F.lit(0)).alias("rel"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_truth))
+        .groupBy("method")
+        .agg(
+            F.count("*").alias("k_retrieved"),
+            F.expr(f"CAST(SUM(rel * ({_NDCG_CASE})) AS BIGINT)").alias(
+                "dcg_scaled"
+            ),
+            F.expr(
+                f"CAST((1000 * SUM(rel * ({_NDCG_CASE})))"
+                f" div FIRST({_NDCG_IDEAL_CASE}) AS BIGINT)"
+            ).alias("ndcg_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — BUCKETED-CTAS CO-LOCATED JOIN: the write-side scale technique
+# as a registered query (previously only a unit test,
+# tests/test_scale_paths.py). Spark side: CTAS customer and orders into
+# parquet tables bucketed 8-ways on the customer key, read them back,
+# and join WITH AUTO-BROADCAST DISABLED — the plan must hit the
+# bucketed scan (Bucketed: true, SortMergeJoin, no Exchange under the
+# join inputs), which is asserted IN the query: silently degrading to
+# a shuffled join would pass value parity while losing exactly the
+# property the query exists to prove. At 100 TB this is the fact-fact
+# join shape: pay the bucketed write once, then every downstream join
+# on the key is shuffle-free. Values: revenue rollup per market
+# segment, quantized; conf scoped per lesson 15 (collect before
+# restore, return a local frame).
+# ---------------------------------------------------------------------------
+@register(
+    "q170_bucketed_ctas_join",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="Bucketed CTAS + co-located join: customer and orders "
+    "written as 8-bucket tables on the customer key, read back and "
+    "joined with auto-broadcast disabled — the bucketed scan and "
+    "exchange-free sort-merge join are asserted inside the query (a "
+    "silent degrade to a shuffled join fails loudly); per-segment "
+    "quantized revenue rollup proves the write->read round trip is "
+    "value-exact. The pay-once write that makes repeated fact-fact "
+    "joins shuffle-free at scale.",
+    tags=("sink", "bucketing", "join", "agg", "scale-dial"),
+)
+def q170_bucketed_ctas_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tc, to = f"q170_cust_{tok}", f"q170_ord_{tok}"
+    if not (spark.catalog.tableExists(tc) and spark.catalog.tableExists(to)):
+        # One-time bucketed CTAS per (session, corpus); stale warehouse
+        # dirs from a dead session are cleared first (same hazard
+        # write_signature_index documents).
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        for t in (tc, to):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = hadoop_path(f"{warehouse}/{t}")
+            fs = loc.getFileSystem(hconf)
+            if fs.exists(loc):
+                fs.delete(loc, True)
+        cust = read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        )
+        cust.write.format("parquet").bucketBy(8, "c_custkey").sortBy(
+            "c_custkey"
+        ).mode("overwrite").saveAsTable(tc)
+        orders.write.format("parquet").bucketBy(8, "o_custkey").sortBy(
+            "o_custkey"
+        ).mode("overwrite").saveAsTable(to)
+
+    conf_key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "-1")
+    try:
+        joined = (
+            spark.table(to)
+            .join(
+                spark.table(tc),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if "Bucketed: true" not in plan or "SortMergeJoin" not in plan:
+            raise AssertionError(
+                "bucketed co-located join degraded to a shuffled plan:\n"
+                + plan
+            )
+        rows = joined.collect()  # materialize under the scoped conf
+    finally:
+        spark.conf.set(conf_key, prev)
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, n_orders bigint, revenue_cents bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — BATCHED MULTI-QUERY EXACT TOP-K (the retrieval-serving shape
+# q34 is the single-query verifier for): a BATCH of 8 query vectors is
+# broadcast, candidate norms are computed ONCE per candidate BEFORE the
+# expansion (q34's per-pair norm is fine for one query; at batch size B
+# it would recompute each norm B times), one scan emits the B x N
+# cosine rows map-side, and exact per-query top-5 is reduced in TWO
+# phases: phase 1 takes top-5 per (query, salt=vec_id%16) — 128-key
+# shuffle instead of the 8-key straggler a naive per-query window
+# creates — and phase 2 ranks the 8x16x5 survivors. Pigeonhole makes
+# the two-phase result EXACTLY the global top-5 (any global winner is
+# in its own salt group's top-5), so the oracle is a plain per-query
+# ROW_NUMBER. The production form of "evaluate a query batch against
+# the corpus" — one corpus scan amortized over the whole batch.
+# ---------------------------------------------------------------------------
+_Q171_BATCH = 8
+_Q171_K = 5
+_Q171_SALTS = 16
+
+
+@register(
+    "q171_batch_ann_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {_Q171_BATCH}
+    ),
+    e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings WHERE vec_id >= {_Q171_BATCH}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             ROUND(list_dot_product(e.ev, q.qv)
+                   / (SQRT(list_dot_product(e.ev, e.ev))
+                      * SQRT(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+      FROM e, q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, label, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, vec_id, label, cosine_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_Q171_K}
+    """,
+    description=f"Batched exact retrieval: {_Q171_BATCH} broadcast query "
+    "vectors, candidate norms computed once before the batch expansion, "
+    f"one corpus scan, exact per-query top-{_Q171_K} via a two-phase "
+    f"salted reduction (top-k per (query, vec_id%{_Q171_SALTS}) then "
+    "top-k of survivors — exact by pigeonhole, and the shuffle spreads "
+    "over query x salt keys instead of one straggler key per query).",
+    tags=("similarity", "topk", "batch", "scale-dial"),
+)
+def q171_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") < _Q171_BATCH)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            sim.as_double().alias("qv"),
+        )
+        .select("query_id", "qv", l2_norm(F.col("qv")).alias("qn"))
+    )
+    cand = emb.filter(F.col("vec_id") >= _Q171_BATCH).select(
+        "vec_id",
+        "label",
+        sim.as_double().alias("ev"),
+    )
+    # Norm once per candidate, BEFORE the batch expansion.
+    cand = cand.select(
+        "vec_id", "label", "ev", l2_norm(F.col("ev")).alias("en")
+    )
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(
+            dot_product(F.col("ev"), F.col("qv"))
+            / (F.col("en") * F.col("qn")),
+            6,
+        ).alias("cosine_sim"),
+    )
+    # Phase 1: exact local top-k per (query, salt) — 128 shuffle keys.
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_Q171_SALTS))
+    ).orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    survivors = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= _Q171_K)
+        .drop("__r")
+    )
+    # Phase 2: global top-k over the tiny survivor set.
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _Q171_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "vec_id",
+            "label",
+            "cosine_sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -76,6 +76,13 @@ QUERIES_TO_RUN = [
     "q155_vocab_growth",           # first-occurrence vocab deciles
     "q157_fd_violation_audit",     # per-FD distinct-count shuffles
     "q158_heavy_hitters",          # MG candidate pruning + recount
+    # min-of-2: rep 1 builds q167's per-corpus index, rep 2 is the true
+    # warm fixed-batch cost (same note as q98 above).
+    "q167_keep_best_indexed",
+    "q168_bpe_train_loop",         # vocab-bounded 8-merge loop
+    "q169_retrieval_ndcg",         # top-k lists only, integer NDCG
+    "q170_bucketed_ctas_join",     # pay-once bucketed write, SMJ read
+    "q171_batch_ann_topk",         # batch scan + salted two-phase topk
 ]
 
 
