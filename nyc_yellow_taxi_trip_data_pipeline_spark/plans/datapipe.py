@@ -10384,3 +10384,386 @@ def q171_batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — STREAMING session_window (append mode): the 4th corner of the
+# sessionization square (q20 lag+cumsum batch, q67 stateful-UDF stream,
+# q161 built-in batch, q172 built-in STREAM). The streaming operator's
+# exact algebra was PINNED EMPIRICALLY before the oracle was written
+# (lesson-7 methodology; candidate sweep vs emitted rows AND
+# numRowsDroppedByWatermark, 16 algebras, exactly one family matched):
+#   1. LATE FILTER is session-window-level with the TWO-BATCH-LAG
+#      watermark: batch i drops a row only when ts + gap <= W(i-2)
+#      (the row's whole would-be session is below the watermark —
+#      row-level ts-vs-wm candidates mispredict the drop counts);
+#   2. kept rows merge into state by interval coalescing
+#      (next.start <= prev.end merges — the q161 batch boundary pin);
+#   3. EMISSION uses the BATCH-START watermark W(i-1) (not the end-of-
+#      batch one): sessions with end <= W(i-1) emit after the merge;
+#      the trailing empty microbatch emits with W(3) = final runmax -
+#      delay. Boundary strictness (le vs lt) is measure-zero here and
+#      at both tested SFs (event times are us-grained).
+# The oracle unrolls the 4-batch replay as MATERIALIZED stages of
+# gaps-and-islands interval coalescing — the same simulation that
+# uniquely matched the observed stream.
+# ---------------------------------------------------------------------------
+_SSW_GAP_US = 1_800_000_000  # 30 min
+_SSW_DELAY_US = 5_400_000_000  # 90 min
+
+
+def _q172_sql() -> str:
+    stages = []
+    for i in range(4):
+        if i == 0:
+            kept = """
+    k0 AS MATERIALIZED (
+      SELECT user_id, t FROM e WHERE b = 0
+    ),"""
+            prev_union = "SELECT user_id, t AS s, t + {gap} AS e, 1 AS cnt FROM k0"
+        else:
+            late = (
+                "TRUE" if i == 1
+                else f"t + {{gap}} > (SELECT wm FROM wms WHERE b = {i - 2})"
+            )
+            kept = f"""
+    k{i} AS MATERIALIZED (
+      SELECT user_id, t FROM e WHERE b = {i} AND ({late})
+    ),"""
+            prev_union = (
+                f"SELECT user_id, s, e, cnt FROM st{i - 1}"
+                f" UNION ALL"
+                f" SELECT user_id, t AS s, t + {{gap}} AS e, 1 AS cnt FROM k{i}"
+            )
+        stages.append(kept + f"""
+    u{i} AS MATERIALIZED ({prev_union}),
+    f{i} AS MATERIALIZED (
+      SELECT user_id, s, e, cnt,
+             CASE WHEN s <= MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS brk
+      FROM u{i}
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT user_id, s, e, cnt,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f{i}
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT user_id, MIN(s) AS s, MAX(e) AS e,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM g{i} GROUP BY user_id, sid
+    ),
+    em{i} AS MATERIALIZED (
+      SELECT user_id, s, e, cnt FROM c{i}
+      WHERE {i} >= 1 AND e <= (SELECT wm FROM wms WHERE b = {i - 1})
+    ),
+    st{i} AS MATERIALIZED (
+      SELECT user_id, s, e, cnt FROM c{i}
+      WHERE NOT ({i} >= 1 AND e <= (SELECT wm FROM wms WHERE b = {i - 1}))
+    )""")
+    body = ",".join(stages)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) AS t, event_id % 4 AS b FROM events
+    ),
+    mx AS (SELECT b, MAX(t) AS mxt FROM e GROUP BY b),
+    wms AS MATERIALIZED (
+      SELECT b, MAX(mxt) OVER (ORDER BY b) - {{delay}} AS wm FROM mx
+    ),{body},
+    em4 AS (
+      SELECT user_id, s, e, cnt FROM st3
+      WHERE e <= (SELECT wm FROM wms WHERE b = 3)
+    ),
+    allem AS (
+      SELECT * FROM em1 UNION ALL SELECT * FROM em2
+      UNION ALL SELECT * FROM em3 UNION ALL SELECT * FROM em4
+    )
+    SELECT user_id,
+           CAST(s // 1000 AS BIGINT) AS session_start_ms,
+           CAST(e // 1000 AS BIGINT) AS session_end_ms,
+           cnt AS n_events
+    FROM allem
+    """.format(gap=_SSW_GAP_US, delay=_SSW_DELAY_US)
+
+
+@register(
+    "q172_streaming_session_window",
+    _q172_sql(),
+    description="Built-in session_window in STREAMING append mode over a "
+    "4-batch replay: exact oracle for the empirically-pinned algebra — "
+    "session-level late filter (ts+gap vs the two-batch-lagged "
+    "watermark), interval-coalescing state merge, emission at the "
+    "batch-start watermark, final empty-batch flush; the oracle "
+    "unrolls the replay as materialized gaps-and-islands stages. "
+    "Completes the sessionization square (q20/q67/q161/q172).",
+    tags=("streaming", "session", "watermark", "window", "late-data"),
+)
+def q172_streaming_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    replay_dir = f"/tmp/q172_replay_{uuid.uuid4().hex[:8]}"
+    try:
+        written: set[str] = set()
+        for i in range(4):
+            ev.filter(
+                F.pmod("event_id", F.lit(4)) == i
+            ).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(replay_dir)
+            new = [
+                f
+                for f in os.listdir(replay_dir)
+                if f.endswith(".parquet")
+                and not f.startswith("_")
+                and f not in written
+            ]
+            assert len(new) == 1, new
+            os.rename(
+                os.path.join(replay_dir, new[0]),
+                os.path.join(replay_dir, f"{i:02d}.parquet"),
+            )
+            written.add(f"{i:02d}.parquet")
+
+        schema = spark.read.parquet(replay_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(replay_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "90 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.expr("unix_millis(w.start)").alias("session_start_ms"),
+                F.expr("unix_millis(w.end)").alias("session_end_ms"),
+                "n_events",
+            )
+        )
+        sink = f"q172_out_{uuid.uuid4().hex[:8]}"
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+    finally:
+        shutil.rmtree(replay_dir, ignore_errors=True)
+    return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q173 — CHI-SQUARE INDEPENDENCE AUDIT (lang x source contingency): the
+# release gate for "is language distribution independent of source?" —
+# a skewed cell means a source is quietly dominating a language slice.
+# Exact-portability shape: O, row/col totals and N are exact BIGINTs
+# from one contingency aggregation; each cell's chi-square term
+# (O - E)^2 / E (E = rt*ct/N) is evaluated as a FIXED IEEE double
+# sequence on those integers — the naive all-integer form
+# (O*N - rt*ct)^2 needs ~N^4 headroom and wraps at corpus scale (the
+# q163/q148 overflow class) — and then quantized to micro-units PER
+# CELL so the total is an order-free integer SUM (summing raw doubles
+# over cells is engine-order-dependent). One shuffle on the cell key;
+# cell cardinality (langs x sources), not rows, bounds everything
+# downstream.
+# ---------------------------------------------------------------------------
+_CHI2_TERM = (
+    "FLOOR(1000000.0{d} * "
+    "((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)"
+    " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)"
+    " / (CAST(rt AS DOUBLE) * ct / n)) + 0.5{d})"
+)
+
+
+@register(
+    "q173_chi2_independence",
+    f"""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells
+           GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT c.lang, c.source, CAST(c.o AS BIGINT) AS o,
+           CAST(FLOOR(1000.0 * CAST(rt.rt AS DOUBLE) * ct.ct / n.n + 0.5)
+                AS BIGINT) AS expected_milli,
+           CAST({_CHI2_TERM.format(d="")} AS BIGINT) AS contrib_micro
+    FROM cells c
+    JOIN rt ON rt.lang = c.lang
+    JOIN ct ON ct.source = c.source
+    CROSS JOIN n
+    """,
+    description="Chi-square independence audit over the lang x source "
+    "contingency table: exact BIGINT observed/marginal counts, each "
+    "cell's (O-E)^2/E term evaluated as a fixed IEEE double sequence "
+    "and quantized per cell so the statistic is an order-free integer "
+    "sum (raw double sums are engine-order-dependent; the all-integer "
+    "form needs ~N^4 headroom); cell cardinality bounds all state.",
+    tags=("audit", "agg", "training-data", "experiment"),
+)
+def q173_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("source").agg(F.sum("o").cast("long").alias("ct"))
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    return (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("o").cast("long").alias("o"),
+            F.expr(
+                "CAST(FLOOR(1000.0D * CAST(rt AS DOUBLE) * ct / n + 0.5D)"
+                " AS BIGINT)"
+            ).alias("expected_milli"),
+            F.expr(
+                f"CAST({_CHI2_TERM.format(d='D')} AS BIGINT)"
+            ).alias("contrib_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174 — TEMPERATURE-SCALED DOMAIN SAMPLING WEIGHTS (the multilingual /
+# multi-domain upsampling rule: p_d ~ n_d^alpha with alpha = 0.5, the
+# exponent family XLM-R/mT5-style mixes use to lift low-resource
+# domains): per-source doc and token mass, weight = floor(sqrt(n_docs))
+# — IEEE sqrt is CORRECTLY ROUNDED by the standard, one of the few libm
+# ops that IS bit-portable, so the weight is engine-exact without a
+# lookup — and ppm sampling shares by largest-remainder apportionment
+# with total-order tiebreaks (q166's machinery on a different design:
+# q166 allocates by N_h*S_h variance mass, q174 by count temperature).
+# Shares provably sum to 1e6; one source rollup + a source-count
+# window.
+# ---------------------------------------------------------------------------
+@register(
+    "q174_temperature_mix",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_chars,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS wt
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w),
+    base AS (
+      SELECT w.source, w.n_docs, w.n_chars, w.wt,
+             CASE WHEN tot.tw = 0 THEN 0
+                  ELSE (1000000 * w.wt) // tot.tw END AS share0,
+             CASE WHEN tot.tw = 0 THEN 0
+                  ELSE (1000000 * w.wt) % tot.tw END AS rem
+      FROM w, tot
+    ),
+    ranked AS (
+      SELECT source, n_docs, n_chars, wt, share0,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+             1000000 - SUM(share0) OVER () AS leftover
+      FROM base
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           n_chars,
+           wt AS weight,
+           CAST(share0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS share_ppm
+    FROM ranked
+    """,
+    description="Temperature-scaled domain mix (alpha=0.5): per-source "
+    "sampling shares proportional to sqrt(n_docs) — IEEE sqrt is "
+    "correctly rounded and therefore bit-portable — apportioned to ppm "
+    "by largest remainder with total-order tiebreaks (shares provably "
+    "sum to 1e6); the standard low-resource upsampling rule as an "
+    "integer-reproducible design; one source rollup + a tiny window.",
+    tags=("sampling", "training-data", "agg", "audit"),
+)
+def q174_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    w = s.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+        ).alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "wt",
+        F.expr(
+            "CASE WHEN tw = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000000 * wt) div tw END"
+        ).alias("share0"),
+        F.expr(
+            "CASE WHEN tw = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE (1000000 * wt) % tw END"
+        ).alias("rem"),
+    )
+    ranked = base.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "wt",
+        "share0",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), F.asc("source")))
+        .alias("rk"),
+        (
+            F.lit(1_000_000).cast("long")
+            - F.sum("share0").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_chars",
+        F.col("wt").alias("weight"),
+        F.expr(
+            "CAST(share0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    )

@@ -83,6 +83,9 @@ QUERIES_TO_RUN = [
     "q169_retrieval_ndcg",         # top-k lists only, integer NDCG
     "q170_bucketed_ctas_join",     # pay-once bucketed write, SMJ read
     "q171_batch_ann_topk",         # batch scan + salted two-phase topk
+    "q172_streaming_session_window",  # stateful session replay
+    "q173_chi2_independence",      # contingency cells + quantized terms
+    "q174_temperature_mix",        # sqrt-temperature ppm apportionment
 ]
 
 
