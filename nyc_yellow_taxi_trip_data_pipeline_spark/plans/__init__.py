@@ -88,9 +88,10 @@ _PRIORITY = [
     # grouping-analytics built-ins whose construct family is held
     # in-window by q57 GROUPING SETS (section b) and by q17's rollup
     # history; both stay parity-gated at three SFs.
-    "q23_hourly_rollup",
-    "q24_revenue_by_nation",
-    "q25_salted_agg",
+    # q23/q24/q25 sit out for q175/q176/q177: q23's date_trunc rollup is
+    # held in-window by q07 and q44; q24's star join by in-window q05/q06
+    # and r7-green q138; q25's salted-agg equivalence by the dedicated
+    # unit test (test_salted_agg_equals_direct) and r7-green q121.
     "q27_grouped_zscore",
     "q28_pandas_udf_bucketing",
     "q29_json_roundtrip",
@@ -103,6 +104,9 @@ _PRIORITY = [
     "q172_streaming_session_window",
     "q173_chi2_independence",
     "q174_temperature_mix",
+    "q175_dynamic_partition_pruning",
+    "q176_hard_negative_mining",
+    "q177_shuffle_interleave_audit",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -10767,3 +10767,347 @@ def q174_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — DYNAMIC PARTITION PRUNING over a day-partitioned fact write:
+# the second write-side scale technique registered as a query (q170 is
+# bucketing for shuffle-free joins; q175 is partitioning for scan
+# pruning). The fact table is CTAS'd PARTITIONED BY day; the dim side
+# carries a filterable attribute (grp = day % 7) and is joined after
+# filtering grp = 3 — at planning time Spark injects the broadcast
+# result as a partition filter (dynamicpruningexpression in the fact
+# scan's PartitionFilters), so only the matching day directories are
+# read, never the full fact. At 100 TB this is THE date-partitioned
+# fact pattern: a dim-side predicate prunes fact I/O by orders of
+# magnitude without the query author naming the days. The DPP marker is
+# asserted INSIDE the query (q170's discipline — silently degrading to
+# a full scan would pass value parity while losing the property under
+# test); values are the per-day quantized rollup of the surviving
+# partitions.
+# ---------------------------------------------------------------------------
+@register(
+    "q175_dynamic_partition_pruning",
+    """
+    WITH f AS (
+      SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS day,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+      FROM events
+    )
+    SELECT day,
+           COUNT(*) AS n_events,
+           CAST(SUM(qv) AS BIGINT) AS value_cents
+    FROM f
+    WHERE day % 7 = 3
+    GROUP BY day
+    """,
+    description="Dynamic partition pruning: events CTAS'd PARTITIONED BY "
+    "day, joined to a dim filtered on a derived attribute (day%7=3) — "
+    "Spark injects the broadcast result as a fact-scan partition "
+    "filter (dynamicpruningexpression, asserted in-plan), reading only "
+    "matching day directories; per-day quantized rollup proves the "
+    "partitioned write->pruned read round trip value-exact. The "
+    "date-partitioned-fact pattern that prunes I/O at 100 TB.",
+    tags=("sink", "partitioning", "join", "agg", "scale-dial"),
+)
+def q175_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib as _hl
+
+    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tf, td = f"q175_fact_{tok}", f"q175_dim_{tok}"
+    if not (spark.catalog.tableExists(tf) and spark.catalog.tableExists(td)):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        for t in (tf, td):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = hadoop_path(f"{warehouse}/{t}")
+            fs = loc.getFileSystem(hconf)
+            if fs.exists(loc):
+                fs.delete(loc, True)
+        ev = read_table(spark, sf_dir, "events").select(
+            F.expr(
+                "CAST(unix_timestamp(ts) AS BIGINT) div 86400"
+            ).alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        ev.write.format("parquet").partitionBy("day").mode(
+            "overwrite"
+        ).saveAsTable(tf)
+        spark.table(tf).select("day").distinct().withColumn(
+            "grp", F.pmod("day", F.lit(7))
+        ).write.format("parquet").mode("overwrite").saveAsTable(td)
+
+    fact = spark.table(tf)
+    dim = spark.table(td).filter(F.col("grp") == 3).select("day")
+    joined = fact.join(dim, "day").groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum("qv").cast("long").alias("value_cents"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    if "dynamicpruning" not in plan.lower():
+        raise AssertionError(
+            "fact scan lost its dynamic partition pruning filter:\n" + plan
+        )
+    return joined.select(
+        F.col("day").cast("long").alias("day"), "n_events", "value_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — HARD-NEGATIVE MINING (contrastive-training data prep): for
+# each anchor vector, the most-similar DIFFERENT-LABEL vector inside
+# its SRP bucket — the "hardest negative" a contrastive loss wants,
+# found without any O(n^2) scan: the md5-seeded sign-projection bucket
+# (q36's machinery, integer-quantized so bucketing is engine-exact)
+# bounds the candidate set, exact cosine runs only within buckets, and
+# a per-anchor ROW_NUMBER argmax (cosine desc, vec_id tiebreak) picks
+# the winner. Pair volume is sum of squared bucket sizes — the same
+# bounded-block economics as q35/q83, with the recall dial being the
+# plane count. Anchors whose bucket holds no other label emit nothing
+# (they have no in-bucket negative; raising planes shrinks buckets and
+# trades recall exactly like every LSH dial here).
+# ---------------------------------------------------------------------------
+def _q176_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ),
+    comps AS (
+      SELECT vec_id, generate_subscripts(ev, 1) AS j, unnest(ev) AS v FROM e
+    ),
+    quant AS (
+      SELECT vec_id, j, CAST(FLOOR(v * {_SRP_SCALE} + 0.5) AS BIGINT) AS vq
+      FROM comps
+    ),
+    np AS (
+      -- corpus-derived plane count (q108's rule): min p>=3 with
+      -- 64*2^p >= n, pinning expected bucket size at ~64 so pair
+      -- volume stays LINEAR in the corpus (fixed planes measured
+      -- 3.5x wall at 10x rows; derived planes ~1x).
+      SELECT MIN(p) AS np FROM generate_series(3, 29) t(p)
+      WHERE (CAST(1 AS BIGINT) << p) * 64 >= (SELECT COUNT(*) FROM e)
+    ),
+    planes AS (
+      SELECT p, j,
+             CASE WHEN substr(md5(p || ':' || j), 1, 1) >= '8'
+                  THEN 1 ELSE -1 END AS sign
+      FROM generate_series(0, 29) t(p)
+      CROSS JOIN (SELECT DISTINCT j FROM comps) u
+      WHERE p < (SELECT np FROM np)
+    ),
+    bits AS (
+      SELECT q.vec_id, pl.p,
+             CASE WHEN SUM(q.vq * pl.sign) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM quant q JOIN planes pl ON q.j = pl.j
+      GROUP BY q.vec_id, pl.p
+    ),
+    buckets AS (
+      SELECT vec_id, CAST(SUM(bit * (1 << p)) AS INTEGER) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    eb AS (
+      SELECT e.vec_id, e.label, e.ev, b.bucket
+      FROM e JOIN buckets b ON b.vec_id = e.vec_id
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             n.vec_id AS neg_id, n.label AS neg_label,
+             ROUND(list_dot_product(a.ev, n.ev)
+                   / (SQRT(list_dot_product(a.ev, a.ev))
+                      * SQRT(list_dot_product(n.ev, n.ev))), 6) AS cosine_sim
+      FROM eb a
+      JOIN eb n ON a.bucket = n.bucket AND a.label <> n.label
+    ),
+    ranked AS (
+      SELECT anchor_id, anchor_label, neg_id, neg_label, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cosine_sim DESC, neg_id) AS rn
+      FROM pairs
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cosine_sim
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "q176_hard_negative_mining",
+    _q176_sql(),
+    description="Hard-negative mining for contrastive training: each "
+    "anchor's most-similar different-label vector within its SRP "
+    "bucket (integer-quantized md5 sign projections, engine-exact; "
+    "corpus-derived plane count pins expected bucket size ~64) — "
+    "exact cosine only inside buckets, per-anchor argmax with a total "
+    "order; pair volume bounded by bucket sizes, recall dialed by the "
+    "plane count like every LSH path here.",
+    tags=("similarity", "lsh", "training-data", "eval"),
+)
+def q176_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.functions.vector import (
+        dot_product,
+        l2_norm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Corpus-derived plane count (q108's rule; one documented count()
+    # action): expected bucket ~64 keeps in-bucket pair volume linear.
+    n = emb.count()
+    n_planes = 3
+    while (64 << n_planes) < n:
+        n_planes += 1
+    buckets = sim.srp_buckets(emb, n_planes=n_planes, scale=_SRP_SCALE)
+    eb = (
+        emb.join(buckets, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            sim.as_double().alias("ev"),
+        )
+        .select(
+            "vec_id", "label", "bucket", "ev",
+            l2_norm(F.col("ev")).alias("nrm"),
+        )
+    )
+    a = eb.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("bucket"),
+        F.col("ev").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    n = eb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("bucket"),
+        F.col("ev").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    pairs = (
+        a.join(n, "bucket")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neg_id",
+            "neg_label",
+            F.round(
+                dot_product(F.col("av"), F.col("nv"))
+                / (F.col("an") * F.col("nn")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neg_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — SHUFFLE-INTERLEAVE AUDIT (training-order randomization
+# quality): training reads data in md5(doc_id) order (the standard
+# deterministic global shuffle — no RNG, reshardable, reproducible);
+# this audit measures how well that order interleaves sources by the
+# run-length distribution of consecutive same-source docs. Long runs
+# mean a source floods contiguous training steps (the gradient-noise
+# hazard order randomization exists to prevent). Gaps-and-islands over
+# ROW_NUMBER in shuffle order -> per-source run count, max and mean
+# run length (exact milli via FLOOR quantization). One global sort of
+# (md5, source) pairs — 33 bytes/row, the audit never touches text; at
+# 100 TB the same statistic shards by md5 prefix (runs can straddle a
+# boundary by at most one join of adjacent shard edges).
+# ---------------------------------------------------------------------------
+@register(
+    "q177_shuffle_interleave_audit",
+    """
+    WITH ordered AS (
+      SELECT source,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                doc_id) AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, pos,
+             CASE WHEN LAG(source) OVER (ORDER BY pos) IS DISTINCT
+                       FROM source THEN 1 ELSE 0 END AS brk
+      FROM ordered
+    ),
+    runs AS (
+      SELECT source, pos,
+             SUM(brk) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rid
+      FROM flagged
+    ),
+    rl AS (
+      SELECT source, rid, COUNT(*) AS run_len
+      FROM runs GROUP BY source, rid
+    )
+    SELECT source,
+           COUNT(*) AS n_runs,
+           CAST(SUM(run_len) AS BIGINT) AS n_docs,
+           CAST(MAX(run_len) AS BIGINT) AS max_run,
+           CAST(FLOOR(CAST(1000 * SUM(run_len) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS mean_run_milli
+    FROM rl GROUP BY source
+    """,
+    description="Training-order randomization audit: docs ordered by the "
+    "deterministic md5(doc_id) global shuffle, per-source run-length "
+    "stats (runs, max, quantized mean) via gaps-and-islands — long "
+    "same-source runs are the gradient-noise hazard shuffling exists "
+    "to prevent; the audit sorts 33-byte (md5, source) pairs only and "
+    "shards by md5 prefix at scale.",
+    tags=("training-data", "audit", "window", "agg"),
+)
+def q177_shuffle_interleave_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("doc_id").cast("string")).alias("h"), "doc_id"
+    )
+    ordered = docs.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("h", "doc_id"))
+        .alias("pos"),
+    )
+    flagged = ordered.select(
+        "source",
+        "pos",
+        F.when(
+            ~F.lag("source").over(Window.orderBy("pos")).eqNullSafe(
+                F.col("source")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs = flagged.select(
+        "source",
+        "pos",
+        F.sum("brk")
+        .over(Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("rid"),
+    )
+    rl = runs.groupBy("source", "rid").agg(F.count("*").alias("run_len"))
+    return rl.groupBy("source").agg(
+        F.count("*").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("n_docs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * SUM(run_len) AS DOUBLE) / COUNT(*)"
+            " + 0.5D) AS BIGINT)"
+        ).alias("mean_run_milli"),
+    )

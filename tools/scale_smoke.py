@@ -86,6 +86,9 @@ QUERIES_TO_RUN = [
     "q172_streaming_session_window",  # stateful session replay
     "q173_chi2_independence",      # contingency cells + quantized terms
     "q174_temperature_mix",        # sqrt-temperature ppm apportionment
+    "q175_dynamic_partition_pruning",  # partitioned CTAS + DPP read
+    "q176_hard_negative_mining",   # derived-plane bucket pair mining
+    "q177_shuffle_interleave_audit",   # md5-order run lengths
 ]
 
 
