@@ -36,7 +36,9 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #     three scale factors locally regardless.
 # (d) round-9 NEW queries (never verified by definition) — appended as
 #     registered.
-# Slot math: 12 (a) + 17 (b) + 16 (c) = 45, leaving 5 slots for (d).
+# Slot math: 12 (a) + 17 (b) + 6 (c) = 35, leaving 15 slots for (d);
+# each (c) sit-out beyond the original five carries its own
+# double-coverage rationale below.
 # After r9: no green row older than r6, and the freshest-row floor
 # advances r5 -> r6 (47-row r6 pool minus the 21 rotated here).
 _PRIORITY = [
@@ -82,8 +84,11 @@ _PRIORITY = [
     # q19 sits out for q172: §2.7 set ops are Catalyst built-ins whose
     # coverage row "requires nothing for parity" (r8 verdict); its
     # UNION/INTERSECT/EXCEPT shapes stay parity-gated at three SFs.
-    "q20_sessionization",
-    "q21_asof_join",
+    # q20/q21 sit out for q179/q180: q20's sessionization family is held
+    # in-window by q172 (streaming session_window) and q161 (batch
+    # session_window, section a); q21's as-of/range-join family by
+    # r7-green q141 (trailing range window) and r6-green q69 (lookback
+    # range join). Both stay parity-gated at three SFs.
     # q22/q26 sit out for q173/q174: PIVOT and CUBE are Catalyst
     # grouping-analytics built-ins whose construct family is held
     # in-window by q57 GROUPING SETS (section b) and by q17's rollup
@@ -93,8 +98,12 @@ _PRIORITY = [
     # and r7-green q138; q25's salted-agg equivalence by the dedicated
     # unit test (test_salted_agg_equals_direct) and r7-green q121.
     "q27_grouped_zscore",
-    "q28_pandas_udf_bucketing",
-    "q29_json_roundtrip",
+    # q28/q29 sit out for q178/q181: q28's vectorized-Python-UDF surface
+    # is held in-window by its own Spark-4 successor q178 (same
+    # time-of-day/token-count UDF-twin pattern) and by q27 applyInPandas;
+    # q29's row->JSON envelope (S7/F12) is exercised in-window by q44's
+    # streaming envelope path (section a) and by r8-green q162 VARIANT.
+    # Both stay parity-gated at three SFs.
     # (d) round-9 new queries:
     "q167_keep_best_indexed",
     "q168_bpe_train_loop",
@@ -107,6 +116,10 @@ _PRIORITY = [
     "q175_dynamic_partition_pruning",
     "q176_hard_negative_mining",
     "q177_shuffle_interleave_audit",
+    "q178_arrow_python_udf",
+    "q179_observed_metrics",
+    "q180_cohens_kappa",
+    "q181_ece_calibration",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

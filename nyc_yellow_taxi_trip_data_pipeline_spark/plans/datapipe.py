@@ -11111,3 +11111,328 @@ def q177_shuffle_interleave_audit(
             " + 0.5D) AS BIGINT)"
         ).alias("mean_run_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — ARROW-OPTIMIZED PYTHON UDF (Spark 4 `udf(..., useArrow=True)`):
+# the third point on the Python-UDF surface after the row-at-a-time
+# pickle UDF (reference sparkConsumer.py:71-80, deliberately NOT used
+# anywhere in this repo) and the pandas_udf (q28): same per-row Python
+# function, but arguments/results cross the JVM boundary as Arrow
+# batches instead of pickled rows (~an order of magnitude less
+# serialization overhead, the Spark-4 recommended default for scalar
+# Python UDFs that aren't vectorizable). Semantics: whitespace token
+# count — the UDF-surface twin of q71's native split/size path, exactly
+# as q28 is the UDF twin of q02's native CASE. Python's
+# str.split(' '), Spark's split+size, and DuckDB's string_split all
+# keep empty fields, so the three agree token-for-token.
+# ---------------------------------------------------------------------------
+@register(
+    "q178_arrow_python_udf",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT)
+             AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    description="Arrow-optimized scalar Python UDF (Spark 4 "
+    "udf(useArrow=True)): per-row Python with Arrow-batch transfer "
+    "instead of pickled rows — the recommended Spark-4 form for "
+    "non-vectorizable scalar Python; computes whitespace token counts "
+    "as the UDF-surface twin of q71's native split/size path (q28's "
+    "pattern). Per-lang rollup keeps the shuffle on 3 grouping keys.",
+    tags=("udf", "arrow", "text"),
+)
+def q178_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    # Self-contained closure (invariant 3): executors can't import the
+    # repo package. No annotations on purpose — the return type is the
+    # explicit 'long' argument (this module's `from __future__ import
+    # annotations` would stringify hints, invariant 6).
+    def _ntok(s):
+        return len(s.split(" "))
+
+    ntok = udf(_ntok, "long", useArrow=True)
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", ntok(F.col("text")).alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.max("ntok").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q179 — OBSERVED IN-FLIGHT METRICS (Observation / CollectMetrics):
+# data-quality counters collected DURING the pipeline's own pass, not
+# by a second scan. Two observation points bracket a cleaning filter —
+# rows/nulls before, rows/quantized value mass after — and one action
+# populates both. At 100 TB this is the difference between free
+# monitoring and doubling the I/O bill: CollectMetrics rides the
+# existing scan as exact observable metrics (unlike accumulators,
+# defined to reflect the one query execution). The oracle recomputes
+# all four counters relationally — the observed values must equal a
+# from-scratch aggregation exactly. Lesson-15 shape: the action runs
+# inside the query and a 1-row DataFrame of the metrics is returned.
+# ---------------------------------------------------------------------------
+@register(
+    "q179_observed_metrics",
+    """
+    SELECT COUNT(*) AS rows_in,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_values,
+           CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_kept,
+           CAST(SUM(CASE WHEN value >= 100
+                         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS value_cents_kept
+    FROM events
+    """,
+    description="Observation API (CollectMetrics): exact data-quality "
+    "counters collected during the pipeline's own pass — two "
+    "observation points bracket a cleaning filter, one action "
+    "populates both, zero extra scans (at 100 TB: monitoring without "
+    "doubling I/O). Oracle recomputes the counters relationally; the "
+    "observed values must match a from-scratch aggregation exactly.",
+    tags=("audit", "metrics", "scale-dial"),
+)
+def q179_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = read_table(spark, sf_dir, "events").select("value")
+    pre = Observation()
+    post = Observation()
+    observed = ev.observe(
+        pre,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_values"),
+    )
+    kept = observed.filter(F.col("value") >= 100).observe(
+        post,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_cents_kept"),
+    )
+    kept.count()  # the pipeline's own action; both observations fill here
+    m = {**pre.get, **post.get}
+    return spark.createDataFrame(
+        [
+            (
+                m["rows_in"],
+                m["null_values"],
+                m["rows_kept"],
+                m["value_cents_kept"],
+            )
+        ],
+        "rows_in long, null_values long, rows_kept long, "
+        "value_cents_kept long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — INTER-ANNOTATOR AGREEMENT (Cohen's kappa) between two
+# deterministic quality raters: a length gate (n_chars >= 300) and a
+# stopword-presence gate (token 'the' appears). Label-quality audits
+# report kappa, not raw agreement, because imbalanced raters agree by
+# chance; kappa = (po - pe) / (1 - pe). Both the agreement rate and
+# kappa are emitted in the lesson-16 exact-quotient form: all sufficient
+# statistics are exact BIGINTs, the final permille is
+# FLOOR(1000*num/den + 0.5) on the identical IEEE quotient in both
+# engines (never ROUND, never integer div on the signed numerator —
+# kappa can be negative). int64 headroom: num ~ 1000*n^2, safe for
+# per-source n up to ~9.6e7 docs; beyond that switch the kappa quotient
+# to the q148 divide-early double form. Constant raters (pe = 1) yield
+# NULL kappa by definition in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q180_cohens_kappa",
+    """
+    WITH r AS (
+      SELECT source,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                                       x -> x = 'the')) > 0
+                  THEN 1 ELSE 0 END AS rb
+      FROM documents
+    ),
+    c AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(ra * rb) AS BIGINT) AS n_both_pos,
+             CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n_both_neg,
+             CAST(SUM(ra) AS BIGINT) AS a_pos,
+             CAST(SUM(rb) AS BIGINT) AS b_pos
+      FROM r GROUP BY source
+    )
+    SELECT source, n_docs, n_both_pos, n_both_neg, a_pos, b_pos,
+           CAST(FLOOR(CAST(1000 * (n_both_pos + n_both_neg) AS DOUBLE)
+                      / n_docs + 0.5) AS BIGINT) AS agree_permille,
+           CASE WHEN n_docs * n_docs
+                     - (a_pos * b_pos
+                        + (n_docs - a_pos) * (n_docs - b_pos)) = 0
+                THEN NULL
+                ELSE CAST(FLOOR(
+                  CAST(1000 * (n_docs * (n_both_pos + n_both_neg)
+                               - a_pos * b_pos
+                               - (n_docs - a_pos) * (n_docs - b_pos))
+                       AS DOUBLE)
+                  / (n_docs * n_docs
+                     - (a_pos * b_pos
+                        + (n_docs - a_pos) * (n_docs - b_pos)))
+                  + 0.5) AS BIGINT) END AS kappa_permille
+    FROM c
+    """,
+    description="Cohen's kappa between two deterministic quality raters "
+    "(length gate vs stopword-presence gate) per source: chance-"
+    "corrected agreement for label-quality audits, exact BIGINT "
+    "sufficient statistics, signed permille via the lesson-16 "
+    "FLOOR-quotient form (kappa can be negative — integer div is "
+    "banned on signed values), NULL when chance agreement is 1. One "
+    "token-scan projection + one source rollup.",
+    tags=("audit", "training-data", "agg", "text"),
+)
+def q180_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    r = docs.select(
+        "source",
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("ra"),
+        F.when(
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x == F.lit("the"))
+            )
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    c = r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n_both_pos"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("n_both_neg"),
+        F.sum("ra").cast("long").alias("a_pos"),
+        F.sum("rb").cast("long").alias("b_pos"),
+    )
+    return c.select(
+        "source", "n_docs", "n_both_pos", "n_both_neg", "a_pos", "b_pos",
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * (n_both_pos + n_both_neg) AS DOUBLE)"
+            " / n_docs + 0.5D) AS BIGINT)"
+        ).alias("agree_permille"),
+        F.expr(
+            "CASE WHEN n_docs * n_docs"
+            " - (a_pos * b_pos + (n_docs - a_pos) * (n_docs - b_pos)) = 0"
+            " THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(FLOOR("
+            "CAST(1000 * (n_docs * (n_both_pos + n_both_neg)"
+            " - a_pos * b_pos"
+            " - (n_docs - a_pos) * (n_docs - b_pos)) AS DOUBLE)"
+            " / (n_docs * n_docs"
+            " - (a_pos * b_pos + (n_docs - a_pos) * (n_docs - b_pos)))"
+            " + 0.5D) AS BIGINT) END"
+        ).alias("kappa_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q181 — EXPECTED-CALIBRATION-ERROR BINNING for a deterministic
+# classifier: confidence = rational sigmoid of the doc's 'the'-token
+# count (1000*s/(s+2) permille — exact-quotient FLOOR form), label =
+# (lang = 'en'), 10 equal-width confidence deciles. Per-bin accuracy vs
+# mean confidence is THE standard calibration readout for quality/
+# filter classifiers before their scores gate a corpus. All terms stay
+# exact integers until the final quotients; |1000*pos - conf_sum| is
+# emitted as the exact integer gap term so ECE = sum(gap)/(1000*n) is
+# reconstructible without any float summation. Bin id uses integer div
+# on a provably non-negative permille (lesson 11). One token-scan
+# projection + one 10-group rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q181_ece_calibration",
+    """
+    WITH s AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x = 'the')) AS BIGINT) AS nthe,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    conf AS (
+      SELECT y,
+             CAST(FLOOR(CAST(1000 * nthe AS DOUBLE) / (nthe + 2) + 0.5)
+                  AS BIGINT) AS conf_pm
+      FROM s
+    ),
+    b AS (
+      SELECT LEAST(conf_pm // 100, 9) AS bin, y, conf_pm FROM conf
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(conf_pm) AS BIGINT) AS conf_sum_pm,
+           CAST(FLOOR(CAST(1000 * SUM(y) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS acc_permille,
+           CAST(FLOOR(CAST(SUM(conf_pm) AS DOUBLE) / COUNT(*) + 0.5)
+                AS BIGINT) AS avg_conf_permille,
+           CAST(ABS(1000 * SUM(y) - SUM(conf_pm)) AS BIGINT) AS gap_term
+    FROM b GROUP BY bin
+    """,
+    description="Expected-calibration-error binning for a deterministic "
+    "classifier (rational-sigmoid stopword confidence vs lang='en' "
+    "label, 10 confidence deciles): per-bin accuracy vs mean "
+    "confidence, with the exact integer |1000*pos - conf_sum| gap term "
+    "so ECE reconstructs without float summation — the standard "
+    "calibration readout before a classifier's scores gate a corpus. "
+    "Integer div only on non-negative permille (lesson 11).",
+    tags=("eval", "training-data", "agg", "text"),
+)
+def q181_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x == F.lit("the"))
+        )
+        .cast("long")
+        .alias("nthe"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    conf = s.select(
+        "y",
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * nthe AS DOUBLE) / (nthe + 2) + 0.5D)"
+            " AS BIGINT)"
+        ).alias("conf_pm"),
+    )
+    b = conf.select(
+        F.least(F.expr("conf_pm div 100"), F.lit(9).cast("long")).alias("bin"),
+        "y",
+        "conf_pm",
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("conf_pm").cast("long").alias("conf_sum_pm"),
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * SUM(y) AS DOUBLE) / COUNT(*) + 0.5D)"
+            " AS BIGINT)"
+        ).alias("acc_permille"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(conf_pm) AS DOUBLE) / COUNT(*) + 0.5D)"
+            " AS BIGINT)"
+        ).alias("avg_conf_permille"),
+        F.expr(
+            "CAST(ABS(1000 * SUM(y) - SUM(conf_pm)) AS BIGINT)"
+        ).alias("gap_term"),
+    )

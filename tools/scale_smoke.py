@@ -89,6 +89,10 @@ QUERIES_TO_RUN = [
     "q175_dynamic_partition_pruning",  # partitioned CTAS + DPP read
     "q176_hard_negative_mining",   # derived-plane bucket pair mining
     "q177_shuffle_interleave_audit",   # md5-order run lengths
+    "q178_arrow_python_udf",       # Arrow-batched scalar Python UDF
+    "q179_observed_metrics",       # CollectMetrics in-flight counters
+    "q180_cohens_kappa",           # token-scan + source rollup
+    "q181_ece_calibration",        # token-scan + 10-bin rollup
 ]
 
 
