@@ -61,8 +61,14 @@ _PRIORITY = [
     "q03_filter_group_count",
     "q04_null_counts",
     "q10_histogram",
-    "q12_error_metrics",
-    "q13_distinct_months",
+    # q12/q13 re-ceded mid-round to q188/q189 (section d, second wave)
+    # — the ">= 15 of the r05 pool" floor from the r8 verdict holds at
+    # exactly 15. Double coverage: q12's error-metric family (A14) is
+    # exercised in-window by q163's sufficient-statistic readout and
+    # q181's calibration gaps plus the ml-pipeline metric tests;
+    # q13's distinct+sort/year-month family (O2/O3/F5) by q63 date
+    # math (in window) and q07's day rollup history. Both stay
+    # parity-gated at three SFs and rotate back in r10.
     "q30_dedup_exact",
     "q31_dedup_keep_first",
     "q33_simhash",
@@ -75,12 +81,21 @@ _PRIORITY = [
     "q57_grouping_sets",
     "q61_conditional_aggs",
     "q63_date_math",
-    # (c) r06-oldest rotation (registration-order block q14-q29):
-    "q14_ordered_limit",
-    "q15_label_map",
-    "q16_top_customers",
-    "q17_priority_rollup",
-    "q18_topk_per_segment",
+    # (c) r06-oldest rotation (registration-order block q14-q29).
+    # The five q14-q18 slots and q27 were re-ceded mid-round to the
+    # second new-query wave (q182-q187, section d) — new queries are
+    # never-verified by definition while every (c) row is r6-green AND
+    # parity-gated at three SFs, so the never-verified set outranks
+    # them for external rows. Per-family double coverage for the six:
+    # q14's deterministic-LIMIT family (O4) is exercised in-window by
+    # q169/q171/q183 (every top-k here carries a total-order tiebreak);
+    # q15's CASE label map (P12/F10) by q38 lang_id (section b) and
+    # q180's rater gates; q16's top-k-by-count (O1) by q171's two-phase
+    # salted top-k; q17's rollup by q57 GROUPING SETS (section b);
+    # q18's per-segment window rank by q176's per-anchor argmax and
+    # q31's ranking window (section b); q27's applyInPandas z-score by
+    # the in-window pandas-UDAF pair q77/q86 (section a) and q178's
+    # Arrow UDF. The whole q14-q29 block rotates in r10 regardless.
     # q19 sits out for q172: §2.7 set ops are Catalyst built-ins whose
     # coverage row "requires nothing for parity" (r8 verdict); its
     # UNION/INTERSECT/EXCEPT shapes stay parity-gated at three SFs.
@@ -97,7 +112,6 @@ _PRIORITY = [
     # held in-window by q07 and q44; q24's star join by in-window q05/q06
     # and r7-green q138; q25's salted-agg equivalence by the dedicated
     # unit test (test_salted_agg_equals_direct) and r7-green q121.
-    "q27_grouped_zscore",
     # q28/q29 sit out for q178/q181: q28's vectorized-Python-UDF surface
     # is held in-window by its own Spark-4 successor q178 (same
     # time-of-day/token-count UDF-twin pattern) and by q27 applyInPandas;
@@ -120,6 +134,17 @@ _PRIORITY = [
     "q179_observed_metrics",
     "q180_cohens_kappa",
     "q181_ece_calibration",
+    # (d, second wave) — registered after the r9 driver-window comment
+    # above was first written; slot math now 12 (a) + 15 (b) + 0 (c)
+    # + 23 (d) = 50:
+    "q182_editdist_neardup",
+    "q183_bm25_rational_rank",
+    "q184_markov_transitions",
+    "q185_pareto_frontier",
+    "q186_scd2_history",
+    "q187_runtime_bloom_join",
+    "q188_spearman_trend",
+    "q189_partial_agg_rollup",
 ]
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)

@@ -11436,3 +11436,793 @@ def q181_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ABS(1000 * SUM(y) - SUM(conf_pm)) AS BIGINT)"
         ).alias("gap_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — EDIT-DISTANCE-VERIFIED NEAR-DUP (record-linkage shape): the
+# classic two-stage linkage pipeline — multi-probe BLOCKING (md5 of the
+# 8-word lead + md5 of words 9-16; two probes so an edit inside one
+# window still collides on the other) bounds the candidate set, then
+# EXACT banded Levenshtein verifies only candidates. Spark's 3-arg
+# levenshtein(l, r, threshold) runs the O(threshold*n) banded DP and
+# early-exits with -1 over budget — the verify cost per pair is linear,
+# not quadratic, in doc length. Hot blocks over the 64-doc cap are
+# dropped (boilerplate masses belong to exact dedup, the same recall
+# trade as q32's hot-bucket cap); pair volume is bounded by
+# sum(block_size^2) <= 64 * corpus. Similarity is emitted as the exact
+# FLOOR-quotient permille (lesson 16 — never ROUND a rational double).
+# Levenshtein agreement Spark vs DuckDB pinned by prototype and by
+# tests/test_round9b_invariants.py. At 100 TB: blocking keys shuffle
+# 16-byte hashes, text is joined in only for surviving candidates.
+# ---------------------------------------------------------------------------
+@register(
+    "q182_editdist_neardup",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 8),
+                                 ' ')) AS fp1,
+             md5(array_to_string(list_slice(string_split(text, ' '), 9, 16),
+                                 ' ')) AS fp2
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, fp1 AS fp FROM fp
+      UNION ALL
+      SELECT doc_id, fp2 FROM fp
+    ),
+    ok AS (SELECT fp FROM keys GROUP BY fp HAVING COUNT(*) <= 64),
+    kk AS (SELECT k.doc_id, k.fp FROM keys k JOIN ok USING (fp)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM kk a JOIN kk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.a_id, c.b_id,
+             levenshtein(da.text, db.text) AS dist,
+             GREATEST(da.n_chars, db.n_chars) AS mx
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.a_id
+      JOIN documents db ON db.doc_id = c.b_id
+    )
+    SELECT a_id, b_id, CAST(dist AS BIGINT) AS dist,
+           CAST(FLOOR(CAST(1000 * (mx - dist) AS DOUBLE) / mx + 0.5)
+                AS BIGINT) AS sim_permille
+    FROM v WHERE dist <= 48
+    """,
+    description="Edit-distance-verified near-dup pairs (record-linkage "
+    "two-stage shape): multi-probe blocking on md5 lead/mid 8-word "
+    "fingerprints (16-byte shuffle keys, 64-doc hot-block cap), then "
+    "exact BANDED Levenshtein (3-arg threshold form, O(d*n) early-exit "
+    "DP) only on candidates; similarity as exact FLOOR-quotient "
+    "permille. Cross-engine levenshtein agreement pinned by test.",
+    tags=("dedup", "text", "blocking", "training-data"),
+)
+def q182_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
+            "fp1"
+        ),
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 9, 8))).alias(
+            "fp2"
+        ),
+    )
+    keys = fp.select("doc_id", F.col("fp1").alias("fp")).unionByName(
+        fp.select("doc_id", F.col("fp2").alias("fp"))
+    )
+    ok = (
+        keys.groupBy("fp")
+        .agg(F.count("*").alias("bs"))
+        .filter(F.col("bs") <= 64)
+        .select("fp")
+    )
+    kk = keys.join(ok, "fp")
+    cand = (
+        kk.select("fp", F.col("doc_id").alias("a_id"))
+        .join(kk.select("fp", F.col("doc_id").alias("b_id")), "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("n_chars").alias("a_len"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("n_chars").alias("b_len"),
+    )
+    return (
+        cand.join(ta, "a_id")
+        .join(tb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("a_text", "b_text", 48).alias("dist"),
+            F.greatest("a_len", "b_len").alias("mx"),
+        )
+        .filter(F.col("dist") >= 0)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("dist").cast("long").alias("dist"),
+            F.expr(
+                "CAST(FLOOR(CAST(1000 * (mx - dist) AS DOUBLE) / mx + 0.5D)"
+                " AS BIGINT)"
+            ).alias("sim_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — LOG-FREE BM25 RANKING: top-20 documents for a fixed 3-term
+# query under BM25 (k1=1.2, b=0.75) with the idf expressed as its RAW
+# RATIONAL ARGUMENT (N - df + 0.5)/(df + 0.5) instead of its log —
+# monotone in the same direction, so ranking is IDENTICAL to log-idf
+# BM25 per term, and every operation stays a rational-literal IEEE op
+# that both engines compute bit-identically (libm log is NOT
+# bit-portable — the q169 lesson; sqrt/one-divide ARE). Per-term scores
+# are added in one FIXED textual order (t1+t2+t3 — float addition is
+# not associative, so the expression tree, not a SUM over rows, fixes
+# the order), then micro-quantized by the lesson-16 FLOOR form. Plan:
+# one token-scan projection, one 1-row corpus-stats agg broadcast back
+# (crossJoin(broadcast(1-row)) scalar propagation), deterministic
+# top-20 with doc_id tiebreak. At 100 TB the stats agg is the only
+# exchange; df/avgdl are corpus constants reused across queries.
+# ---------------------------------------------------------------------------
+def _q183_sql() -> str:
+    terms = ["join", "filter", "window"]
+    tfsel = ", ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        f" AS tf_{t}"
+        for t in terms
+    )
+    dfagg = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    def term(t: str) -> str:
+        return (
+            f"( (CAST(tf_{t} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25"
+            f" + (0.75 * CAST(n_chars AS DOUBLE))"
+            f" / (CAST(len_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+            f" * ((CAST(n_docs - df_{t} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5)) )"
+        )
+    score = " + ".join(term(t) for t in terms)
+    return f"""
+    WITH base AS (SELECT doc_id, n_chars, {tfsel} FROM documents),
+    sc AS (
+      SELECT {dfagg},
+             CAST(SUM(n_chars) AS BIGINT) AS len_sum,
+             COUNT(*) AS n_docs
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(tf_join AS BIGINT) AS tf_join,
+           CAST(tf_filter AS BIGINT) AS tf_filter,
+           CAST(tf_window AS BIGINT) AS tf_window,
+           CAST(FLOOR(1000000.0 * ({score}) + 0.5) AS BIGINT) AS score_u
+    FROM base, sc
+    ORDER BY score_u DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register(
+    "q183_bm25_rational_rank",
+    _q183_sql(),
+    description="BM25 top-20 retrieval scoring with the idf as its raw "
+    "rational argument (N-df+0.5)/(df+0.5) — rank-equivalent to log-idf "
+    "per term and bit-portable where libm log is not (q169 lesson). "
+    "Fixed-order term addition (float + is non-associative), "
+    "micro-quantized FLOOR output, corpus stats via one 1-row broadcast "
+    "agg, deterministic doc_id tiebreak.",
+    tags=("text", "retrieval", "ranking", "training-data"),
+)
+def q183_bm25_rational_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["join", "filter", "window"]
+    docs = read_table(spark, sf_dir, "documents")
+
+    def match(term: str):
+        return lambda x: x == F.lit(term)
+
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        *[
+            F.size(F.filter(F.split("text", " "), match(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    sc = base.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in terms
+        ],
+        F.sum("n_chars").cast("long").alias("len_sum"),
+        F.count("*").alias("n_docs"),
+    )
+
+    def term(t: str) -> str:
+        return (
+            f"( (CAST(tf_{t} AS DOUBLE) * 2.2D)"
+            f" / (CAST(tf_{t} AS DOUBLE) + 1.2D * (0.25D"
+            f" + (0.75D * CAST(n_chars AS DOUBLE))"
+            f" / (CAST(len_sum AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+            f" * ((CAST(n_docs - df_{t} AS DOUBLE) + 0.5D)"
+            f" / (CAST(df_{t} AS DOUBLE) + 0.5D)) )"
+        )
+
+    score = " + ".join(term(t) for t in terms)
+    return (
+        base.crossJoin(F.broadcast(sc))
+        .select(
+            "doc_id",
+            "tf_join",
+            "tf_filter",
+            "tf_window",
+            F.expr(
+                f"CAST(FLOOR(1000000.0D * ({score}) + 0.5D) AS BIGINT)"
+            ).alias("score_u"),
+        )
+        .orderBy(F.desc("score_u"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — MARKOV TRANSITION MATRIX over per-user event sequences: the
+# first-order behavioral model behind session simulation and anomaly
+# scoring. One lag window per user (total order ts, event_id — the
+# microsecond tiebreak makes the sequence deterministic), one rollup of
+# at most |types|^2 groups, row-normalized transition probabilities as
+# exact FLOOR-quotient permille (lesson 16). State is bounded by the
+# event-type cardinality squared — at 100 TB this is one user_id
+# shuffle (reusable across every per-user sequence statistic) and a
+# 25-row result.
+# ---------------------------------------------------------------------------
+@register(
+    "q184_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, event_type, COUNT(*) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type, n_trans,
+           CAST(FLOOR(CAST(1000 * n_trans AS DOUBLE)
+                      / SUM(n_trans) OVER (PARTITION BY prev_type)
+                      + 0.5) AS BIGINT) AS row_permille
+    FROM tr
+    """,
+    description="First-order Markov transition matrix over per-user "
+    "event sequences: lag window under a (ts, event_id) total order, "
+    "|types|^2-bounded rollup, row-normalized FLOOR-quotient permille. "
+    "One user_id shuffle; result size independent of corpus size.",
+    tags=("window", "agg", "sequence", "events"),
+)
+def q184_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return tr.withColumn("row_total", F.sum("n_trans").over(wt)).select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        F.expr(
+            "CAST(FLOOR(CAST(1000 * n_trans AS DOUBLE) / row_total + 0.5D)"
+            " AS BIGINT)"
+        ).alias("row_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — PARETO FRONTIER (skyline) of orders on (price, recency), both
+# maximized: the multi-criteria "best tradeoff" query (data-selection
+# twin: quality-score vs freshness when curating a corpus). Sort-based
+# skyline: per-x max(y), then one running max over strictly-greater x
+# (ROWS ... 1 PRECEDING keeps x-ties OUT of their own comparison) —
+# a point survives iff its y beats every y at larger x. O(n log n)
+# via one sort; dominance strictness (ties survive together, strictly
+# higher y at equal x dominates) is pinned by a fixture test. The
+# single-partition running-max window runs over the DISTINCT-x
+# aggregate (already reduced), not the fact table — at 100 TB the
+# per-x pre-agg shuffles, the frontier scan doesn't.
+# ---------------------------------------------------------------------------
+@register(
+    "q185_pareto_frontier",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS order_day
+      FROM orders
+    ),
+    px AS (
+      SELECT price_cents, MAX(order_day) AS ymax FROM o GROUP BY price_cents
+    ),
+    f AS (
+      SELECT price_cents, ymax,
+             MAX(ymax) OVER (ORDER BY price_cents DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS runmax
+      FROM px
+    )
+    SELECT o.o_orderkey, o.price_cents, o.order_day
+    FROM o JOIN f ON o.price_cents = f.price_cents AND o.order_day = f.ymax
+    WHERE f.runmax IS NULL OR f.ymax > f.runmax
+    """,
+    description="Sort-based 2D skyline (Pareto frontier) of orders on "
+    "(price cents, order day), both maximized: per-x max pre-agg, one "
+    "running max over strictly-greater x, join back for the surviving "
+    "order keys. Dominance tie semantics pinned by fixture test; the "
+    "whole-range window runs on the reduced per-x aggregate only.",
+    tags=("window", "skyline", "agg"),
+)
+def q185_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+        F.expr("CAST(unix_timestamp(o_orderdate) AS BIGINT) div 86400").alias(
+            "order_day"
+        ),
+    )
+    per_x = o.groupBy("price_cents").agg(F.max("order_day").alias("ymax"))
+    wx = Window.orderBy(F.desc("price_cents")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = (
+        per_x.withColumn("runmax", F.max("ymax").over(wx))
+        .filter(F.col("runmax").isNull() | (F.col("ymax") > F.col("runmax")))
+        .select(
+            F.col("price_cents").alias("fx"), F.col("ymax").alias("fy")
+        )
+    )
+    return o.join(
+        fr,
+        (o.price_cents == F.col("fx")) & (o.order_day == F.col("fy")),
+    ).select("o_orderkey", "price_cents", "order_day")
+
+
+# ---------------------------------------------------------------------------
+# q186 — SCD TYPE-2 DIMENSION BUILD from an event log: collapse each
+# user's event-type runs into effective-dated versions (valid_from /
+# valid_to microseconds, far-future-sentinel current row — nullable
+# BIGINT would come back float64 from the oracle bridge, invariant 2 —
+# per-user version numbers) — the warehouse-standard history table every batch MERGE
+# maintains incrementally. Change detection is a lag-compare under the
+# (ts, event_id) total order, islands by running change-count, interval
+# ends by lead over versions. Emitted times are exact epoch
+# microseconds (BIGINT) — never engine-formatted timestamps. Two
+# windows + one rollup, all on the SAME user_id partitioning: a single
+# shuffle serves the whole build at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q186_scd2_history",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS version
+      FROM s
+    ),
+    isl AS (
+      SELECT user_id, version, event_type,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS valid_from_us,
+             COUNT(*) AS n_events
+      FROM v GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           valid_from_us,
+           COALESCE(LEAD(valid_from_us) OVER (
+             PARTITION BY user_id ORDER BY version),
+             253402300799999999) AS valid_to_us,
+           n_events,
+           CASE WHEN LEAD(valid_from_us) OVER (
+                  PARTITION BY user_id ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM isl
+    """,
+    description="SCD Type-2 history build from the event log: per-user "
+    "event-type runs become effective-dated versions (valid_from_us / "
+    "valid_to_us, far-future-sentinel-open current row, version numbers) "
+    "via lag-change "
+    "detection + running island ids + lead interval ends — all three "
+    "windows share one user_id shuffle. Times emitted as exact epoch "
+    "microseconds.",
+    tags=("window", "warehouse", "scd2", "events"),
+)
+def q186_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = F.lag("event_type").over(ws)
+    marked = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "chg",
+            F.when(
+                lagged.isNull() | (lagged != F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(
+                ws.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    isl = marked.groupBy("user_id", "version", "event_type").agg(
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(wv)
+    return isl.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        # SCD2 open-interval convention: the current version ends at the
+        # far-future sentinel (9999-12-31T23:59:59.999999Z as epoch us)
+        # instead of NULL — nullable BIGINTs come back float64 from the
+        # oracle's pandas bridge and hash-split against Spark's int64
+        # (CLAUDE.md invariant 2; dtype_audit catches the class).
+        F.coalesce(nxt, F.lit(253402300799999999)).alias("valid_to_us"),
+        "n_events",
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — RUNTIME BLOOM-FILTER JOIN: Spark's runtime-filter optimization
+# (spark.sql.optimizer.runtime.bloomFilter.*) builds a bloom filter
+# from the FILTERED dim side of a shuffle join and injects
+# might_contain(...) into the fact scan — rows that cannot join are
+# dropped BEFORE the shuffle, the single biggest scan-side lever for
+# selective star joins that are too big to broadcast (the 100-TB case
+# where the dim side is 100 GB: no broadcast, but a 1 MB bloom travels
+# fine). Conf-scoped per lesson 15 (broadcast disabled so the shuffle
+# join actually plans, application-side threshold zeroed so local-mode
+# sizes qualify; collect() under the confs, try/finally restore,
+# tiny createDataFrame back). The plan is asserted to carry
+# might_contain — losing the runtime filter is a silent 10x scan
+# regression at scale. Result is the exact quantized join rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "q187_runtime_bloom_join",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS qty_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    description="Runtime bloom-filter join: the filtered orders side "
+    "builds a bloom filter Spark injects as might_contain() into the "
+    "lineitem scan (asserted in-plan) — pre-shuffle fact pruning for "
+    "selective joins too big to broadcast. Conf-scoped with try/finally "
+    "+ collect-before-restore (lesson 15); exact quantized rollup "
+    "oracle.",
+    tags=("join", "runtime-filter", "plan-feature", "agg"),
+)
+def q187_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        f = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = (
+            li.join(f, li.l_orderkey == f.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                .cast("long")
+                .alias("qty_cents"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * 100 + F.lit(0.5)
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("price_cents"),
+            )
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if "might_contain" not in plan:
+            raise AssertionError(
+                "lineitem scan lost its runtime bloom filter:\n" + plan
+            )
+        rows = joined.collect()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows,
+        "l_returnflag string, n_items bigint, qty_cents bigint,"
+        " price_cents bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — SPEARMAN RANK TREND per event_type: rank correlation between
+# the day index and the day-mean event value — the robust (outlier-
+# immune) monotone-drift audit next to q146's OLS slope. Computed as
+# Pearson over AVERAGE-TIE ranks kept exact by the 2x-scaled integer
+# trick: avg_rank*2 = 2*RANK() + tie_count - 1 (an integer even when
+# the average rank is x.5), so every sufficient statistic is an exact
+# BIGINT — and because ranks run over per-(type, day) AGGREGATES, n is
+# bounded by the calendar (~30/group), never by corpus size: at 100 TB
+# the only full scan is the day rollup, and Σxy ≤ n*(2n)^2 can't
+# approach int64 (the q163/q148 overflow class is structurally absent).
+# sqrt is correctly-rounded IEEE (bit-portable, unlike log); signed
+# output via the lesson-16 FLOOR(x+0.5) form; NULL on zero variance.
+# ---------------------------------------------------------------------------
+@register(
+    "q188_spearman_trend",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS vc,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    m AS (
+      SELECT event_type, day,
+             CAST(vc AS DOUBLE) / n AS day_mean
+      FROM d
+    ),
+    r AS (
+      SELECT event_type, day, day_mean,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY day)
+               + COUNT(*) OVER (PARTITION BY event_type, day) - 1 AS x2,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY day_mean)
+               + COUNT(*) OVER (PARTITION BY event_type, day_mean) - 1 AS y2
+      FROM m
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(x2) AS BIGINT) AS sx,
+             CAST(SUM(y2) AS BIGINT) AS sy,
+             CAST(SUM(x2 * y2) AS BIGINT) AS sxy,
+             CAST(SUM(x2 * x2) AS BIGINT) AS sxx,
+             CAST(SUM(y2 * y2) AS BIGINT) AS syy
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CASE WHEN (n_days * sxx - sx * sx) = 0
+                     OR (n_days * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(FLOOR(
+                  1000.0 * (CAST(n_days * sxy - sx * sy AS DOUBLE)
+                            / (SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                               * SQRT(CAST(n_days * syy - sy * sy
+                                           AS DOUBLE))))
+                  + 0.5) AS BIGINT) END AS rho_permille
+    FROM s
+    """,
+    description="Spearman rank correlation between day index and "
+    "day-mean value per event_type (robust monotone-drift audit): "
+    "average-tie ranks kept exact via 2x-scaled integers (2*RANK + "
+    "ties - 1), Pearson on ranks with BIGINT sufficient statistics, "
+    "bit-portable sqrt, signed FLOOR permille, NULL on zero variance. "
+    "Ranks run over calendar-bounded day aggregates — n never grows "
+    "with the corpus.",
+    tags=("agg", "window", "robust-stats", "eval"),
+)
+def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "event_type",
+            F.expr("CAST(unix_timestamp(ts) AS BIGINT) div 86400").alias(
+                "day"
+            ),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("qv").cast("long").alias("vc"),
+            F.count("*").alias("n"),
+        )
+    )
+    m = d.select(
+        "event_type",
+        "day",
+        (F.col("vc").cast("double") / F.col("n")).alias("day_mean"),
+    )
+    r = m.select(
+        "event_type",
+        (
+            2 * F.rank().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+            + F.count("*").over(
+                Window.partitionBy("event_type", "day")
+            )
+            - 1
+        ).alias("x2"),
+        (
+            2 * F.rank().over(
+                Window.partitionBy("event_type").orderBy("day_mean")
+            )
+            + F.count("*").over(
+                Window.partitionBy("event_type", "day_mean")
+            )
+            - 1
+        ).alias("y2"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x2").cast("long").alias("sx"),
+        F.sum("y2").cast("long").alias("sy"),
+        F.sum(F.col("x2") * F.col("y2")).cast("long").alias("sxy"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sxx"),
+        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            "CASE WHEN (n_days * sxx - sx * sx) = 0"
+            " OR (n_days * syy - sy * sy) = 0 THEN CAST(NULL AS BIGINT)"
+            " ELSE CAST(FLOOR("
+            "1000.0D * (CAST(n_days * sxy - sx * sy AS DOUBLE)"
+            " / (SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE))"
+            " * SQRT(CAST(n_days * syy - sy * sy AS DOUBLE))))"
+            " + 0.5D) AS BIGINT) END"
+        ).alias("rho_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — INCREMENTAL PARTIAL-AGGREGATE ROLLUP: the production ETL shape
+# for aggregation at 100 TB — daily partial aggregates (day x type:
+# count + quantized sum, O(days*types) rows) are MATERIALIZED once per
+# ingest day, and every downstream rollup (here: weekly) merges ONLY
+# the partials, never re-scanning raw events. Works because count/sum
+# partials merge associatively; the quantization happens per ROW before
+# the first aggregation, so partial-merge and direct aggregation are
+# bit-identical (the oracle computes the weekly rollup DIRECTLY from
+# raw events — the equality is the correctness claim, q98's
+# materialized-index philosophy applied to aggregation). The partial
+# table is CTAS'd per sf_dir (q175's token pattern) and reused on
+# every subsequent run — the measured warm cost is the partial-read
+# merge, which is independent of corpus row count.
+# ---------------------------------------------------------------------------
+@register(
+    "q189_partial_agg_rollup",
+    """
+    SELECT CAST(epoch(ts) AS BIGINT) // 86400 // 7 AS week,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events
+    GROUP BY week, event_type
+    """,
+    description="Incremental partial-aggregate rollup: daily (day x "
+    "type) count/quantized-sum partials materialized once (CTAS, "
+    "O(days*types) rows), weekly rollup merges ONLY partials — "
+    "associative merge makes it bit-identical to the oracle's direct "
+    "aggregation over raw events. The never-rescan-raw ETL shape: "
+    "warm cost is independent of corpus row count.",
+    tags=("agg", "incremental", "warehouse", "etl"),
+)
+def q189_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    tp = f"q189_daily_{tok}"
+    if not spark.catalog.tableExists(tp):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        spark.sql(f"DROP TABLE IF EXISTS {tp}")
+        loc = hadoop_path(f"{warehouse}/{tp}")
+        fs = loc.getFileSystem(hconf)
+        if fs.exists(loc):
+            fs.delete(loc, True)
+        events = read_table(spark, sf_dir, "events")
+        (
+            events.select(
+                F.expr(
+                    "CAST(unix_timestamp(ts) AS BIGINT) div 86400"
+                ).alias("day"),
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("qv"),
+            )
+            .groupBy("day", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("qv").cast("long").alias("value_cents"),
+            )
+            .write.format("parquet")
+            .mode("overwrite")
+            .saveAsTable(tp)
+        )
+    partials = spark.table(tp)
+    return (
+        partials.groupBy(
+            F.expr("day div 7").alias("week"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_cents").cast("long").alias("value_cents"),
+        )
+        .select("week", "event_type", "n_events", "value_cents")
+    )

@@ -1,0 +1,100 @@
+"""Round-9 second-wave pins: cross-engine Levenshtein agreement behind
+q182's oracle, the banded (3-arg) threshold form's -1 contract, and the
+skyline dominance tie semantics behind q185."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+
+CASES = [
+    ("kitten", "sitting"),
+    ("", "abc"),
+    ("abc", ""),
+    ("same text here", "same text here"),
+    ("the fast key order sort", "the fast key order sort merge"),
+    ("a b c d e f g h", "a x c d e f g h"),
+    ("aaaa", "bbbb"),
+]
+
+
+def test_levenshtein_spark_matches_duckdb(spark):
+    """q182's verify stage assumes Spark and DuckDB implement the same
+    unit-cost edit distance. Pin it on empty/equal/prefix/replace
+    shapes so an engine swap (or a DuckDB grapheme-mode change) fails
+    loudly here instead of as a sporadic parity red."""
+    df = spark.createDataFrame(CASES, "a string, b string")
+    got = [
+        r.d for r in df.select(F.levenshtein("a", "b").alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in CASES
+    ]
+    assert got == want
+
+
+def test_levenshtein_threshold_band_contract(spark):
+    """The 3-arg banded form q182 uses must return the exact distance
+    at-or-under the threshold and -1 (never a clamped value) over it —
+    the oracle's WHERE dist <= k filter relies on exactly this."""
+    df = spark.createDataFrame([("kitten", "sitting")], "a string, b string")
+    row = df.select(
+        F.levenshtein("a", "b", 3).alias("at"),
+        F.levenshtein("a", "b", 2).alias("under"),
+    ).collect()[0]
+    assert row.at == 3
+    assert row.under == -1
+
+
+@pytest.mark.parametrize(
+    ("points", "frontier"),
+    [
+        # strict dominance removes the dominated point
+        ([(1, 10, 10), (2, 5, 5)], {1}),
+        # equal on both dims: neither dominates — both survive
+        ([(1, 10, 10), (2, 10, 10)], {1, 2}),
+        # same x, higher y dominates
+        ([(1, 10, 10), (2, 10, 11)], {2}),
+        # same y, higher x dominates
+        ([(1, 10, 10), (2, 11, 10)], {2}),
+        # classic staircase: all three incomparable
+        ([(1, 1, 30), (2, 2, 20), (3, 3, 10)], {1, 2, 3}),
+        # a point beaten only by the COMBINED envelope still survives
+        # (skyline is pairwise dominance, not envelope containment)
+        ([(1, 1, 30), (2, 3, 10), (3, 2, 20)], {1, 2, 3}),
+    ],
+)
+def test_q185_dominance_tie_semantics(spark, tmp_path, points, frontier):
+    """Pin the max-max dominance algebra of the sort-based skyline:
+    a point is dropped iff some other point is >= on both dims and >
+    on at least one. Exercised through the registered query itself on
+    a tiny orders fixture (price_cents = 100*o_totalprice, order_day
+    derived from epoch days)."""
+    import datetime as dt
+
+    rows = [
+        (
+            key,
+            0,
+            "O",
+            cents / 100.0,
+            dt.datetime(1970, 1, 1) + dt.timedelta(days=day),
+            "1-URGENT",
+        )
+        for key, cents, day in points
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = QUERIES["q185_pareto_frontier"].spark(spark, str(tmp_path))
+    assert {r.o_orderkey for r in out.collect()} == frontier
