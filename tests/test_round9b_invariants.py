@@ -98,3 +98,28 @@ def test_q185_dominance_tie_semantics(spark, tmp_path, points, frontier):
     df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
     out = QUERIES["q185_pareto_frontier"].spark(spark, str(tmp_path))
     assert {r.o_orderkey for r in out.collect()} == frontier
+
+
+def test_q187_confs_restored_on_failure(spark, tmp_path):
+    """q187 flips four session confs (bloom runtime filter thresholds +
+    broadcast disable) around its scoped collect; a query that explodes
+    mid-try (here: an orders fixture missing o_orderpriority, which
+    fails analysis inside the try block) must restore every one of them
+    (lesson 15 / r8 verdict finding #1 applied to the new query)."""
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    spark.createDataFrame([(1,)], "l_orderkey bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame([(1,)], "o_orderkey bigint").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "orders.parquet"))
+    with pytest.raises(Exception):
+        QUERIES["q187_runtime_bloom_join"].spark(spark, str(tmp_path))
+    assert {k: spark.conf.get(k, None) for k in keys} == before
