@@ -11509,8 +11509,11 @@ def q182_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp2"
         ),
     )
-    keys = fp.select("doc_id", F.col("fp1").alias("fp")).unionByName(
-        fp.select("doc_id", F.col("fp2").alias("fp"))
+    # One corpus pass per consumer: explode the two probes from a single
+    # projection instead of unionByName (which doubles every downstream
+    # scan's md5 work — measured 6 fingerprint passes vs 3 in-plan).
+    keys = fp.select(
+        "doc_id", F.explode(F.array("fp1", "fp2")).alias("fp")
     )
     ok = (
         keys.groupBy("fp")
