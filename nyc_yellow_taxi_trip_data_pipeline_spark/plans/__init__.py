@@ -146,6 +146,14 @@ _PRIORITY = [
     "q188_spearman_trend",
     "q189_partial_agg_rollup",
 ]
+# --- r10 rotation preview (slot arithmetic for the next window rewrite,
+# lesson 19) --- owed rows after r9, oldest first:
+#   * the ceded q14-q29 block (16 rows, r6-green, double-covered above);
+#   * q12/q13 (promised back when re-ceded to q188/q189);
+#   * the remaining r6 pool (q35-q96 block, 26 rows per the r8 verdict).
+# 44 owed vs 50 slots leaves ~6 slots for r10-new queries — budget them
+# BEFORE writing new queries; every new/edited query must enter the
+# window (tests/test_round9_invariants.py staleness ratchet).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()
