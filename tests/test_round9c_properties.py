@@ -183,3 +183,37 @@ def test_q188_spearman_boundaries(spark, tmp_path, day_values, expected):
     ).collect()
     assert len(out) == 1
     assert out[0].rho_permille == expected
+
+
+def test_q184_q186_timestamp_tie_total_order(spark, tmp_path):
+    """Three events sharing ONE microsecond timestamp: the (ts,
+    event_id) total order must sequence them by event_id in both the
+    transition matrix and the SCD2 build — without the tiebreak the
+    sequence (and thus every downstream count) would depend on
+    partition layout."""
+    t = dt.datetime(2024, 1, 5, 9, 30, 0)
+    rows = [
+        (10, t, 7, "a", 1.0, "{}"),
+        (11, t, 7, "b", 1.0, "{}"),
+        (12, t, 7, "c", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+
+    tr = QUERIES["q184_markov_transitions"].spark(spark, sf).collect()
+    assert {(r.prev_type, r.event_type) for r in tr} == {
+        ("a", "b"),
+        ("b", "c"),
+    }
+
+    hist = (
+        QUERIES["q186_scd2_history"].spark(spark, sf).toPandas()
+        .sort_values("version")
+    )
+    assert list(hist["event_type"]) == ["a", "b", "c"]
+    assert list(hist["version"]) == [1, 2, 3]
