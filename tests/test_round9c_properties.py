@@ -217,3 +217,44 @@ def test_q184_q186_timestamp_tie_total_order(spark, tmp_path):
     )
     assert list(hist["event_type"]) == ["a", "b", "c"]
     assert list(hist["version"]) == [1, 2, 3]
+
+
+def test_timestamp_queries_survive_foreign_session_timezone():
+    """The driver builds its own session with the MACHINE timezone; if
+    that ever differs from UTC, read_table's UTC pin (io.py) must keep
+    every epoch-derived column oracle-exact. Runs in a clean subprocess
+    with a deliberately shifted session timezone and compares a
+    timestamp-heavy round-9 query against its DuckDB oracle."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import duckdb\n"
+        "from pyspark.sql import SparkSession\n"
+        "from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES\n"
+        "spark = (SparkSession.builder.master('local[4]')\n"
+        "  .config('spark.ui.enabled', 'false')\n"
+        "  .config('spark.sql.session.timeZone', 'America/New_York')\n"
+        "  .getOrCreate())\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "sf = '/root/testdata/sf0.001'\n"
+        "con = duckdb.connect()\n"
+        "con.execute(\"create view events as select * from\"\n"
+        "  \" read_parquet('\" + sf + \"/events.parquet')\")\n"
+        "name = 'q186_scd2_history'\n"
+        "sp = sorted(tuple(str(v) for v in r)\n"
+        "  for r in QUERIES[name].spark(spark, sf).collect())\n"
+        "du = sorted(tuple(str(v) for v in r)\n"
+        "  for r in con.execute(QUERIES[name].oracle).fetchall())\n"
+        "assert sp == du, 'tz-shifted session diverged from oracle'\n"
+        "print('TZ_OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert "TZ_OK" in out.stdout, out.stderr[-2000:]
