@@ -11764,7 +11764,7 @@ def q184_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT o_orderkey,
              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
-             CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS order_day
+             CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS order_day
       FROM orders
     ),
     px AS (
@@ -12031,7 +12031,7 @@ def q187_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT event_type,
-             CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS vc,
              COUNT(*) AS n
@@ -12168,7 +12168,7 @@ def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q189_partial_agg_rollup",
     """
-    SELECT CAST(epoch(ts) AS BIGINT) // 86400 // 7 AS week,
+    SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 // 7 AS week,
            event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)

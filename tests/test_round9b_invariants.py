@@ -123,3 +123,53 @@ def test_q187_confs_restored_on_failure(spark, tmp_path):
     with pytest.raises(Exception):
         QUERIES["q187_runtime_bloom_join"].spark(spark, str(tmp_path))
     assert {k: spark.conf.get(k, None) for k in keys} == before
+
+
+def test_epoch_day_bucketing_at_fractional_day_boundary(spark, tmp_path):
+    """DuckDB's CAST(epoch(ts) AS BIGINT) ROUNDS fractional seconds
+    (23:59:59.7 lands in the NEXT day) while Spark's unix_timestamp
+    truncates — the helpers.SQL_UNIX_TS trap. q188/q189's oracles use
+    the FLOOR form; this fixture plants an event 0.3s before midnight
+    and proves both engines bucket it into the SAME day/week."""
+    import datetime as dt
+
+    import duckdb
+
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 23, 59, 59, 700000), 1, "a", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 3, 0, 0, 0, 200000), 1, "a", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["q189_partial_agg_rollup"]
+        .spark(spark, str(tmp_path))
+        .select("week", "event_type", "n_events", "value_cents")
+        .collect()
+    )
+    con = duckdb.connect()
+    # Spark wrote a directory table; DuckDB needs the leaf-file glob
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            QUERIES["q189_partial_agg_rollup"].oracle
+        ).fetchall()
+    )
+    assert got == want
+    # and the two events genuinely straddle a day boundary in BOTH
+    # engines (the fixture is only a pin if the hazard case is present)
+    days = con.execute(
+        "SELECT DISTINCT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400"
+        " FROM events"
+    ).fetchall()
+    assert len(days) == 2
