@@ -109,3 +109,23 @@ def test_priority_window_fits_driver_budget():
     assert len(set(_PRIORITY)) == len(_PRIORITY)
     unknown = [q for q in _PRIORITY if q not in QUERIES]
     assert not unknown, unknown
+
+
+def test_window_planner_agrees_with_ratchet():
+    """tools/window_planner.py replicates this file's staleness ratchet
+    from the same inputs; its mandatory tier must (a) all sit inside the
+    current window and (b) fit the 50-slot budget — if either fails here,
+    the hand-written _PRIORITY and the planner have diverged."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import _PRIORITY
+    from tools.window_planner import WINDOW_SIZE, plan
+
+    p = plan()
+    assert p["overflow"] == 0
+    window = set(_PRIORITY)
+    assert [n for n in p["mandatory"] if n not in window] == []
+    assert len(p["proposed_window"]) <= WINDOW_SIZE
+    # Every proposed fill row is a real registered query.
+    assert set(p["proposed_window"]) <= set(QUERIES)
