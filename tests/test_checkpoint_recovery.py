@@ -21,7 +21,7 @@ import json
 import os
 import time as _time
 
-from pyspark.sql import functions as F
+import pytest
 from pyspark.sql import types as T
 
 from nyc_yellow_taxi_trip_data_pipeline_spark.streaming import (
@@ -104,7 +104,18 @@ def test_parquet_sink_exactly_once_across_restart(spark, tmp_path):
     assert spark.read.parquet(out).count() == 3
 
 
-def test_stateful_window_state_survives_restart(spark, tmp_path):
+_HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.mark.parametrize(
+    "provider", [_HDFS_PROVIDER, _ROCKSDB_PROVIDER], ids=["hdfs", "rocksdb"]
+)
+def test_stateful_window_state_survives_restart(spark, tmp_path, provider):
     """Run 1 accumulates two rows into the 10:00 window; its watermark
     tops out at 9:50 (10:20 - 30min), so nothing is ripe and nothing is
     emitted — not even by the engine's no-data flush batch (which is why
@@ -114,7 +125,13 @@ def test_stateful_window_state_survives_restart(spark, tmp_path):
     11:30 and the flush batch finalizes the 10:00 window. Emitting
     (2, 3.0) is only possible if the window state built before the stop
     was restored from the checkpoint — lost state would leave the 10:00
-    window empty and nothing would be emitted for it."""
+    window empty and nothing would be emitted for it.
+
+    Parametrized over both state store providers: RocksDB is the
+    large-state production backend (state spills to disk), and a
+    checkpoint must restore correctly under it too. Each param gets its
+    own tmp_path, so a checkpoint is always reopened by the provider
+    that wrote it (mixing providers across a restart is unsupported)."""
     d = tmp_path / "in"
     d.mkdir()
     ckpt = str(tmp_path / "ckpt")
@@ -149,6 +166,9 @@ def test_stateful_window_state_survives_restart(spark, tmp_path):
         finally:
             q.stop()
 
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, provider)
     try:
         run_once()
         assert emitted == []  # watermark 9:50; nothing ripe yet
@@ -161,6 +181,10 @@ def test_stateful_window_state_survives_restart(spark, tmp_path):
         )
         run_once()
     finally:
+        if prev:
+            spark.conf.set(conf_key, prev)
+        else:
+            spark.conf.unset(conf_key)
         unload_state_stores(spark)
     assert emitted == [("2024-01-01T10:00:00", 2, 3.0)]
 
