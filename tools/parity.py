@@ -6,7 +6,12 @@ order-insensitive exact value comparison (columns sorted by name, rows
 sorted by all columns, floats compared bit-for-bit — stricter than any
 tolerance-based hash the driver might use).
 
-Usage: python -m tools.parity [sf_dir] [query ...]
+Usage: python -m tools.parity [--bare] [--window] [sf_dir] [query ...]
+
+``--window`` restricts the run to the 50 ``_PRIORITY`` queries — exactly
+the set the external driver will verify this round. Combine with
+``--bare`` for the fastest faithful driver rehearsal before an end-of-
+round commit.
 """
 
 from __future__ import annotations
@@ -107,13 +112,23 @@ def main() -> int:
     bare = "--bare" in args
     if bare:
         args.remove("--bare")
+    window = "--window" in args
+    if window:
+        args.remove("--window")
     sf_dir = "/root/testdata/sf0.01"
     if args and (os.path.isdir(args[0]) or "/" in args[0]):
         sf_dir = args.pop(0)
         if not os.path.isdir(sf_dir):
             print(f"error: sf_dir {sf_dir!r} is not a directory")
             return 2
-    names = args or list(QUERIES)
+    if window:
+        from nyc_yellow_taxi_trip_data_pipeline_spark.plans import (  # noqa: PLC0415
+            _PRIORITY,
+        )
+
+        names = args or list(_PRIORITY)
+    else:
+        names = args or list(QUERIES)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         print(f"error: unknown queries {unknown}; known: {sorted(QUERIES)}")
