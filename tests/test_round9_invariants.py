@@ -129,3 +129,15 @@ def test_window_planner_agrees_with_ratchet():
     assert len(p["proposed_window"]) <= WINDOW_SIZE
     # Every proposed fill row is a real registered query.
     assert set(p["proposed_window"]) <= set(QUERIES)
+
+
+def test_oracle_lint_clean():
+    """Static bit-portability lint over every oracle (lessons 11/16/18
+    mechanized): ROUND/transcendentals/float-SUM only where sanctioned
+    and verified, engine hashes and volatile functions never."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.oracle_lint import violations
+
+    assert violations() == []
