@@ -1,4 +1,5 @@
-"""Static lint for oracle SQL against the bit-portability catalog.
+"""Static lint for oracle SQL AND plan-function source against the
+bit-portability catalog.
 
 The cross-engine reds of rounds 6-9 each traced to one of a small set of
 constructs (ARCHITECTURE.md "Bit-portability catalog"): ROUND() on
@@ -77,8 +78,42 @@ HARD_BANNED: dict[str, re.Pattern[str]] = {
     ),
 }
 
+# Spark-SIDE source lint (same ratchet over the plan functions): the 9
+# sanctioned F.round uses all round IRRATIONAL values (sqrt/corr/cosine
+# outputs) where a decimal tie is measure-zero — lesson 16's safe case.
+# rand()/engine hashes/volatile functions/dropDuplicates are hard-banned
+# in plan functions: every sampling design here is md5-derived and
+# reproducible, and dropDuplicates keeps an arbitrary row per key under
+# AQE layout changes (use a total-order row_number filter instead).
+SPARK_ALLOW: dict[str, set[str]] = {
+    "round": {
+        "q09_quantiles_iqr",
+        "q11_summary_stats",
+        "q46_tfidf_topterms",
+        "q48_grouped_quantiles",
+        "q50_correlation",
+        "q73_kmeans_step",
+        "q75_embedding_quantize",
+        "q171_batch_ann_topk",
+        "q176_hard_negative_mining",
+    },
+}
+
+SPARK_PATTERNS: dict[str, re.Pattern[str]] = {
+    "round": re.compile(r"\bF\.round\s*\("),
+}
+
+SPARK_HARD_BANNED: dict[str, re.Pattern[str]] = {
+    "rand": re.compile(r"\bF\.randn?\s*\("),
+    "engine_hash": re.compile(r"\bF\.(xxhash64|hash)\s*\("),
+    "volatile": re.compile(r"\bF\.(current_date|current_timestamp|now)\s*\("),
+    "dropdup": re.compile(r"\.dropDuplicates\s*\("),
+}
+
 
 def violations() -> list[str]:
+    import inspect  # noqa: PLC0415
+
     from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES  # noqa: PLC0415
 
     out: list[str] = []
@@ -94,18 +129,43 @@ def violations() -> list[str]:
                     "allowlist (tools/oracle_lint.py) — restate per the "
                     "bit-portability catalog or justify and allowlist"
                 )
+        src = inspect.getsource(spec.spark)
+        for key, pat in SPARK_HARD_BANNED.items():
+            if pat.search(src):
+                out.append(
+                    f"{name}: hard-banned construct [{key}] in plan function"
+                )
+        for key, pat in SPARK_PATTERNS.items():
+            if pat.search(src) and name not in SPARK_ALLOW.get(key, set()):
+                out.append(
+                    f"{name}: [{key}] in plan function but not in the "
+                    "sanctioned allowlist (tools/oracle_lint.py)"
+                )
     # Allowlist hygiene: entries for queries that no longer use the
     # construct (or no longer exist) should be removed.
-    for key, names in ALLOW.items():
-        for name in sorted(names):
-            spec = QUERIES.get(name)
-            if spec is None:
-                out.append(f"allowlist[{key}] names unknown query {name}")
-            elif not PATTERNS[key].search(spec.oracle or ""):
-                out.append(
-                    f"allowlist[{key}] entry {name} is stale (construct "
-                    "no longer present) — remove it"
+    for allow, pats, side in (
+        (ALLOW, PATTERNS, "oracle"),
+        (SPARK_ALLOW, SPARK_PATTERNS, "plan"),
+    ):
+        for key, names in allow.items():
+            for name in sorted(names):
+                spec = QUERIES.get(name)
+                text = (
+                    None
+                    if spec is None
+                    else (spec.oracle or "")
+                    if side == "oracle"
+                    else inspect.getsource(spec.spark)
                 )
+                if spec is None:
+                    out.append(
+                        f"{side}-allowlist[{key}] names unknown query {name}"
+                    )
+                elif not pats[key].search(text):
+                    out.append(
+                        f"{side}-allowlist[{key}] entry {name} is stale "
+                        "(construct no longer present) — remove it"
+                    )
     return out
 
 
