@@ -12,6 +12,13 @@ Usage: python -m tools.parity [--bare] [--window] [sf_dir] [query ...]
 the set the external driver will verify this round. Combine with
 ``--bare`` for the fastest faithful driver rehearsal before an end-of-
 round commit.
+
+``--tz ZONE`` (e.g. ``--tz America/New_York``) sets
+``spark.sql.session.timeZone`` for the whole run: the driver builds its
+session with the MACHINE timezone, and every query must stay
+oracle-exact regardless (``sources/io.read_table`` pins event-time
+normalization to UTC internally). A full sweep under a shifted zone
+proves the inventory timezone-immune instead of assuming it.
 """
 
 from __future__ import annotations
@@ -115,6 +122,11 @@ def main() -> int:
     window = "--window" in args
     if window:
         args.remove("--window")
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        args.pop(i)
+        tz = args.pop(i)
     sf_dir = "/root/testdata/sf0.01"
     if args and (os.path.isdir(args[0]) or "/" in args[0]):
         sf_dir = args.pop(0)
@@ -145,6 +157,9 @@ def main() -> int:
         print("[bare session — driver-faithful, no repo configs]")
     else:
         spark = get_spark("parity-check")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        print(f"[session timezone shifted to {tz}]")
     con = duck_connection(sf_dir)
     failures = 0
     for name in names:
