@@ -148,13 +148,20 @@ def main() -> int:
     if bare:
         from pyspark.sql import SparkSession  # noqa: PLC0415
 
+        # SPARK_GRAFT_CPUS is the driver's own core dial (bench.py reads
+        # the same variable) — honoring it makes `--bare` runnable at the
+        # driver's exact parallelism (default 8 keeps routine sweeps
+        # cheap; local[N] changes defaultParallelism and therefore input
+        # split counts, a layout axis the shuffle-partition flip doesn't
+        # cover).
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
         spark = (
-            SparkSession.builder.master("local[8]")
+            SparkSession.builder.master(f"local[{cpus}]")
             .appName("parity-bare")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
-        print("[bare session — driver-faithful, no repo configs]")
+        print(f"[bare session — driver-faithful, no repo configs, local[{cpus}]]")
     else:
         spark = get_spark("parity-check")
     if tz:
