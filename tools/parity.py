@@ -127,6 +127,15 @@ def main() -> int:
         i = args.index("--tz")
         args.pop(i)
         tz = args.pop(i)
+    # Repeatable --conf k=v: runtime confs applied to the session before
+    # any query runs — e.g. sweep every streaming replay under the
+    # RocksDB state-store provider instead of only the q44 unit test.
+    confs: list[tuple[str, str]] = []
+    while "--conf" in args:
+        i = args.index("--conf")
+        args.pop(i)
+        k, _, v = args.pop(i).partition("=")
+        confs.append((k, v))
     sf_dir = "/root/testdata/sf0.01"
     if args and (os.path.isdir(args[0]) or "/" in args[0]):
         sf_dir = args.pop(0)
@@ -167,6 +176,9 @@ def main() -> int:
     if tz:
         spark.conf.set("spark.sql.session.timeZone", tz)
         print(f"[session timezone shifted to {tz}]")
+    for k, v in confs:
+        spark.conf.set(k, v)
+        print(f"[conf {k}={v}]")
     con = duck_connection(sf_dir)
     failures = 0
     for name in names:
