@@ -371,6 +371,111 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the high-diameter complement to
+    :func:`connected_components`.
+
+    Plain min-propagation needs rounds ~ component DIAMETER (fine for
+    near-clique dup groups, fatal for chain-shaped graphs: a path of
+    borderline matches k hops long needs k/2 rounds). Star contraction
+    converges in O(log^2 n) rounds regardless of diameter: large-star
+    hangs every node's larger neighbors off the minimum of its
+    neighborhood, small-star re-points smaller neighbors at it, and the
+    alternation contracts chains geometrically. Same per-round plan
+    shape as min-propagation (one shuffle groupBy + a join), same
+    localCheckpoint lineage discipline; the constant factor is ~2x per
+    round, which is why the diameter-bounded LSH pair graphs keep
+    min-propagation as the default and this is the explicit opt-in for
+    pathological shapes (the RuntimeError in connected_components names
+    it as the escape hatch).
+
+    Returns (node, cluster) with cluster = min node id in the component
+    — identical contract to :func:`connected_components`.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Every node that appears anywhere keeps a row in the final labels
+    # even if contraction turns it into a bare root.
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # Both directions; for each u, m = min(N(u) ∪ {u}); emit
+        # (v, m) for every STRICTLY LARGER neighbor v.
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # Direct every edge large->small; for each u, m = min of its
+        # smaller neighborhood ∪ {u}; re-point that neighborhood (and u
+        # itself) at m.
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = d.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        joined = d.join(m, "u")
+        out = joined.select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        ).union(
+            joined.select(F.col("u").alias("u"), F.col("m").alias("v"))
+        )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    converged = False
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(new_edges, ["u", "v"], "left_anti").count()
+        )
+        edges = new_edges
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iters} rounds — O(log^2 n) bound exceeded, which "
+            "signals a bug or adversarial input, not a diameter problem"
+        )
+    # At the fixpoint the edge set is a star forest child->root; roots
+    # appear only on the v side and label themselves.
+    labels = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("cluster")
+    )
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("cluster"), F.col("node")).alias("cluster"),
+        )
+    )
+
+
 def simhash16(
     tokens: DataFrame, id_col: str = "doc_id", word_col: str = "w"
 ) -> DataFrame:

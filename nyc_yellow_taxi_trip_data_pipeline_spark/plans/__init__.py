@@ -17,143 +17,93 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. The r9
-# window closes the r8 verdict's two staleness findings and rotates the
-# oldest remaining rows back in:
-# (a) STALE-AFTER-EDIT (verdict 'What's wrong' #2, now a tested invariant
-#     — tests/test_round9_invariants.py + tools/verified_hashes.json):
-#     every query whose plan/oracle source changed since its newest
-#     external row. That is: the seven r9 edits (q130/q135 rmtree-in-
-#     finally, q154/q159 ditto, q160 conf try/finally, q161 microsecond
-#     oracle, q163 centered sufficient statistics), the r8-edit pair
-#     q77/q86 (FLOOR-quantization fix landed AFTER their r06 rows), and
-#     the r8-touched subtrees q44/q45/q76 the verdict named.
-# (b) the FULL 17-query r05 pool — their sit-out rationales have been
-#     cashed for two rounds; verdict item #1 says rotate all back.
-# (c) r06-oldest rotation: the contiguous q14-q29 block (oldest-
-#     registered r6-green rows). The remaining r6 pool (q35-q96 block,
-#     26 rows) rotates in r10; every one of them stays parity-gated at
-#     three scale factors locally regardless.
-# (d) round-9 NEW queries (never verified by definition) — appended as
-#     registered.
-# Slot math: 12 (a) + 17 (b) + 6 (c) = 35, leaving 15 slots for (d);
-# each (c) sit-out beyond the original five carries its own
-# double-coverage rationale below.
-# After r9: no green row older than r6, and the freshest-row floor
-# advances r5 -> r6 (47-row r6 pool minus the 21 rotated here).
+# order therefore decides which queries earn a hard external row. The r10
+# window executes the rotation pre-budgeted at the end of the r9 window
+# (and ordered by the r9 verdict item #1): verification FRESHNESS is the
+# only open finding — coverage and speed are done — so the window is the
+# 44 owed stale rows plus this round's mandatory (edited/new) entries.
+# (a) MANDATORY (staleness ratchet, tests/test_round9_invariants.py):
+#     q131 (cogroup bucket count 256->128 — r9 bench delta chase, ~10%
+#     faster at sf0.1) and the two r10-new queries q190/q191
+#     (processing-time timer eviction; AQE skew-join asserted in-plan).
+# (b) q12/q13 — promised back when re-ceded to q188/q189 in r9; the two
+#     stalest rows in the inventory (r5-green).
+# (c) the ceded q14-q29 block (16 rows, r6-green, double-covered last
+#     round with the rationale that they rotate back NOW).
+# (d) the remaining r6 pool (26 rows, q35-q96 block) — after this round
+#     every green row in the inventory is r7+.
+# (e) oldest r7 fill: q100/q101/q102.
+# Slot math: 3 (a) + 2 (b) + 16 (c) + 26 (d) + 3 (e) = 50.
+# Sit-outs displaced by the three mandatory rows: q103/q104/q105 —
+# r7-green with byte-identical source since (ratchet-checked), all
+# parity-gated at three SFs every commit; mandatory never-verified/
+# edited rows outrank r7-green re-verification (same principle that
+# ceded (c) slots to new queries in r9). They rotate in r11 with the
+# rest of the r7 pool.
 _PRIORITY = [
-    # (a) stale-after-edit — r9 edits first (never-verified source):
-    "q130_streaming_late_drop",
-    "q135_streaming_dedup_within_watermark",
-    "q154_streaming_union_watermarks",
-    "q159_streaming_union_watermark_max",
-    "q160_python_datasource_scan",
-    "q161_session_window_batch",
-    "q163_cuped_adjusted_ab",
-    # (a) r8-edit debt: q77/q86 carry the lesson-16 FLOOR fix (2151df6)
-    # unverified externally; q44/q45/q76 were touched in r8 after r06.
-    "q77_trimmed_mean_udaf",
-    "q86_trimmed_mean_udaf_bounded",
-    "q44_streaming_hourly",
-    "q45_ngram_jaccard",
-    "q76_stream_stream_join",
-    # (b) the full r05 pool:
-    "q03_filter_group_count",
-    "q04_null_counts",
-    "q10_histogram",
-    # q12/q13 re-ceded mid-round to q188/q189 (section d, second wave)
-    # — the ">= 15 of the r05 pool" floor from the r8 verdict holds at
-    # exactly 15. Double coverage: q12's error-metric family (A14) is
-    # exercised in-window by q163's sufficient-statistic readout and
-    # q181's calibration gaps plus the ml-pipeline metric tests;
-    # q13's distinct+sort/year-month family (O2/O3/F5) by q63 date
-    # math (in window) and q07's day rollup history. Both stay
-    # parity-gated at three SFs and rotate back in r10.
-    "q30_dedup_exact",
-    "q31_dedup_keep_first",
-    "q33_simhash",
-    "q38_lang_id",
-    "q39_fingerprint",
-    "q40_multimodal_meta",
-    "q41_multimodal_decode",
-    "q42_approx_sketches",
-    "q56_regex_extract",
-    "q57_grouping_sets",
-    "q61_conditional_aggs",
-    "q63_date_math",
-    # (c) r06-oldest rotation (registration-order block q14-q29).
-    # The five q14-q18 slots and q27 were re-ceded mid-round to the
-    # second new-query wave (q182-q187, section d) — new queries are
-    # never-verified by definition while every (c) row is r6-green AND
-    # parity-gated at three SFs, so the never-verified set outranks
-    # them for external rows. Per-family double coverage for the six:
-    # q14's deterministic-LIMIT family (O4) is exercised in-window by
-    # q169/q171/q183 (every top-k here carries a total-order tiebreak);
-    # q15's CASE label map (P12/F10) by q38 lang_id (section b) and
-    # q180's rater gates; q16's top-k-by-count (O1) by q171's two-phase
-    # salted top-k; q17's rollup by q57 GROUPING SETS (section b);
-    # q18's per-segment window rank by q176's per-anchor argmax and
-    # q31's ranking window (section b); q27's applyInPandas z-score by
-    # the in-window pandas-UDAF pair q77/q86 (section a) and q178's
-    # Arrow UDF. The whole q14-q29 block rotates in r10 regardless.
-    # q19 sits out for q172: §2.7 set ops are Catalyst built-ins whose
-    # coverage row "requires nothing for parity" (r8 verdict); its
-    # UNION/INTERSECT/EXCEPT shapes stay parity-gated at three SFs.
-    # q20/q21 sit out for q179/q180: q20's sessionization family is held
-    # in-window by q172 (streaming session_window) and q161 (batch
-    # session_window, section a); q21's as-of/range-join family by
-    # r7-green q141 (trailing range window) and r6-green q69 (lookback
-    # range join). Both stay parity-gated at three SFs.
-    # q22/q26 sit out for q173/q174: PIVOT and CUBE are Catalyst
-    # grouping-analytics built-ins whose construct family is held
-    # in-window by q57 GROUPING SETS (section b) and by q17's rollup
-    # history; both stay parity-gated at three SFs.
-    # q23/q24/q25 sit out for q175/q176/q177: q23's date_trunc rollup is
-    # held in-window by q07 and q44; q24's star join by in-window q05/q06
-    # and r7-green q138; q25's salted-agg equivalence by the dedicated
-    # unit test (test_salted_agg_equals_direct) and r7-green q121.
-    # q28/q29 sit out for q178/q181: q28's vectorized-Python-UDF surface
-    # is held in-window by its own Spark-4 successor q178 (same
-    # time-of-day/token-count UDF-twin pattern) and by q27 applyInPandas;
-    # q29's row->JSON envelope (S7/F12) is exercised in-window by q44's
-    # streaming envelope path (section a) and by r8-green q162 VARIANT.
-    # Both stay parity-gated at three SFs.
-    # (d) round-9 new queries:
-    "q167_keep_best_indexed",
-    "q168_bpe_train_loop",
-    "q169_retrieval_ndcg",
-    "q170_bucketed_ctas_join",
-    "q171_batch_ann_topk",
-    "q172_streaming_session_window",
-    "q173_chi2_independence",
-    "q174_temperature_mix",
-    "q175_dynamic_partition_pruning",
-    "q176_hard_negative_mining",
-    "q177_shuffle_interleave_audit",
-    "q178_arrow_python_udf",
-    "q179_observed_metrics",
-    "q180_cohens_kappa",
-    "q181_ece_calibration",
-    # (d, second wave) — registered after the r9 driver-window comment
-    # above was first written; slot math now 12 (a) + 15 (b) + 0 (c)
-    # + 23 (d) = 50:
-    "q182_editdist_neardup",
-    "q183_bm25_rational_rank",
-    "q184_markov_transitions",
-    "q185_pareto_frontier",
-    "q186_scd2_history",
-    "q187_runtime_bloom_join",
-    "q188_spearman_trend",
-    "q189_partial_agg_rollup",
+    # (a) mandatory: edited + new this round
+    "q131_cogroup_reconcile",
+    "q190_processing_time_timer_eviction",
+    "q191_aqe_skew_join",
+    # (b) the two r5-green stragglers
+    "q12_error_metrics",
+    "q13_distinct_months",
+    # (c) the q14-q29 r6 block
+    "q14_ordered_limit",
+    "q15_label_map",
+    "q16_top_customers",
+    "q17_priority_rollup",
+    "q18_topk_per_segment",
+    "q19_set_ops",
+    "q20_sessionization",
+    "q21_asof_join",
+    "q22_pivot_counts",
+    "q23_hourly_rollup",
+    "q24_revenue_by_nation",
+    "q25_salted_agg",
+    "q26_status_cube",
+    "q27_grouped_zscore",
+    "q28_pandas_udf_bucketing",
+    "q29_json_roundtrip",
+    # (d) the remaining r6 pool
+    "q35_embedding_neardup",
+    "q36_ann_srp_bucket",
+    "q43_sql_api",
+    "q46_tfidf_topterms",
+    "q47_moving_avg",
+    "q48_grouped_quantiles",
+    "q49_unpivot",
+    "q50_correlation",
+    "q51_upsert_merge",
+    "q52_char_ngram_langid",
+    "q53_winnowing",
+    "q54_semi_anti_join",
+    "q55_constraint_audit",
+    "q62_fuzzy_editdistance",
+    "q68_dedup_clusters",
+    "q81_streaming_dedup",
+    "q83_blocked_neardup_srp",
+    "q85_multimodal_phash",
+    "q87_sequence_packing",
+    "q89_cross_source_contamination",
+    "q91_grouped_hll_distinct",
+    "q92_simhash_neardup",
+    "q93_conversion_funnel",
+    "q94_incremental_dedup",
+    "q95_streaming_incremental_dedup",
+    "q96_recency_weighted_score",
+    # (e) oldest r7 fill
+    "q100_summary_stats_sketch",
+    "q101_minhash_neardup_sharp",
+    "q102_corpus_snapshot_diff",
 ]
-# --- r10 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r9, oldest first:
-#   * the ceded q14-q29 block (16 rows, r6-green, double-covered above);
-#   * q12/q13 (promised back when re-ceded to q188/q189);
-#   * the remaining r6 pool (q35-q96 block, 26 rows per the r8 verdict).
-# 44 owed vs 50 slots leaves ~6 slots for r10-new queries — budget them
-# BEFORE writing new queries; every new/edited query must enter the
-# window (tests/test_round9_invariants.py staleness ratchet).
+# --- r11 rotation preview (slot arithmetic for the next window rewrite,
+# lesson 19) --- owed rows after r10, oldest first: the r7 pool
+# (q103/q104/q105 displaced this round, then the rest of the r7-green
+# rows — the q106-q129 block), then early-r8 rows. ~30 owed vs 50
+# slots leaves room for r11-new queries — budget them BEFORE writing
+# new queries; every new/edited query must enter the window
+# (tests/test_round9_invariants.py staleness ratchet).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

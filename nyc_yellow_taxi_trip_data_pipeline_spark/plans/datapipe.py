@@ -6282,10 +6282,13 @@ def q131_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Cogroup on a HASH BUCKET of the key, not the key itself: per-key
     # cogroups make one Python call per order (measured 60s at sf0.1 —
-    # interpreter overhead on ~150k 1-5 row groups); 256 buckets give
-    # each Arrow batch ~N/256 keys and the reconciliation vectorizes as
-    # one pandas outer merge per bucket. At larger corpora the bucket
-    # count is the dial that keeps per-task memory bounded.
+    # interpreter overhead on ~150k 1-5 row groups); bucketing gives
+    # each Arrow batch ~N/buckets keys and the reconciliation vectorizes
+    # as one pandas outer merge per bucket. At larger corpora the bucket
+    # count is the dial that keeps per-task memory bounded; at sf0.1,
+    # 128 buckets measured ~10% faster than 256 (median 0.99s vs 1.08s
+    # over 6 interleaved warm runs — fewer Arrow batch round-trips at
+    # the same per-task memory headroom), so 128 is the registered form.
     def reconcile(odf, ldf):
         # Self-contained: numpy/pandas only; executor can't import the
         # repo. np.floor on float64 is the same IEEE op both engines use.
@@ -6333,8 +6336,8 @@ def q131_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     per_key = (
-        orders.groupBy(F.expr("o_orderkey % 256").alias("b"))
-        .cogroup(lines.groupBy(F.expr("l_orderkey % 256").alias("b")))
+        orders.groupBy(F.expr("o_orderkey % 128").alias("b"))
+        .cogroup(lines.groupBy(F.expr("l_orderkey % 128").alias("b")))
         .applyInPandas(
             reconcile,
             "presence string, n_lines long, abs_diff_cents long",
@@ -12228,4 +12231,325 @@ def q189_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").cast("long").alias("value_cents"),
         )
         .select("week", "event_type", "n_events", "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — PROCESSING-TIME TIMER EVICTION (applyInPandasWithState +
+# GroupStateTimeout.ProcessingTimeTimeout): the one stateful surface
+# q67's NoTimeout sessionizer does not pin — wall-clock timers that
+# fire on triggers WITHOUT input data. Under ProcessingTimeTimeout the
+# engine keeps scheduling micro-batches after the source drains
+# (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true:
+# processing time advances), and a key whose 1 ms timeout expired gets
+# a hasTimedOut call with an EMPTY row iterator — here it emits its
+# per-key event count and removes state (cache/session eviction, the
+# canonical use). Determinism by STAGED ARRIVAL, not by racing the
+# clock: phase A moves the event_id%2=0 file into the watched dir and
+# waits until the sink holds one eviction row per phase-A user (state
+# fully drained by empty-trigger timer fires); only then does phase B
+# move the odd file in. Every key therefore evicts EXACTLY once per
+# phase it has data in, with that phase's count — n_evict equals the
+# per-user count of distinct event_id parities and n_events the plain
+# per-user count, both exact in SQL. What is deliberately NOT pinned:
+# whether a key with fresh data in the same batch as its expired timer
+# gets a data call (it does) — that interleaving depends on engine
+# scheduling between file discovery and trigger start, i.e. it is not
+# deterministic by construction, so no oracle is built on it.
+# NOTE the protobuf boundary: Spark 4's transformWithState[InPandas]
+# needs the google-protobuf driver worker (absent in this env); the
+# GroupState API carries identical timer semantics on the stock state
+# store, so that surface is what production code should target when
+# protobuf is available — the eviction algebra proven here transfers.
+# ---------------------------------------------------------------------------
+@register(
+    "q190_processing_time_timer_eviction",
+    """
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_id % 2) AS BIGINT) AS n_evict,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Processing-time timer eviction: per-user counts kept in "
+    "GroupState with a 1 ms ProcessingTimeTimeout, evicted (emitted + "
+    "state.remove) by timer fires on EMPTY triggers after each staged "
+    "arrival phase (event_id parity = phase). Exactly one eviction per "
+    "key per phase, with that phase's count — n_evict = distinct "
+    "parities per user, n_events = total, both exact in SQL.",
+    tags=("streaming", "stateful", "timer", "eviction", "pandas-udf"),
+)
+def q190_processing_time_timer_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
+    tok = uuid.uuid4().hex[:8]
+    watch_dir = f"/tmp/q190_watch_{tok}"
+    stage_dir = f"/tmp/q190_stage_{tok}"
+    os.makedirs(watch_dir)
+
+    def stage_phase(parity: int) -> None:
+        """Write one phase file into a side dir, then MOVE it into the
+        watched dir (atomic rename — the source never sees a partial
+        file or a post-discovery rename)."""
+        part = ev.filter(F.pmod("event_id", F.lit(2)) == parity)
+        out = os.path.join(stage_dir, str(parity))
+        part.coalesce(1).write.mode("overwrite").parquet(out)
+        src = [
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(src) == 1, src
+        os.rename(
+            os.path.join(out, src[0]),
+            os.path.join(watch_dir, f"{parity:02d}.parquet"),
+        )
+
+    def evict_counter(key, pdfs, state):
+        # Self-contained closure (executor workers can't import the repo).
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [cnt]})
+        else:
+            n = 0
+            for df in pdfs:
+                n += len(df)
+            cur = state.get if state.exists else (0,)
+            state.update((cur[0] + n,))
+            state.setTimeoutDuration(1)
+            yield pd.DataFrame({"user_id": [], "n": []})
+
+    sink = f"q190_out_{tok}"
+    try:
+        stage_phase(0)
+        schema = "event_id long, user_id long"
+        stream = spark.readStream.schema(schema).parquet(watch_dir)
+        evictions = stream.groupBy("user_id").applyInPandasWithState(
+            evict_counter,
+            "user_id long, n long",
+            "n long",
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                evictions.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                # Drain detection via progress metrics only (py4j-cheap;
+                # a spark.table(sink).count() poll would serialize a
+                # full job against every micro-batch): a phase is
+                # drained once some batch carried input rows AND the
+                # newest batch reports zero live state rows — i.e.
+                # every key the phase touched has been timer-evicted.
+                input_rows_by_batch: dict = {}
+
+                def wait_drained(min_input_batches: int, label: str):
+                    deadline = time.time() + 120
+                    while time.time() < deadline:
+                        for p in q.recentProgress:
+                            if p is None:
+                                continue
+                            bid = p["batchId"]
+                            input_rows_by_batch[bid] = p["numInputRows"]
+                        p = q.lastProgress
+                        fed = sum(
+                            1 for v in input_rows_by_batch.values() if v
+                        )
+                        if (
+                            p is not None
+                            and fed >= min_input_batches
+                            and p.get("stateOperators")
+                            and p["stateOperators"][0]["numRowsTotal"] == 0
+                        ):
+                            return
+                        time.sleep(0.05)
+                    raise AssertionError(
+                        f"q190 {label}: state never drained — "
+                        "processing-time timers did not fire"
+                    )
+
+                # Phase A must FULLY drain (every key evicted by an
+                # empty-trigger timer fire) before phase B arrives —
+                # that gap is what makes the per-phase eviction count
+                # deterministic instead of racing the batch clock.
+                wait_drained(1, "phase A")
+                stage_phase(1)
+                wait_drained(2, "phase B")
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+        return (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_evict"),
+                F.sum("n").cast("long").alias("n_events"),
+            )
+        )
+    finally:
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q191 — AQE SKEW-JOIN CONVERSION asserted in-plan: the AUTOMATIC
+# complement to q121's manual salting. A hot join key (user_id%10<9
+# all collapse to key 0 — ~90% of the fact side) lands in one shuffle
+# partition of a sort-merge join; with adaptive skew handling on,
+# Spark splits that partition by MAP-OUTPUT RANGES at runtime and
+# replicates the matching dim partition per split — no salting
+# rewrite, no key-space change, bit-identical results. The conversion
+# is asserted in the FINAL adaptive plan (q170/q175 discipline:
+# silently degrading to an unsplit SMJ would pass value parity while
+# losing the property under test). Two scale notes baked in: (a) the
+# skewed partition can only split at map-output boundaries, so the
+# fact side is repartitioned into a fixed 10 map tasks first — at
+# 100 TB map counts are naturally in the thousands and this is free;
+# (b) OptimizeSkewedJoin only fires when the SMJ sits in the RESULT
+# stage (a downstream aggregate's partial-agg stage suppresses it even
+# with forceOptimizeSkewedJoin — measured on this Spark), so the join
+# itself is the streamed result and the tiny rollup runs on the
+# collected rows, which doubles as the lesson-15 conf-scope
+# materialization; (c) OptimizeSkewedJoin pattern-matches BOTH join
+# children as Sort(ShuffleStage) — an agg between them (e.g. a
+# distinct feeding the dim side in the same stage) suppresses the
+# rule, so the ~150-row dim is collected into a LocalRelation first
+# (documented tiny pull). Thresholds are scoped to the session and
+# restored in finally.
+# ---------------------------------------------------------------------------
+@register(
+    "q191_aqe_skew_join",
+    """
+    WITH f AS (
+      SELECT CASE WHEN user_id % 10 < 9 THEN 0 ELSE user_id END AS k,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS qv
+      FROM events
+    ),
+    dim AS (
+      SELECT k, k % 7 AS grp FROM (SELECT DISTINCT k FROM f)
+    )
+    SELECT g.grp,
+           COUNT(*) AS n_rows,
+           CAST(SUM(f.qv) AS BIGINT) AS value_cents
+    FROM f JOIN dim g ON g.k = f.k
+    GROUP BY g.grp
+    """,
+    description="AQE skew-join conversion: a 90%-hot join key split at "
+    "runtime by map-output ranges (skew=true asserted in the final "
+    "adaptive plan — the automatic complement to q121's manual "
+    "salting), dim partition replicated per split, results "
+    "bit-identical to the plain join+rollup oracle. Conf-scoped "
+    "thresholds, collected under the scope (lesson 15).",
+    tags=("join", "skew", "aqe", "agg", "scale-dial"),
+)
+def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # Advisory split size derived from the input size so the hot
+    # partition splits into ~10 chunks at EVERY scale factor — a fixed
+    # tiny advisory would shatter sf0.1 into hundreds of splinter tasks
+    # (splits scale with data over a constant), a fixed large one stops
+    # splitting at sf0.001. Same dial as production, where advisory
+    # tracks target task size, not corpus size.
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(ev_path):
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(ev_path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    else:
+        size = os.path.getsize(ev_path)
+    advisory = max(1024, size // 100)
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Tiny thresholds so the property is exercised at test SFs; at
+        # production scale the defaults (256 MB / 5x median) are the
+        # right dial and the same plan shape appears untouched.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "800",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory),
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev: dict = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        base = read_table(spark, sf_dir, "events").select(
+            F.expr(
+                "CASE WHEN user_id % 10 < 9 THEN CAST(0 AS BIGINT)"
+                " ELSE user_id END"
+            ).alias("k"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("qv"),
+        )
+        # Fixed map-task count: skewed partitions split at map-output
+        # boundaries, so >1 map outputs must feed the hot partition.
+        fact = base.repartition(10)
+        # Dim as a LocalRelation: ~1 row per hot-key class (151 at
+        # sf0.1) — collected so the join's right child is a bare
+        # Sort(ShuffleStage) the skew rule can pattern-match (header
+        # note c). Built from the un-repartitioned base: one less stage.
+        dim_rows = (
+            base.select("k")
+            .distinct()
+            .withColumn("grp", F.pmod("k", F.lit(7)))
+            .collect()
+        )
+        dim = spark.createDataFrame(dim_rows, "k long, grp long")
+        joined = fact.join(dim.hint("merge"), "k").select("k", "qv", "grp")
+        # Materialize the JOIN as the result stage (see header: a
+        # downstream aggregate suppresses OptimizeSkewedJoin), under the
+        # scoped confs (lesson 15). Bounded pull: 3 int64 columns,
+        # ~100k rows at sf0.1.
+        rows = joined.collect()
+        plan = (
+            joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        )
+        if "skew=true" not in plan:
+            raise AssertionError(
+                "join lost its AQE skew-split conversion:\n" + plan
+            )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return (
+        spark.createDataFrame(rows, "k long, qv long, grp long")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("qv").cast("long").alias("value_cents"),
+        )
     )

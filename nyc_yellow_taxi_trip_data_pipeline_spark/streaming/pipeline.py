@@ -51,13 +51,20 @@ def read_stream(
     if source == "kafka":
         if not (kafka_bootstrap and topic):
             raise ValueError("kafka source needs kafka_bootstrap and topic")
-        return (
+        # startingOffsets is a DEFAULT, not an override: an explicit
+        # options={"startingOffsets": ...} (or maxOffsetsPerTrigger /
+        # any other connector option) must win — Spark's option chain is
+        # last-writer-wins, so only fill it when the caller didn't.
+        # (Option matrix pinned broker-free in tests/test_kafka_contract.py
+        # against the reference subscription, sparkConsumer.py:59-63.)
+        reader = (
             reader.format("kafka")
             .option("kafka.bootstrap.servers", kafka_bootstrap)
             .option("subscribe", topic)
-            .option("startingOffsets", "earliest")
-            .load()
         )
+        if "startingOffsets" not in (options or {}):
+            reader = reader.option("startingOffsets", "earliest")
+        return reader.load()
     if source == "rate":
         return reader.format("rate").load()
     if source in ("json", "parquet", "csv"):

@@ -63,12 +63,28 @@ ALLOW: dict[str, set[str]] = {
     "float_sum": {"q153_domain_rank"},
 }
 
+# The double-typed columns of the test tables, for the float_sum lint:
+# SUM directly over any of these is the lesson-18 non-associative case
+# even without an explicit CAST ... AS DOUBLE. Remaining known gap
+# (ADVICE r9): a SUM over a double-valued EXPRESSION that neither casts
+# nor names a raw double column (e.g. SUM(a/b) over integer columns
+# promoted by division) still slips past — the dtype audit and
+# three-SF parity remain the empirical backstop for those.
+_DOUBLE_COLS = (
+    "value|o_totalprice|l_extendedprice|l_discount|l_tax|l_quantity"
+    "|c_acctbal|s_acctbal|p_retailprice"
+)
+
 PATTERNS: dict[str, re.Pattern[str]] = {
     "round": re.compile(r"\bROUND\s*\(", re.I),
     "transcendental": re.compile(
         r"\b(LN|LOG|LOG2|LOG10|EXP|POW|POWER)\s*\(", re.I
     ),
-    "float_sum": re.compile(r"\bSUM\s*\(\s*CAST\s*\([^)]*AS\s+DOUBLE", re.I),
+    "float_sum": re.compile(
+        r"\bSUM\s*\(\s*(?:CAST\s*\([^)]*AS\s+DOUBLE"
+        rf"|(?:[a-z]\w*\.)?(?:{_DOUBLE_COLS})\s*[)*/+-])",
+        re.I,
+    ),
 }
 
 HARD_BANNED: dict[str, re.Pattern[str]] = {
@@ -104,11 +120,29 @@ SPARK_PATTERNS: dict[str, re.Pattern[str]] = {
 }
 
 SPARK_HARD_BANNED: dict[str, re.Pattern[str]] = {
-    "rand": re.compile(r"\bF\.randn?\s*\("),
-    "engine_hash": re.compile(r"\bF\.(xxhash64|hash)\s*\("),
+    # Bare-name forms included (ADVICE r9): `from pyspark.sql.functions
+    # import rand` or the snake_case dropDuplicates alias would
+    # otherwise evade the ban. Bare `hash(` stays un-matched on purpose
+    # (it is Python's builtin); F.hash covers the Spark function.
+    "rand": re.compile(r"\b(?:F\.)?randn?\s*\("),
+    "engine_hash": re.compile(r"\b(?:F\.(?:xxhash64|hash)|xxhash64)\s*\("),
     "volatile": re.compile(r"\bF\.(current_date|current_timestamp|now)\s*\("),
-    "dropdup": re.compile(r"\.dropDuplicates\s*\("),
+    "dropdup": re.compile(r"\.(?:dropDuplicates|drop_duplicates)\s*\("),
 }
+
+
+def _plan_body(src: str) -> str:
+    """The function BODY only: the @register decorator (description
+    prose legitimately mentions rand()/ROUND in 'we do NOT use X'
+    wording) and comment text are not code. Naive #-strip — a # inside
+    a string literal truncates that scan line, an accepted
+    false-negative risk for a ratchet."""
+    lines = src.splitlines()
+    start = next(
+        (i for i, ln in enumerate(lines) if ln.lstrip().startswith("def ")),
+        0,
+    )
+    return "\n".join(re.sub(r"#.*$", "", ln) for ln in lines[start:])
 
 
 def violations() -> list[str]:
@@ -129,7 +163,7 @@ def violations() -> list[str]:
                     "allowlist (tools/oracle_lint.py) — restate per the "
                     "bit-portability catalog or justify and allowlist"
                 )
-        src = inspect.getsource(spec.spark)
+        src = _plan_body(inspect.getsource(spec.spark))
         for key, pat in SPARK_HARD_BANNED.items():
             if pat.search(src):
                 out.append(
@@ -155,7 +189,7 @@ def violations() -> list[str]:
                     if spec is None
                     else (spec.oracle or "")
                     if side == "oracle"
-                    else inspect.getsource(spec.spark)
+                    else _plan_body(inspect.getsource(spec.spark))
                 )
                 if spec is None:
                     out.append(

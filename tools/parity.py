@@ -177,7 +177,18 @@ def main() -> int:
         spark.conf.set("spark.sql.session.timeZone", tz)
         print(f"[session timezone shifted to {tz}]")
     for k, v in confs:
-        spark.conf.set(k, v)
+        # Static/non-runtime confs (or a typo'd key) raise from
+        # conf.set after session creation — fail legibly instead of
+        # aborting the sweep with a stack trace (ADVICE r9).
+        try:
+            spark.conf.set(k, v)
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"[conf ERROR] cannot set {k}={v} on a live session "
+                f"({type(exc).__name__}: {exc}) — static confs must go "
+                "on the builder; check the key for typos"
+            )
+            return 2
         print(f"[conf {k}={v}]")
     con = duck_connection(sf_dir)
     failures = 0

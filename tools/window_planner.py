@@ -87,18 +87,25 @@ def plan() -> dict:
     # Registration order AFTER the _PRIORITY reorder is itself
     # window-shaped; rank ties by name for a stable, order-independent
     # proposal instead.
+    # ONE effective-freshness map used by the ranking AND every printed
+    # report (ADVICE r9: reports previously used the raw driver rows,
+    # so never-driver-verified queries printed r00 while the ranking
+    # treated them as manifest-round fresh — the two could disagree).
+    # Effective freshness = newest driver row, falling back to the
+    # manifest round (a seed from a judge live-parity pass) when a
+    # query has never had its own driver row (documented sit-outs).
+    effective: dict[str, int] = {}
     mandatory: list[str] = []
     rest: list[tuple[int, str]] = []
     for name, entry in QUERIES.items():
+        effective[name] = driver_rows.get(
+            name, manifest.get(name, {}).get("round", 0)
+        )
         recorded = manifest.get(name, {}).get("hash")
         if recorded != query_hash(entry):
             mandatory.append(name)
         else:
-            # Freshness = newest driver row; fall back to the manifest
-            # round (a seed from a judge live-parity pass) when a query
-            # has never had its own driver row (documented sit-outs).
-            rnd = driver_rows.get(name, manifest.get(name, {}).get("round", 0))
-            rest.append((rnd, name))
+            rest.append((effective[name], name))
     mandatory.sort()
     rest.sort(key=lambda t: (t[0], t[1]))
 
@@ -110,7 +117,7 @@ def plan() -> dict:
         "proposed_window": proposed,
         "overflow": max(len(mandatory) - WINDOW_SIZE, 0),
         "current_window": list(_PRIORITY),
-        "driver_rows": driver_rows,
+        "effective_rounds": effective,
     }
 
 
@@ -130,7 +137,8 @@ def main(argv: list[str]) -> int:
             print(f"RATCHET VIOLATION — edited/new but not in window: {missing}")
             return 1
         ages = sorted(
-            (p["driver_rows"].get(n, 0), n) for n in p["current_window"]
+            (p["effective_rounds"].get(n, 0), n)
+            for n in p["current_window"]
         )
         print(
             f"current window ok: {len(p['mandatory'])} mandatory in, "
@@ -148,7 +156,7 @@ def main(argv: list[str]) -> int:
     fill = p["proposed_window"][len(p["mandatory"]):]
     print(f"fill, oldest driver row first ({len(fill)}):")
     for n in fill:
-        print(f"  r{p['driver_rows'].get(n, 0):02d} {n}")
+        print(f"  r{p['effective_rounds'].get(n, 0):02d} {n}")
     nxt = [
         (r, n) for r, n in p["owed_order"] if n not in set(p["proposed_window"])
     ][:15]
