@@ -93,6 +93,9 @@ QUERIES_TO_RUN = [
     "q179_observed_metrics",       # CollectMetrics in-flight counters
     "q180_cohens_kappa",           # token-scan + source rollup
     "q181_ece_calibration",        # token-scan + 10-bin rollup
+    "q131_cogroup_reconcile",      # 128-bucket Arrow cogroup (r10 dial)
+    "q190_processing_time_timer_eviction",  # staged-arrival timer evict
+    "q191_aqe_skew_join",          # runtime skew split (advisory ~ input)
 ]
 
 
