@@ -12301,12 +12301,10 @@ def q190_processing_time_timer_eviction(
     os.makedirs(watch_dir)
 
     def stage_phase(parity: int) -> None:
-        """Write one phase file into a side dir, then MOVE it into the
-        watched dir (atomic rename — the source never sees a partial
-        file or a post-discovery rename)."""
-        part = ev.filter(F.pmod("event_id", F.lit(2)) == parity)
-        out = os.path.join(stage_dir, str(parity))
-        part.coalesce(1).write.mode("overwrite").parquet(out)
+        """Move one pre-written phase file into the watched dir (atomic
+        rename — the source never sees a partial file or a
+        post-discovery rename)."""
+        out = os.path.join(stage_dir, f"parity={parity}")
         src = [
             f
             for f in os.listdir(out)
@@ -12337,6 +12335,16 @@ def q190_processing_time_timer_eviction(
 
     sink = f"q190_out_{tok}"
     try:
+        # Both phase files written in ONE job (partitionBy over the
+        # parity, 2-way repartition => exactly one file per phase dir);
+        # phases then ARRIVE via stage_phase moves at the right moments.
+        (
+            ev.withColumn("parity", F.pmod("event_id", F.lit(2)))
+            .repartition(2, "parity")
+            .write.partitionBy("parity")
+            .mode("overwrite")
+            .parquet(stage_dir)
+        )
         stage_phase(0)
         schema = "event_id long, user_id long"
         stream = spark.readStream.schema(schema).parquet(watch_dir)
@@ -12428,9 +12436,12 @@ def q190_processing_time_timer_eviction(
 # (b) OptimizeSkewedJoin only fires when the SMJ sits in the RESULT
 # stage (a downstream aggregate's partial-agg stage suppresses it even
 # with forceOptimizeSkewedJoin — measured on this Spark), so the join
-# itself is the streamed result and the tiny rollup runs on the
-# collected rows, which doubles as the lesson-15 conf-scope
-# materialization; (c) OptimizeSkewedJoin pattern-matches BOTH join
+# IS the materialized result and the per-group rollup rides OBSERVED
+# METRICS (CollectMetrics — a pass-through node the skew rule
+# tolerates): 14 scalars over the static grp domain 0..6, zero rows
+# pulled to the driver (the collect-based first form measured 4.2x at
+# the 10x smoke, all transfer; this form is compute-bound);
+# (c) OptimizeSkewedJoin pattern-matches BOTH join
 # children as Sort(ShuffleStage) — an agg between them (e.g. a
 # distinct feeding the dim side in the same stage) suppresses the
 # rule, so the ~150-row dim is collected into a LocalRelation first
@@ -12458,12 +12469,14 @@ def q190_processing_time_timer_eviction(
     "runtime by map-output ranges (skew=true asserted in the final "
     "adaptive plan — the automatic complement to q121's manual "
     "salting), dim partition replicated per split, results "
-    "bit-identical to the plain join+rollup oracle. Conf-scoped "
-    "thresholds, collected under the scope (lesson 15).",
+    "bit-identical to the plain join+rollup oracle. Per-group rollup "
+    "via observed metrics (zero-row driver pull); conf-scoped "
+    "thresholds, materialized under the scope (lesson 15).",
     tags=("join", "skew", "aqe", "agg", "scale-dial"),
 )
 def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import uuid
 
     # Advisory split size derived from the input size so the hot
     # partition splits into ~10 chunks at EVERY scale factor — a fixed
@@ -12526,14 +12539,32 @@ def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         dim = spark.createDataFrame(dim_rows, "k long, grp long")
-        joined = fact.join(dim.hint("merge"), "k").select("k", "qv", "grp")
-        # Materialize the JOIN as the result stage (see header: a
-        # downstream aggregate suppresses OptimizeSkewedJoin), under the
-        # scoped confs (lesson 15). Bounded pull: 3 int64 columns,
-        # ~100k rows at sf0.1.
-        rows = joined.collect()
+        joined = fact.join(dim.hint("merge"), "k")
+        # Rollup via OBSERVED METRICS (CollectMetrics, q179's machinery):
+        # a pass-through node that neither requires a distribution nor
+        # leaves the result stage, so the skew rule still fires — and
+        # the per-group sums/counts come back as 14 scalars with ZERO
+        # rows pulled to the driver (grp = k%7 has a static 0..6
+        # domain). The first form of this query collected the joined
+        # rows; its 10x smoke ratio was 4.2x, all driver transfer.
+        # Materialization = eager localCheckpoint (JVM-side, fires the
+        # observation listener) under the scoped confs (lesson 15).
+        from pyspark.sql import Observation  # noqa: PLC0415
+
+        obs = Observation(f"q191_{uuid.uuid4().hex[:8]}")
+        metrics = []
+        for g in range(7):
+            metrics.append(
+                F.sum(F.when(F.col("grp") == g, F.col("qv"))).alias(f"s{g}")
+            )
+            metrics.append(
+                F.count(F.when(F.col("grp") == g, True)).alias(f"c{g}")
+            )
+        observed = joined.observe(obs, *metrics)
+        observed.localCheckpoint(eager=True).unpersist()
+        got = obs.get
         plan = (
-            joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            observed._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
         )
         if "skew=true" not in plan:
             raise AssertionError(
@@ -12545,11 +12576,11 @@ def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    return (
-        spark.createDataFrame(rows, "k long, qv long, grp long")
-        .groupBy("grp")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.sum("qv").cast("long").alias("value_cents"),
-        )
+    rows = [
+        (g, int(got[f"c{g}"]), int(got[f"s{g}"]))
+        for g in range(7)
+        if got[f"c{g}"]
+    ]
+    return spark.createDataFrame(
+        rows, "grp long, n_rows long, value_cents long"
     )
