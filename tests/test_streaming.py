@@ -607,3 +607,165 @@ def test_transform_with_state_in_pandas_totals(spark):
         .collect()
     )
     assert got == exp
+
+
+def test_transform_with_state_timer_eviction(spark):
+    """q190's staged-arrival processing-time timer algebra on the NEW
+    transformWithStateInPandas API (registerTimer + handleExpiredTimer):
+    phase A fully timer-evicts before phase B lands, so every key evicts
+    exactly once per phase with that phase's count. Env-gated exactly
+    like the ValueState test above — the runner needs google.protobuf;
+    this pins the q190 oracle's transfer path wherever it exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not installed (transformWithState "
+                    "runner requires it)")
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from pyspark.sql.streaming import StatefulProcessor
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_table(spark, sf, "events").select("event_id", "user_id")
+    tok = uuid.uuid4().hex[:8]
+    watch = f"/tmp/tws_timer_watch_{tok}"
+    stage = f"/tmp/tws_timer_stage_{tok}"
+    os.makedirs(watch)
+
+    class Evictor(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._cnt = handle.getValueState(
+                "cnt", StructType([StructField("n", LongType(), True)])
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            if self._cnt.exists():
+                n += int(self._cnt.get()[0])
+            self._cnt.update((n,))
+            self._handle.registerTimer(1)  # epoch-ms 1: already expired
+            yield pd.DataFrame({"user_id": [], "n": []})
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            import pandas as pd
+
+            n = int(self._cnt.get()[0]) if self._cnt.exists() else -1
+            self._cnt.clear()
+            yield pd.DataFrame({"user_id": [int(key[0])], "n": [n]})
+
+        def close(self):
+            pass
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n", LongType())]
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    sink = f"tws_timer_{tok}"
+    try:
+        (
+            ev.withColumn("parity", F.pmod("event_id", F.lit(2)))
+            .repartition(2, "parity")
+            .write.partitionBy("parity")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+
+        def stage_phase(parity):
+            out = os.path.join(stage, f"parity={parity}")
+            src = [
+                f
+                for f in os.listdir(out)
+                if f.endswith(".parquet") and not f.startswith("_")
+            ]
+            assert len(src) == 1, src
+            os.rename(
+                os.path.join(out, src[0]),
+                os.path.join(watch, f"{parity:02d}.parquet"),
+            )
+
+        stage_phase(0)
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .parquet(watch)
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            Evictor(), out_schema, "Update", "ProcessingTime"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            seen: dict = {}
+
+            def wait_drained(min_batches):
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    for p in q.recentProgress:
+                        if p:
+                            seen[p["batchId"]] = p["numInputRows"]
+                    p = q.lastProgress
+                    fed = sum(1 for v in seen.values() if v)
+                    if (
+                        p is not None
+                        and fed >= min_batches
+                        and p.get("stateOperators")
+                        and p["stateOperators"][0]["numRowsTotal"] == 0
+                    ):
+                        return
+                    time.sleep(0.05)
+                raise AssertionError("timers never drained the state")
+
+            wait_drained(1)
+            stage_phase(1)
+            wait_drained(2)
+        finally:
+            q.stop()
+        got = sorted(
+            (r.user_id, r.n_evict, r.n_events)
+            for r in spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_evict"),
+                F.sum("n").cast("long").alias("n_events"),
+            )
+            .collect()
+        )
+        exp = sorted(
+            (r.user_id, r.n_evict, r.n_events)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.countDistinct(
+                    F.pmod("event_id", F.lit(2))
+                ).cast("long").alias("n_evict"),
+                F.count("*").alias("n_events"),
+            )
+            .collect()
+        )
+        assert got == exp
+    finally:
+        if default:
+            spark.conf.set(key, default)
+        else:
+            spark.conf.unset(key)
+        shutil.rmtree(watch, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
