@@ -12584,3 +12584,170 @@ def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "grp long, n_rows long, value_cents long"
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — ZONE-MAP (MIN/MAX) SKIPPING FROM A SORTED LAYOUT: the third
+# data-layout lever alongside q175 (directory-level partition pruning)
+# and q170 (bucketed co-located joins) — and at 100 TB the dominant one
+# for selective point/range scans, because row-group statistics prune
+# I/O WITHOUT the small-files or fixed-key costs of directories and
+# buckets. The same lineitem projection is written twice: CLUSTERED
+# (repartitionByRange + sortWithinPartitions on ship_date, so every
+# file and row group owns a narrow date interval) and SCATTERED (hash
+# on an md5 scatter key decorrelated from date, so every row group
+# spans the full domain — the layout a raw ingest produces). One
+# selective two-month probe runs against each; the parquet reader
+# evaluates the pushed range predicate against per-row-group min/max
+# and skips groups wholesale. Both assertions live IN the query: the
+# range predicate must appear under PushedFilters on both scans
+# (losing pushdown silently voids the experiment), and the clustered
+# scan's post-pushdown output rows must undercut the scattered scan's
+# by >=3x (measured ~4x at sf0.001 where files are single-row-group,
+# widening with scale as intra-file groups multiply; the scattered
+# scan reads everything). Values: per-returnflag quantized revenue
+# over the probe window from the CLUSTERED layout, cross-checked
+# in-query against the SCATTERED layout row-for-row — layout must
+# never change results, only I/O. Conf scoping per lesson 15 (AQE off
+# for a stable executedPlan metric walk; collect before restore).
+# Reference capability: sparkConsumer.py's full-scan filters, restated
+# as the layout discipline that makes them cheap at scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q192_zonemap_layout_skipping",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1999-03-01'
+    GROUP BY l_returnflag
+    """,
+    description="Zone-map skipping from a sorted layout: lineitem "
+    "written range-clustered vs md5-scattered, the same pushed "
+    "two-month range probe run against both; the clustered scan must "
+    "emit >=3x fewer post-pushdown rows (row-group min/max pruning) "
+    "and both layouts must agree value-exactly — asserted in-query. "
+    "Directory pruning (q175) and bucketing (q170) complete the "
+    "layout triad; this is the lever for selective range scans at "
+    "100 TB.",
+    tags=("sink", "layout", "scan", "scale-dial"),
+)
+def q192_zonemap_layout_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib as _hl
+
+    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    paths = {
+        kind: f"{warehouse}/q192_{kind}_{tok}"
+        for kind in ("clustered", "scattered")
+    }
+
+    hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
+    hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+
+    def _built(p: str) -> bool:
+        loc = hadoop_path(f"{p}/_SUCCESS")
+        return loc.getFileSystem(hconf).exists(loc)
+
+    if not all(_built(p) for p in paths.values()):
+        base = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            "l_returnflag",
+            "l_extendedprice",
+            "l_discount",
+        )
+        # Pay-once clustered write: range partitions give file-level
+        # date locality, the within-partition sort gives row-group-level
+        # locality, and the small parquet block size manufactures many
+        # row groups per file so intra-file skipping is observable even
+        # at test scale (a real corpus gets this for free from volume).
+        (
+            base.repartitionByRange(8, "ship_date", "l_orderkey")
+            .sortWithinPartitions("ship_date", "l_orderkey", "l_linenumber")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536)
+            .parquet(paths["clustered"])
+        )
+        # Scatter layout: md5 hash-partition + sort, deterministic file
+        # bytes but every row group spans the whole date domain.
+        (
+            base.withColumn(
+                "__scatter",
+                F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")),
+            )
+            .repartition(8, "__scatter")
+            .sortWithinPartitions("__scatter")
+            .drop("__scatter")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 65536)
+            .parquet(paths["scattered"])
+        )
+
+    lo = F.lit("1999-01-01").cast("date")
+    hi = F.lit("1999-03-01").cast("date")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        results: dict[str, list] = {}
+        scan_rows: dict[str, int] = {}
+        for kind, path in paths.items():
+            probe = (
+                spark.read.parquet(path)
+                .filter((F.col("ship_date") >= lo) & (F.col("ship_date") < hi))
+                .groupBy("l_returnflag")
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum(
+                        F.floor(
+                            F.col("l_extendedprice")
+                            * (F.lit(1.0) - F.col("l_discount"))
+                            * F.lit(100.0)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    )
+                    .cast("long")
+                    .alias("rev_cents"),
+                )
+            )
+            results[kind] = sorted(map(tuple, probe.collect()))
+            qe = probe._jdf.queryExecution()  # noqa: SLF001
+            plan = qe.executedPlan()
+            if "PushedFilters: [IsNotNull(ship_date), GreaterThanOrEqual" not in plan.toString():
+                raise AssertionError(
+                    f"{kind} scan lost range-predicate pushdown:\n"
+                    + plan.toString()
+                )
+            leaves = plan.collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if "Scan" in leaf.nodeName():
+                    scan_rows[kind] = int(
+                        leaf.metrics().apply("numOutputRows").value()
+                    )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    if results["clustered"] != results["scattered"]:
+        raise AssertionError(
+            "layout changed query VALUES — clustered "
+            f"{results['clustered']} vs scattered {results['scattered']}"
+        )
+    if scan_rows["clustered"] * 3 > scan_rows["scattered"]:
+        raise AssertionError(
+            "clustered layout lost its zone-map skipping advantage: "
+            f"clustered scan emitted {scan_rows['clustered']} rows vs "
+            f"scattered {scan_rows['scattered']} (expected >=3x fewer)"
+        )
+    return spark.createDataFrame(
+        results["clustered"],
+        "l_returnflag string, n_rows bigint, rev_cents bigint",
+    )

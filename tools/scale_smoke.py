@@ -96,6 +96,7 @@ QUERIES_TO_RUN = [
     "q131_cogroup_reconcile",      # 128-bucket Arrow cogroup (r10 dial)
     "q190_processing_time_timer_eviction",  # staged-arrival timer evict
     "q191_aqe_skew_join",          # runtime skew split (advisory ~ input)
+    "q192_zonemap_layout_skipping",  # row-group min/max pruning (warm probe)
 ]
 
 
