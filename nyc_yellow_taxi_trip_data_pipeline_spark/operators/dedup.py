@@ -163,23 +163,69 @@ def lsh_candidate_pairs(
     )
 
 
+def _candidate_docs(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct doc ids appearing on either side of the candidate pairs —
+    the key set every verification join is restricted to."""
+    return (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+
+
 def jaccard_on_pairs(
-    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    pairs_count: int | None = None,
+    broadcast_cap: int = 2_000_000,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via the inverted index:
     |A ∩ B| from a shingle equi-join restricted to candidates,
-    |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes."""
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes.
+
+    CANDIDATE-RESTRICTED at any scale: the corpus shingle table is first
+    cut down to candidate docs with a semi-join, so the corpus is never
+    broadcast and never hash-built — only candidate-doc shingle mass
+    (bounded by the bucket cap x shingles/doc) moves through the
+    verification joins. Before this restriction, the un-hinted joins
+    chose a plan-time BROADCAST of the FULL shingle and sizes tables
+    (localCheckpoint's LogicalRDD stats undersell string-heavy tables;
+    measured at 100x corpus: the driver died building a multi-GB hash
+    relation), and a blanket SHUFFLE_HASH fix cost 1.5-2x at sf0.1 by
+    shuffling the whole corpus.
+
+    ``pairs_count`` (cheap on a localCheckpointed candidate set) selects
+    the strategy: at or under ``broadcast_cap`` the candidate keys and
+    pair list are broadcast (the semi-join and first verify join run
+    map-side over the corpus scan — zero corpus shuffle); above it, or
+    unknown (None), everything runs as sort-merge joins (SMJ spills;
+    a shuffled-hash build does not, and AQE's partition coalescing can
+    concentrate a build side past per-task memory — measured at 100x:
+    'Can't acquire ... bytes to build hash relation'), still linear at
+    any corpus size."""
+    small = pairs_count is not None and pairs_count <= broadcast_cap
+    docs_in = _candidate_docs(pairs, id_col)
+    if small:
+        docs_in = F.broadcast(docs_in)
+    r = shingles.join(docs_in, id_col, "left_semi")
+    sizes = r.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = r.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = r.select(F.col(id_col).alias("doc_b"), "shingle")
+    p = F.broadcast(pairs) if small else pairs.hint("merge")
     inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        p.join(sa, "doc_a")
+        .join(sb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    if small:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    else:
+        na = na.hint("merge")
+        nb = nb.hint("merge")
     return (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -200,6 +246,8 @@ def sig_agreement_filter(
     min_agree: int,
     n_hashes: int = 12,
     id_col: str = "doc_id",
+    pairs_count: int | None = None,
+    broadcast_cap: int = 2_000_000,
 ) -> DataFrame:
     """Keep candidate pairs whose MinHash signatures agree on at least
     ``min_agree`` of ``n_hashes`` positions — the signature-based Jaccard
@@ -215,12 +263,25 @@ def sig_agreement_filter(
     spares. The estimate is binomial-noisy (sigma ~ sqrt(j(1-j)/n)), so
     ``min_agree`` must sit safely BELOW threshold*n_hashes to keep
     borderline recall; it is a deterministic function of the signatures,
-    so an oracle reproduces the exact same survivor set."""
-    a = sigs.select(
+    so an oracle reproduces the exact same survivor set.
+
+    Candidate-restricted like ``jaccard_on_pairs``: the corpus-scaled
+    signature table is semi-joined down to candidate docs first (the
+    un-restricted join picked the full signature table as a plan-time
+    broadcast build from localCheckpoint's misleading stats — fatal at
+    100x corpus). ``pairs_count`` <= ``broadcast_cap`` broadcasts the
+    candidate keys/pairs (map-side over the signature scan); above or
+    unknown, spill-safe sort-merge joins."""
+    small = pairs_count is not None and pairs_count <= broadcast_cap
+    docs_in = _candidate_docs(pairs, id_col)
+    if small:
+        docs_in = F.broadcast(docs_in)
+    sr = sigs.join(docs_in, id_col, "left_semi")
+    a = sr.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(n_hashes)],
     )
-    b = sigs.select(
+    b = sr.select(
         F.col(id_col).alias("doc_b"),
         *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(n_hashes)],
     )
@@ -228,9 +289,17 @@ def sig_agreement_filter(
     for i in range(n_hashes):
         term = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
+    p = F.broadcast(pairs) if small else pairs.hint("merge")
+    joined = p.join(a, "doc_a")
+    # The b side is ~25x wider than a pair row (n_hashes signature
+    # strings), so its broadcast gets a 10x tighter bound; between the
+    # two caps the join falls back to spill-safe sort-merge.
+    if small and pairs_count <= broadcast_cap // 10:
+        b = F.broadcast(b)
+    else:
+        joined = joined.hint("merge")
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        joined.join(b, "doc_b")
         .filter(agree >= min_agree)
         .select("doc_a", "doc_b")
     )
@@ -275,17 +344,28 @@ def minhash_near_duplicates(
         id_col=id_col,
         max_bucket=max_bucket,
     )
-    if sig_agree_min is not None:
-        cands = sig_agreement_filter(
-            cands, sigs, sig_agree_min, n_hashes=n_hashes, id_col=id_col
-        )
     # Candidates are a small (doc_a, doc_b) set; pinning them stops the
     # band-window/self-join/distinct chain from re-running inside the
-    # multi-branch verification join.
+    # multi-branch verification joins, and the count on the materialized
+    # set (a cheap metadata-ish job, not a data pull) is what lets the
+    # downstream helpers pick broadcast-restricted vs shuffle-restricted
+    # verification plans from the ACTUAL candidate cardinality instead
+    # of Spark's (checkpoint-blinded) estimates.
     cands = cands.localCheckpoint(eager=True)
-    return jaccard_on_pairs(cands, sh, id_col=id_col).filter(
-        F.col("jaccard") >= threshold
-    )
+    n_cands = cands.count()
+    if sig_agree_min is not None:
+        cands = sig_agreement_filter(
+            cands,
+            sigs,
+            sig_agree_min,
+            n_hashes=n_hashes,
+            id_col=id_col,
+            pairs_count=n_cands,
+        ).localCheckpoint(eager=True)
+        n_cands = cands.count()
+    return jaccard_on_pairs(
+        cands, sh, id_col=id_col, pairs_count=n_cands
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def connected_components(

@@ -32,21 +32,22 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #     round with the rationale that they rotate back NOW).
 # (d) the remaining r6 pool (26 rows, q35-q96 block) — after this round
 #     every green row in the inventory is r7+.
-# (e) oldest r7 fill: q100/q101.
-# Slot math: 4 (a) + 2 (b) + 16 (c) + 26 (d) + 2 (e) = 50.
-# Sit-outs displaced by the four mandatory rows: q102/q103/q104/q105 —
-# r7-green with byte-identical source since (ratchet-checked), all
-# parity-gated at three SFs every commit; mandatory never-verified/
+# (e) oldest r7 fill: q100.
+# Slot math: 5 (a) + 2 (b) + 16 (c) + 26 (d) + 1 (e) = 50.
+# Sit-outs displaced by the five mandatory rows: q101/q102/q103/q104/
+# q105 — r7-green with byte-identical source since (ratchet-checked),
+# all parity-gated at three SFs every commit; mandatory never-verified/
 # edited rows outrank r7-green re-verification (same principle that
 # ceded (c) slots to new queries in r9). They rotate in r11 with the
-# rest of the r7 pool. (q192 landed mid-round within the <=6-new-query
-# budget from verdict item 3 — q190/q191/q192 uses 3 of 6.)
+# rest of the r7 pool. (q192/q193 landed mid-round within the
+# <=6-new-query budget from verdict item 3 — q190-q193 uses 4 of 6.)
 _PRIORITY = [
     # (a) mandatory: edited + new this round
     "q131_cogroup_reconcile",
     "q190_processing_time_timer_eviction",
     "q191_aqe_skew_join",
     "q192_zonemap_layout_skipping",
+    "q193_event_time_timer_eviction",
     # (b) the two r5-green stragglers
     "q12_error_metrics",
     "q13_distinct_months",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "q96_recency_weighted_score",
     # (e) oldest r7 fill
     "q100_summary_stats_sketch",
-    "q101_minhash_neardup_sharp",
 ]
 # --- r11 rotation preview (slot arithmetic for the next window rewrite,
 # lesson 19) --- owed rows after r10, oldest first: the r7 pool

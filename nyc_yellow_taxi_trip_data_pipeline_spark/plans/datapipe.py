@@ -3347,7 +3347,7 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_new, bands_idx, max_bucket=_MH_MAX_BUCKET
     ).localCheckpoint(eager=True)
     neardup_new = (
-        dd.jaccard_on_pairs(cand, sh)
+        dd.jaccard_on_pairs(cand, sh, pairs_count=cand.count())
         .filter(F.col("jaccard") >= 0.5)
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -12751,3 +12751,201 @@ def q192_zonemap_layout_skipping(
         results["clustered"],
         "l_returnflag string, n_rows bigint, rev_cents bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — EVENT-TIME TIMER EVICTION (applyInPandasWithState +
+# GroupStateTimeout.EventTimeTimeout): completes the timeout-mode triad
+# (q67 NoTimeout, q190 ProcessingTimeTimeout). Timers here are driven
+# by the WATERMARK, not the wall clock, which makes every fire
+# deterministic: a key times out on the first batch whose watermark
+# exceeds its setTimeoutTimestamp, and the engine schedules exactly one
+# extra empty micro-batch after a data batch IFF the watermark advanced
+# (shouldRunAnotherBatch is watermark-gated — unlike q190's
+# ProcessingTimeTimeout it is NOT always-true, so processAllAvailable()
+# returns normally and no progress polling is needed; measured: phase
+# batches arrive as data-batch + one empty eviction batch).
+# Determinism by STAGED ARRIVAL (lesson: q190): phase A = events before
+# Jan 16, phase B = the rest, each a single staged file. The exact
+# algebra, all in floor-to-ms epoch arithmetic identical in both
+# engines (watermark advance uses the one-batch-lag rule — during the
+# phase-B data batch the watermark is still phase A's):
+#   W1 = ms(max ts in A) - 3600000        (after A's data batch)
+#   W3 = ms(max ts in B) - 3600000        (after B's data batch)
+#   e1: key evicts in A's empty batch iff ms(max_A(key)) + 1001 < W1,
+#       emitting its A count;
+#   e2: key with B data evicts in B's empty batch iff
+#       ms(max_B(key)) + 1001 < W3, emitting B count + A count if A
+#       state survived e1 (timers overwritten by the B data call);
+#   e3: A-only key that survived e1 evicts in B's empty batch iff
+#       ms(max_A(key)) + 1001 < W3 (its A-era timer, fired late);
+#   keys within the watermark delay of their phase max never evict and
+#   are still in state at stop — all four classes populated at every
+#   SF. The +1001 ms offset is deliberately sub-second-grained so a
+#   second-granular generator change cannot manufacture boundary ties
+#   (event times are microsecond-grained today — ties are measure-zero
+#   either way, lesson 7). setTimeoutTimestamp > current-watermark is
+#   structurally guaranteed: phase B timestamps all exceed phase A's
+#   max, hence exceed W1.
+# ---------------------------------------------------------------------------
+@register(
+    "q193_event_time_timer_eviction",
+    """
+    WITH a AS (
+      SELECT user_id, COUNT(*) AS c, epoch_ms(MAX(ts)) AS m
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, COUNT(*) AS c, epoch_ms(MAX(ts)) AS m
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY user_id
+    ),
+    ga AS (SELECT MAX(m) AS wm FROM a),
+    gb AS (SELECT MAX(m) AS wm FROM b),
+    u AS (
+      SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             COALESCE(a.c, 0) AS ac, a.m AS am,
+             COALESCE(b.c, 0) AS bc, b.m AS bm
+      FROM a FULL JOIN b ON a.user_id = b.user_id
+    ),
+    f AS (
+      SELECT user_id, ac, bc,
+        CASE WHEN ac > 0 AND am + 1001 < (SELECT wm FROM ga) - 3600000
+             THEN 1 ELSE 0 END AS e1,
+        CASE WHEN bc > 0 AND bm + 1001 < (SELECT wm FROM gb) - 3600000
+             THEN 1 ELSE 0 END AS e2,
+        CASE WHEN ac > 0 AND bc = 0
+              AND am + 1001 >= (SELECT wm FROM ga) - 3600000
+              AND am + 1001 < (SELECT wm FROM gb) - 3600000
+             THEN 1 ELSE 0 END AS e3
+      FROM u
+    )
+    SELECT user_id,
+           CAST(e1 + e2 + e3 AS BIGINT) AS n_evict,
+           CAST(e1 * ac
+                + e2 * (bc + CASE WHEN e1 = 0 THEN ac ELSE 0 END)
+                + e3 * ac AS BIGINT) AS n_emitted
+    FROM f
+    WHERE e1 + e2 + e3 > 0
+    """,
+    description="Event-time timer eviction: per-user counts in GroupState "
+    "with EventTimeTimeout, timers fired by WATERMARK advance (exactly "
+    "one empty micro-batch per staged phase — deterministic, no wall "
+    "clock). Oracle reproduces the full timer algebra in floor-to-ms "
+    "epoch arithmetic: early eviction under phase A's watermark, "
+    "re-accumulation + eviction under phase B's, late fire of surviving "
+    "A-era timers, and never-evicted keys inside the delay. Completes "
+    "the timeout-mode triad (q67 NoTimeout, q190 ProcessingTime).",
+    tags=("streaming", "stateful", "timer", "watermark", "pandas-udf"),
+)
+def q193_event_time_timer_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+        unload_state_stores,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    tok = uuid.uuid4().hex[:8]
+    watch_dir = f"/tmp/q193_watch_{tok}"
+    stage_dir = f"/tmp/q193_stage_{tok}"
+    os.makedirs(watch_dir)
+    tmid = "2024-01-16 00:00:00"
+
+    def stage_phase(phase: int) -> None:
+        out = os.path.join(stage_dir, f"phase={phase}")
+        src = [
+            f
+            for f in os.listdir(out)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        assert len(src) == 1, src
+        os.rename(
+            os.path.join(out, src[0]),
+            os.path.join(watch_dir, f"{phase:02d}.parquet"),
+        )
+
+    def evict_counter(key, pdfs, state):
+        # Self-contained closure (executor workers can't import the repo).
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n": [cnt]})
+        else:
+            n = 0
+            mx = None
+            for df in pdfs:
+                n += len(df)
+                m = df["ts"].max()
+                mx = m if mx is None or m > mx else mx
+            cur = state.get if state.exists else (0,)
+            state.update((cur[0] + n,))
+            # pandas ns -> floor ms, matching the engine's watermark
+            # granularity and the oracle's epoch_ms.
+            state.setTimeoutTimestamp(int(mx.value // 1_000_000) + 1001)
+            yield pd.DataFrame({"user_id": [], "n": []})
+
+    sink = f"q193_out_{tok}"
+    try:
+        (
+            ev.withColumn(
+                "phase",
+                (F.col("ts") >= F.lit(tmid).cast("timestamp")).cast("int"),
+            )
+            .repartition(2, "phase")
+            .write.partitionBy("phase")
+            .mode("overwrite")
+            .parquet(stage_dir)
+        )
+        stage_phase(0)
+        schema = "user_id long, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(watch_dir)
+            .withWatermark("ts", "1 hour")
+        )
+        evictions = stream.groupBy("user_id").applyInPandasWithState(
+            evict_counter,
+            "user_id long, n long",
+            "n long",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                evictions.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                # Watermark-gated batching: each call drains the staged
+                # phase's data batch plus the one empty eviction batch
+                # the advanced watermark schedules, then returns.
+                q.processAllAvailable()
+                stage_phase(1)
+                q.processAllAvailable()
+            finally:
+                q.stop()
+                unload_state_stores(spark)
+        return (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("long").alias("n_evict"),
+                F.sum("n").cast("long").alias("n_emitted"),
+            )
+        )
+    finally:
+        shutil.rmtree(watch_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)

@@ -97,6 +97,7 @@ QUERIES_TO_RUN = [
     "q190_processing_time_timer_eviction",  # staged-arrival timer evict
     "q191_aqe_skew_join",          # runtime skew split (advisory ~ input)
     "q192_zonemap_layout_skipping",  # row-group min/max pruning (warm probe)
+    "q193_event_time_timer_eviction",  # watermark-fired timer evictions
 ]
 
 
@@ -113,7 +114,7 @@ def build(out: Path, factor: int) -> None:
             con.execute(
                 f"""
                 COPY (
-                  SELECT * REPLACE ({idcol} + {c} * {keyspan} AS {idcol})
+                  SELECT * REPLACE ({idcol} + {c * keyspan} AS {idcol})
                   FROM read_parquet('{SRC}/{t}.parquet')
                 ) TO '{out}/{t}.parquet/part-{c}.parquet' (FORMAT PARQUET)
                 """
@@ -129,7 +130,7 @@ def build(out: Path, factor: int) -> None:
         con.execute(
             f"""
             COPY (
-              SELECT doc_id + {c} * 10_000_000 AS doc_id,
+              SELECT doc_id + {c * 10_000_000} AS doc_id,
                      CASE WHEN {c} = 0 THEN text
                           ELSE array_to_string(
                             list_transform(string_split(text, ' '),
@@ -151,7 +152,7 @@ def build(out: Path, factor: int) -> None:
         con.execute(
             f"""
             COPY (
-              SELECT vec_id + {c} * 10_000_000 AS vec_id, label,
+              SELECT vec_id + {c * 10_000_000} AS vec_id, label,
                      list_transform(embedding,
                        (x, i) -> CAST(x + {c} * 0.003 * (((i * 7919) % 13) - 6)
                                  AS FLOAT)) AS embedding
