@@ -198,17 +198,31 @@ def jaccard_on_pairs(
     ``pairs_count`` (cheap on a localCheckpointed candidate set) selects
     the strategy: at or under ``broadcast_cap`` the candidate keys and
     pair list are broadcast (the semi-join and first verify join run
-    map-side over the corpus scan — zero corpus shuffle); above it, or
-    unknown (None), everything runs as sort-merge joins (SMJ spills;
-    a shuffled-hash build does not, and AQE's partition coalescing can
-    concentrate a build side past per-task memory — measured at 100x:
-    'Can't acquire ... bytes to build hash relation'), still linear at
-    any corpus size."""
-    small = pairs_count is not None and pairs_count <= broadcast_cap
+    map-side over the corpus scan — zero corpus shuffle); above it
+    everything runs as sort-merge joins (SMJ spills; a shuffled-hash
+    build does not, and AQE's partition coalescing can concentrate a
+    build side past per-task memory — measured at 100x: 'Can't acquire
+    ... bytes to build hash relation'), still linear at any corpus
+    size. When ``pairs_count`` is None the helper materializes the pair
+    set itself (eager localCheckpoint + count): ``pairs`` is consumed
+    TWICE below (the candidate-doc semi-join and the verify join), so
+    an unmaterialized band-join chain would recompute per consumer, and
+    the measured count picks the broadcast plan whenever it is safe."""
+    if pairs_count is None:
+        pairs = pairs.localCheckpoint(eager=True)
+        pairs_count = pairs.count()
+    small = pairs_count <= broadcast_cap
     docs_in = _candidate_docs(pairs, id_col)
     if small:
         docs_in = F.broadcast(docs_in)
-    r = shingles.join(docs_in, id_col, "left_semi")
+    # The restricted shingle table feeds THREE subtrees (sizes + both
+    # intersection-join sides); without pinning it, each subtree re-runs
+    # the corpus-wide semi-join — the bulk of the r10 verification
+    # delta. Candidate-doc shingle mass is bounded (bucket cap x
+    # shingles/doc), so the materialization is small at any corpus size.
+    r = shingles.join(docs_in, id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
     sizes = r.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = r.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = r.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -270,13 +284,23 @@ def sig_agreement_filter(
     un-restricted join picked the full signature table as a plan-time
     broadcast build from localCheckpoint's misleading stats — fatal at
     100x corpus). ``pairs_count`` <= ``broadcast_cap`` broadcasts the
-    candidate keys/pairs (map-side over the signature scan); above or
-    unknown, spill-safe sort-merge joins."""
-    small = pairs_count is not None and pairs_count <= broadcast_cap
+    candidate keys/pairs (map-side over the signature scan); above,
+    spill-safe sort-merge joins. A None ``pairs_count`` is measured
+    here (eager localCheckpoint + count) — ``pairs`` feeds both the
+    candidate-doc semi-join and the agreement join, so materializing
+    stops the band-join chain recomputing per consumer and the count
+    picks the broadcast plan whenever it is safe."""
+    if pairs_count is None:
+        pairs = pairs.localCheckpoint(eager=True)
+        pairs_count = pairs.count()
+    small = pairs_count <= broadcast_cap
     docs_in = _candidate_docs(pairs, id_col)
     if small:
         docs_in = F.broadcast(docs_in)
-    sr = sigs.join(docs_in, id_col, "left_semi")
+    # sr feeds BOTH agreement-join sides; pin it so the corpus-wide
+    # semi-join over the signature table runs once, not twice (same
+    # rationale as jaccard_on_pairs' restricted-shingle pin).
+    sr = sigs.join(docs_in, id_col, "left_semi").localCheckpoint(eager=True)
     a = sr.select(
         F.col(id_col).alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(n_hashes)],

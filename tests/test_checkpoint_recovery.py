@@ -113,9 +113,17 @@ _ROCKSDB_PROVIDER = (
 
 
 @pytest.mark.parametrize(
-    "provider", [_HDFS_PROVIDER, _ROCKSDB_PROVIDER], ids=["hdfs", "rocksdb"]
+    ("provider", "changelog"),
+    [
+        (_HDFS_PROVIDER, None),
+        (_ROCKSDB_PROVIDER, "false"),
+        (_ROCKSDB_PROVIDER, "true"),
+    ],
+    ids=["hdfs", "rocksdb", "rocksdb-changelog"],
 )
-def test_stateful_window_state_survives_restart(spark, tmp_path, provider):
+def test_stateful_window_state_survives_restart(
+    spark, tmp_path, provider, changelog
+):
     """Run 1 accumulates two rows into the 10:00 window; its watermark
     tops out at 9:50 (10:20 - 30min), so nothing is ripe and nothing is
     emitted — not even by the engine's no-data flush batch (which is why
@@ -129,9 +137,14 @@ def test_stateful_window_state_survives_restart(spark, tmp_path, provider):
 
     Parametrized over both state store providers: RocksDB is the
     large-state production backend (state spills to disk), and a
-    checkpoint must restore correctly under it too. Each param gets its
-    own tmp_path, so a checkpoint is always reopened by the provider
-    that wrote it (mixing providers across a restart is unsupported)."""
+    checkpoint must restore correctly under it too. RocksDB additionally
+    runs with changelog checkpointing ON — the production durability
+    mode that uploads per-batch changelogs instead of full snapshots
+    (restart replays the changelog on top of the last snapshot), so the
+    restore path it exercises is genuinely different from snapshot
+    mode. Each param gets its own tmp_path, so a checkpoint is always
+    reopened by the provider (and changelog mode) that wrote it —
+    mixing across a restart is unsupported."""
     d = tmp_path / "in"
     d.mkdir()
     ckpt = str(tmp_path / "ckpt")
@@ -167,8 +180,15 @@ def test_stateful_window_state_survives_restart(spark, tmp_path, provider):
             q.stop()
 
     conf_key = "spark.sql.streaming.stateStore.providerClass"
+    chlog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
     prev = spark.conf.get(conf_key, None)
+    prev_chlog = spark.conf.get(chlog_key, None)
     spark.conf.set(conf_key, provider)
+    if changelog is not None:
+        spark.conf.set(chlog_key, changelog)
     try:
         run_once()
         assert emitted == []  # watermark 9:50; nothing ripe yet
@@ -185,6 +205,10 @@ def test_stateful_window_state_survives_restart(spark, tmp_path, provider):
             spark.conf.set(conf_key, prev)
         else:
             spark.conf.unset(conf_key)
+        if prev_chlog:
+            spark.conf.set(chlog_key, prev_chlog)
+        else:
+            spark.conf.unset(chlog_key)
         unload_state_stores(spark)
     assert emitted == [("2024-01-01T10:00:00", 2, 3.0)]
 

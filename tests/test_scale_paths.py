@@ -334,13 +334,31 @@ def test_write_signature_index_and_q98_match_cold_path(spark):
 
     # (c) warm per-batch plan: raw text scanned once (the delta), never
     # for the index — its side comes from the materialized tables.
+    # Since round 11 sig_agreement_filter materializes the candidate set
+    # (eager localCheckpoint — the band-join chain fed two consumers),
+    # so the registered query's FINAL plan shows the candidates as a
+    # LogicalRDD; the bands-index scan property is asserted on the
+    # candidate sub-plan, rebuilt here exactly as the registered body
+    # builds it (datapipe.py q98: bands_d x spark.table(f"{base}_bands")).
     plan_df = QUERIES["q98_incremental_dedup_indexed"].spark(spark, sf_dir)
     plan = plan_df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     text_scans = [ln for ln in scans if "text:string" in ln]
     assert text_scans and all("documents" in ln for ln in text_scans)
-    assert any(f"{base}_bands" in ln for ln in scans), scans
+    sigs_d = dd.minhash_signatures(
+        dd.shingle_distinct(delta, n=2), n_hashes=_MH_N
+    )
+    bands_d = dd.lsh_bands(sigs_d, n_hashes=_MH_N, band_size=_MH_BAND)
+    cand_warm = dd.lsh_candidate_pairs_asymmetric(
+        bands_d, spark.table(f"{base}_bands"), max_bucket=_MH_MAX_BUCKET
+    )
+    cplan = cand_warm._jdf.queryExecution().executedPlan().toString()
+    cplan = cplan.split("== Initial Plan ==")[0]
+    cscans = [ln for ln in cplan.splitlines() if "FileScan" in ln]
+    assert any(f"{base}_bands" in ln for ln in cscans), cscans
+    # the index side of candidate generation never touches raw text
+    assert all("text:string" not in ln or "documents" in ln for ln in cscans)
 
 
 def test_q103_top_word_agg_is_map_side_combined(spark):

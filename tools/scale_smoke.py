@@ -98,6 +98,9 @@ QUERIES_TO_RUN = [
     "q191_aqe_skew_join",          # runtime skew split (advisory ~ input)
     "q192_zonemap_layout_skipping",  # row-group min/max pruning (warm probe)
     "q193_event_time_timer_eviction",  # watermark-fired timer evictions
+    # min-of-2: rep 1 pays the one-time Z/linear layout writes, rep 2 is
+    # the warm probe cost (same note as q98/q167 above).
+    "q194_zorder_multidim_skipping",   # trailing-dim Z-order skipping
 ]
 
 
