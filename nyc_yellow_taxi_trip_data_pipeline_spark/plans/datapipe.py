@@ -22,6 +22,35 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans.registry import register
 from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
 
 
+def _data_fingerprint_token(sf_dir: str, table: str) -> str:
+    """Warehouse-cache token that fingerprints a table's INPUT DATA
+    (parquet file count + total bytes + newest mtime), not just the
+    path: in-place testdata regeneration (invariant 5's drift scenario)
+    must invalidate any cached artifact derived from the table instead
+    of silently reusing it against a fresh oracle. Same-data concurrent
+    sessions still share a token, so every query that materializes
+    under one of these tokens stays on the SERIAL sweep list
+    (ARCHITECTURE.md, env-robustness matrix)."""
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        stats = [
+            os.stat(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    else:
+        stats = [os.stat(path)]
+    fp = (
+        f"{sf_dir}|{table}|{len(stats)}|{sum(s.st_size for s in stats)}"
+        f"|{max((s.st_mtime_ns for s in stats), default=0)}"
+    )
+    return hashlib.md5(fp.encode()).hexdigest()[:8]
+
+
 # ---------------------------------------------------------------------------
 # q30 — exact dedup groups (hash group-by on content).
 # ---------------------------------------------------------------------------
@@ -12299,13 +12328,22 @@ def q190_processing_time_timer_eviction(
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
     tok = uuid.uuid4().hex[:8]
     watch_dir = f"/tmp/q190_watch_{tok}"
-    stage_dir = f"/tmp/q190_stage_{tok}"
+    # Phase files are a pure function of the input table, so they are
+    # CACHED under the warehouse keyed on a data fingerprint (q192/q194
+    # pay-once discipline) — warm runs skip the staging write job.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    stage_dir = (
+        f"{warehouse}/q190_stage_{_data_fingerprint_token(sf_dir, 'events')}"
+    )
     os.makedirs(watch_dir)
 
     def stage_phase(parity: int) -> None:
-        """Move one pre-written phase file into the watched dir (atomic
-        rename — the source never sees a partial file or a
-        post-discovery rename)."""
+        """Copy one pre-written phase file into the watched dir, made
+        visible atomically (temp-name + rename within the watch dir —
+        the source never sees a partial file; the cached stage file
+        stays in place for the next run)."""
         out = os.path.join(stage_dir, f"parity={parity}")
         src = [
             f
@@ -12313,10 +12351,9 @@ def q190_processing_time_timer_eviction(
             if f.endswith(".parquet") and not f.startswith("_")
         ]
         assert len(src) == 1, src
-        os.rename(
-            os.path.join(out, src[0]),
-            os.path.join(watch_dir, f"{parity:02d}.parquet"),
-        )
+        tmp = os.path.join(watch_dir, f".{parity:02d}.tmp")
+        shutil.copyfile(os.path.join(out, src[0]), tmp)
+        os.rename(tmp, os.path.join(watch_dir, f"{parity:02d}.parquet"))
 
     def evict_counter(key, pdfs, state):
         # Self-contained closure (executor workers can't import the repo).
@@ -12360,14 +12397,17 @@ def q190_processing_time_timer_eviction(
     try:
         # Both phase files written in ONE job (partitionBy over the
         # parity, 2-way repartition => exactly one file per phase dir);
-        # phases then ARRIVE via stage_phase moves at the right moments.
-        (
-            ev.withColumn("parity", F.pmod("event_id", F.lit(2)))
-            .repartition(2, "parity")
-            .write.partitionBy("parity")
-            .mode("overwrite")
-            .parquet(stage_dir)
-        )
+        # phases then ARRIVE via stage_phase copies at the right
+        # moments. The write is skipped when the fingerprint-keyed
+        # cache already holds it.
+        if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+            (
+                ev.withColumn("parity", F.pmod("event_id", F.lit(2)))
+                .repartition(2, "parity")
+                .write.partitionBy("parity")
+                .mode("overwrite")
+                .parquet(stage_dir)
+            )
         stage_phase(0)
         schema = "event_id long, user_id long"
         stream = spark.readStream.schema(schema).parquet(watch_dir)
@@ -12449,8 +12489,8 @@ def q190_processing_time_timer_eviction(
             )
         )
     finally:
+        # stage_dir is a fingerprint-keyed cache — deliberately kept.
         shutil.rmtree(watch_dir, ignore_errors=True)
-        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -12672,29 +12712,10 @@ def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q192_zonemap_layout_skipping(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
-
-    # The cache token fingerprints the INPUT DATA, not just the path:
-    # lineitem's parquet file count + total bytes + newest mtime. If
-    # testdata is regenerated in place (the invariant-5 drift scenario)
-    # the token changes and the layout artifacts are rebuilt instead of
-    # being silently reused against a fresh oracle.
-    li_path = _os.path.join(sf_dir, "lineitem.parquet")
-    if _os.path.isdir(li_path):
-        stats = [
-            _os.stat(_os.path.join(r, f))
-            for r, _, fs in _os.walk(li_path)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-    else:
-        stats = [_os.stat(li_path)]
-    fingerprint = (
-        f"{sf_dir}|{len(stats)}|{sum(s.st_size for s in stats)}"
-        f"|{max((s.st_mtime_ns for s in stats), default=0)}"
-    )
-    tok = _hl.md5(fingerprint.encode()).hexdigest()[:8]
+    # The cache token fingerprints the INPUT DATA, not just the path
+    # (see _data_fingerprint_token): testdata regenerated in place
+    # rebuilds the layouts instead of silently reusing stale artifacts.
+    tok = _data_fingerprint_token(sf_dir, "lineitem")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
@@ -12922,7 +12943,14 @@ def q193_event_time_timer_eviction(
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     tok = uuid.uuid4().hex[:8]
     watch_dir = f"/tmp/q193_watch_{tok}"
-    stage_dir = f"/tmp/q193_stage_{tok}"
+    # Fingerprint-keyed cached staging, as q190: phase files are a pure
+    # function of the input table — warm runs skip the write job.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    stage_dir = (
+        f"{warehouse}/q193_stage_{_data_fingerprint_token(sf_dir, 'events')}"
+    )
     os.makedirs(watch_dir)
     tmid = "2024-01-16 00:00:00"
 
@@ -12934,10 +12962,9 @@ def q193_event_time_timer_eviction(
             if f.endswith(".parquet") and not f.startswith("_")
         ]
         assert len(src) == 1, src
-        os.rename(
-            os.path.join(out, src[0]),
-            os.path.join(watch_dir, f"{phase:02d}.parquet"),
-        )
+        tmp = os.path.join(watch_dir, f".{phase:02d}.tmp")
+        shutil.copyfile(os.path.join(out, src[0]), tmp)
+        os.rename(tmp, os.path.join(watch_dir, f"{phase:02d}.parquet"))
 
     def evict_counter(key, pdfs, state):
         # Self-contained closure (executor workers can't import the repo).
@@ -13016,16 +13043,19 @@ def q193_event_time_timer_eviction(
 
     sink = f"q193_out_{tok}"
     try:
-        (
-            ev.withColumn(
-                "phase",
-                (F.col("ts") >= F.lit(tmid).cast("timestamp")).cast("int"),
+        if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+            (
+                ev.withColumn(
+                    "phase",
+                    (F.col("ts") >= F.lit(tmid).cast("timestamp")).cast(
+                        "int"
+                    ),
+                )
+                .repartition(2, "phase")
+                .write.partitionBy("phase")
+                .mode("overwrite")
+                .parquet(stage_dir)
             )
-            .repartition(2, "phase")
-            .write.partitionBy("phase")
-            .mode("overwrite")
-            .parquet(stage_dir)
-        )
         stage_phase(0)
         schema = "user_id long, ts timestamp"
         stream = (
@@ -13074,8 +13104,8 @@ def q193_event_time_timer_eviction(
             )
         )
     finally:
+        # stage_dir is a fingerprint-keyed cache — deliberately kept.
         shutil.rmtree(watch_dir, ignore_errors=True)
-        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -13138,26 +13168,9 @@ def q193_event_time_timer_eviction(
 def q194_zorder_multidim_skipping(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
-
     # Data-fingerprinted cache token (q192's discipline): regeneration
     # of the input invalidates the cached layouts.
-    li_path = _os.path.join(sf_dir, "lineitem.parquet")
-    if _os.path.isdir(li_path):
-        stats = [
-            _os.stat(_os.path.join(r, f))
-            for r, _, fs in _os.walk(li_path)
-            for f in fs
-            if f.endswith(".parquet")
-        ]
-    else:
-        stats = [_os.stat(li_path)]
-    fingerprint = (
-        f"{sf_dir}|{len(stats)}|{sum(s.st_size for s in stats)}"
-        f"|{max((s.st_mtime_ns for s in stats), default=0)}"
-    )
-    tok = _hl.md5(fingerprint.encode()).hexdigest()[:8]
+    tok = _data_fingerprint_token(sf_dir, "lineitem")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
