@@ -140,3 +140,50 @@ def test_simhash_wide_bands_full_recall_within_radius(spark):
     pairs = {(r.doc_a, r.doc_b) for r in capped}
     assert (0, 1) in pairs
     assert not any(a >= 10 and b >= 10 for a, b in pairs)
+
+
+def test_verification_helpers_pick_plan_from_measured_pair_count(spark):
+    """Round-11 regression pin for the verification-join strategy dial:
+    when ``pairs_count`` is omitted, the helpers must materialize the
+    candidate set, MEASURE it, and pick the broadcast-restricted plan
+    for small counts (the q98/q167 call sites previously always fell to
+    the SMJ path and recomputed the un-checkpointed band-join chain per
+    consumer); an explicit count above ``broadcast_cap`` must keep the
+    corpus side out of any broadcast (100x safety: the full shingle
+    table must never hash-build)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators import dedup as dd
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = dd.shingle_distinct(docs, n=2).localCheckpoint(eager=True)
+    sigs = dd.minhash_signatures(sh, n_hashes=12).localCheckpoint(eager=True)
+    cands = dd.lsh_candidate_pairs(
+        dd.lsh_bands(sigs, n_hashes=12, band_size=2), max_bucket=64
+    )
+
+    # pairs_count omitted -> helper measures it (tiny here) and the
+    # verification joins run broadcast-restricted.
+    jac = dd.jaccard_on_pairs(cands, sh)
+    plan = jac._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan, plan
+
+    agree = dd.sig_agreement_filter(cands, sigs, min_agree=6)
+    aplan = agree._jdf.queryExecution().executedPlan().toString()
+    aplan = aplan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in aplan, aplan
+
+    # A declared-huge pair count must force the spill-safe SMJ path on
+    # the verification joins (no broadcast of the corpus-scaled side).
+    cands_p = cands.localCheckpoint(eager=True)
+    big = dd.jaccard_on_pairs(cands_p, sh, pairs_count=10_000_000)
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    bplan = bplan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in bplan, bplan
+    assert "BroadcastHashJoin" not in bplan, bplan
+
+    # The two strategies must agree value-exactly (strategy is an
+    # execution dial, never a semantics dial).
+    small_rows = sorted(map(tuple, jac.collect()))
+    big_rows = sorted(map(tuple, big.collect()))
+    assert small_rows == big_rows and len(small_rows) > 0
