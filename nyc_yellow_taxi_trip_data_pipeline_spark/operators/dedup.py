@@ -219,7 +219,9 @@ def jaccard_on_pairs(
     # intersection-join sides); without pinning it, each subtree re-runs
     # the corpus-wide semi-join — the bulk of the r10 verification
     # delta. Candidate-doc shingle mass is bounded (bucket cap x
-    # shingles/doc), so the materialization is small at any corpus size.
+    # shingles/doc) and the checkpoint is executor-local disk-backed,
+    # so the pin stays safe on the SMJ path too — it trades one bounded
+    # write for two corpus-wide recomputes.
     r = shingles.join(docs_in, id_col, "left_semi").localCheckpoint(
         eager=True
     )
