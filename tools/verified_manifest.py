@@ -34,6 +34,10 @@ import json
 import os
 import sys
 
+# Runnable as `python tools/verified_manifest.py` from the repo root:
+# the script-dir sys.path[0] (tools/) would otherwise hide the package.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 MANIFEST_PATH = os.path.join(os.path.dirname(__file__), "verified_hashes.json")
 
 
