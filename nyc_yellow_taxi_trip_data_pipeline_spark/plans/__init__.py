@@ -17,94 +17,91 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. The r11
-# window executes the r10 verdict's item #1 (rotate the entire r7-vintage
-# pool through the window — after this round no green driver row predates
-# r8) plus the staleness-ratchet mandatories:
-# (a) MANDATORY (edited this round): q190/q193 (stateful timer replays
-#     rebuilt on hash-BUCKET state keys — lesson 9 applied to the
-#     stateful surface — and 1 state partition; ~20-30% faster, oracles
-#     unchanged), q192 (data-fingerprinted layout-cache token +
-#     order-insensitive pushed-filter assertion, both ADVICE items).
-# (b) MANDATORY (new): q194 Z-order multi-dimensional clustering — the
-#     liquid-clustering-style extension of q192 budgeted by the r10
-#     verdict item #5 (one slot, in-plan assertion discipline).
-# (c) the full 46-row r7 pool (tools/window_planner.py fill, oldest
-#     driver row first): q101-q129 block, q132-q142 block, q67, q78,
-#     q88, q90, q97, q98, q99.
-# Slot math: 3 (a) + 1 (b) + 46 (c) = 50.
-# Sit-outs (first owed rows NOT in the window): the early-r8 pool
-# (q01/q02/q05/q06, then q07...) — rationale: r8-green with
-# byte-identical source since (ratchet-checked), parity-gated at three
-# SFs every commit; the 46 strictly-older r7 rows and the 4 mandatory
-# rows outrank r8-green re-verification. They lead the r12 window fill.
-# NOTE: the helper-level dedup changes this round (jaccard_on_pairs /
-# sig_agreement_filter candidate pinning + self-measured pairs_count)
-# do not change any plan-function hash, but their heaviest consumers
-# q98 (indexed-dedup call site) and q101/q112 (minhash family) are all
-# inside this window anyway — the helper edit gets fresh external rows
-# through them.
+# order therefore decides which queries earn a hard external row. The r12
+# window executes the r11 verdict's item #1 (rotate the entire remaining
+# r8-vintage pool — after this round no green driver row predates r9)
+# plus the staleness-ratchet mandatories:
+# (a) MANDATORY (edited this round): q190/q193 (salted+GC'd staging
+#     cache tokens per ADVICE; 64->16 state buckets + 10 ms drain poll
+#     — measured ~0.9 s off each, oracles unchanged), q192/q194
+#     (salted+GC'd layout cache tokens, ADVICE items 1/4; q194 also
+#     documents the >=2x skipping assertion's SF floor).
+# (b) MANDATORY (new): q195 materialized MERGE rounds — the r11 verdict
+#     item #4(b) budgeted surface (dynamic-partition-overwrite COW
+#     upsert; the SPJ alternative is impossible with stock jars — the
+#     DSv2 test catalog that reports KeyGroupedPartitioning does not
+#     ship in the pyspark distribution).
+# (c) the full 45-row r8 pool (tools/window_planner.py fill, oldest
+#     driver row first): q01-q11 heads, q143-q166 block, q32/q34/q37,
+#     q58, q64-q84 block.
+# Slot math: 4 (a) + 1 (b) + 45 (c) = 50.
+# Sit-outs (first owed rows NOT in the window): the r9 pool heads
+# (q03_filter_group_count, q04_null_counts, q10_histogram,
+# q130_streaming_late_drop, q135_streaming_dedup_within_watermark) —
+# rationale: r9-green with byte-identical source since
+# (ratchet-checked), parity-gated at three SFs every commit; the
+# strictly-older r8 rows and the 5 mandatory rows outrank r9-green
+# re-verification. They lead the r13 window fill.
 _PRIORITY = [
     # (a)+(b) mandatory: edited + new this round
     "q190_processing_time_timer_eviction",
     "q192_zonemap_layout_skipping",
     "q193_event_time_timer_eviction",
     "q194_zorder_multidim_skipping",
-    # (c) the r7 pool, oldest driver rows in the inventory
-    "q101_minhash_neardup_sharp",
-    "q102_corpus_snapshot_diff",
-    "q103_repetition_filters",
-    "q104_embedding_drift_audit",
-    "q105_ngram_decontamination",
-    "q106_shard_manifest",
-    "q107_length_bucket_padding",
-    "q108_semantic_dedup",
-    "q109_bpe_merge_step",
-    "q110_streaming_sliding_rate",
-    "q111_importance_weights",
-    "q112_dup_cluster_histogram",
-    "q113_media_neardup_phash",
-    "q114_curated_shard_build",
-    "q115_streaming_upsert_totals",
-    "q116_bpe_apply_merge",
-    "q117_referential_integrity",
-    "q118_session_documents",
-    "q119_embedding_truncation_audit",
-    "q120_join_skew_audit",
-    "q121_salted_skew_join",
-    "q122_scd2_intervals",
-    "q123_lsh_verify_editdist",
-    "q124_hash_threshold_sample",
-    "q125_word_freq_spectrum",
-    "q126_training_mix_schedule",
-    "q127_quality_classifier",
-    "q128_bloom_prefilter_join",
-    "q129_chunk_dup_mass",
-    "q132_vocab_oov_coverage",
-    "q133_stream_outer_join",
-    "q134_chained_stateful",
-    "q136_k_anonymity_audit",
-    "q137_label_shift_tvd",
-    "q138_star_join_q5",
-    "q139_ab_exposure_audit",
-    "q140_winsorized_mean",
-    "q141_trailing_range_window",
-    "q142_forward_fill",
-    "q67_streaming_sessionize",
-    "q78_chunk_windows_udtf",
-    "q88_pii_redaction_audit",
-    "q90_domain_mix_budget",
-    "q97_grouped_mad_outliers",
-    "q98_incremental_dedup_indexed",
-    "q99_quantiles_iqr_sketch",
+    "q195_merge_rounds_materialized",
+    # (c) the r8 pool, oldest driver rows in the inventory
+    "q01_pricing_summary",
+    "q02_clean_features",
+    "q05_route_topk",
+    "q06_left_join_dim",
+    "q07_daily_multi_agg",
+    "q08_argmax_day",
+    "q09_quantiles_iqr",
+    "q11_summary_stats",
+    "q143_completeness_gaps",
+    "q144_keep_best_dedup",
+    "q145_ann_recall_eval",
+    "q146_integer_ols_trend",
+    "q147_cohort_retention",
+    "q148_component_variance",
+    "q149_cross_language_dups",
+    "q150_media_neardup_capped",
+    "q151_split_leakage_audit",
+    "q152_source_overlap_matrix",
+    "q153_domain_rank",
+    "q155_vocab_growth",
+    "q156_l_diversity_audit",
+    "q157_fd_violation_audit",
+    "q158_heavy_hitters",
+    "q162_variant_roundtrip",
+    "q164_retrieval_rank_eval",
+    "q165_corpus_datasheet",
+    "q166_neyman_allocation",
+    "q32_minhash_lsh_neardup",
+    "q34_embedding_topk",
+    "q37_text_quality",
+    "q58_rank_family",
+    "q64_multimodal_resize",
+    "q65_frame_sample",
+    "q66_ivf_ann",
+    "q69_lookback_range_join",
+    "q70_stratified_sample",
+    "q71_token_counts",
+    "q72_incremental_rollup",
+    "q73_kmeans_step",
+    "q74_reservoir_topn",
+    "q75_embedding_quantize",
+    "q79_curation_funnel",
+    "q80_stream_static_join",
+    "q82_triangle_count",
+    "q84_grouped_sketch_quantiles",
 ]
-# --- r12 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r11, oldest first: the r8 pool
-# (q01/q02/q05/q06 displaced this round, then q07-q11, q143-q153, and
-# the rest of the r8-green rows — ~45 owed) fills most of the 50
-# slots; any r11-edited or new query is mandatory on top. Budget new
-# queries BEFORE writing them (tests/test_round9_invariants.py
-# staleness ratchet).
+# --- r13 rotation preview (slot arithmetic for the next window rewrite,
+# lesson 19) --- owed rows after r12, oldest first: the r9 pool
+# (q03/q04/q10/q130/q135 if displaced this round, then the rest of the
+# r9-green rows) leads; any r12-edited or new query is mandatory on
+# top. Budget new queries BEFORE writing them
+# (tests/test_round9_invariants.py staleness ratchet).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

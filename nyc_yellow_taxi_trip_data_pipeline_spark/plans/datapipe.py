@@ -51,6 +51,49 @@ def _data_fingerprint_token(sf_dir: str, table: str) -> str:
     return hashlib.md5(fp.encode()).hexdigest()[:8]
 
 
+def _fingerprint_cache_path(
+    spark: SparkSession, sf_dir: str, table: str, prefix: str, salt: str
+) -> str:
+    """Resolve (and garbage-collect around) a warehouse cache directory
+    keyed on BOTH axes that can invalidate a cached artifact:
+
+    - the input DATA (``_data_fingerprint_token``: file count + bytes +
+      newest mtime — in-place testdata regeneration changes the token);
+    - the producing LOGIC (``salt``: a version literal the call site
+      bumps whenever the staging/layout recipe changes — phase split
+      expression, selected columns, sort keys, block size). Without it,
+      editing the recipe would silently replay stale cached files
+      against the updated oracle — the exact stale-artifact failure the
+      data fingerprint was introduced to eliminate, back on the code
+      axis.
+
+    Sibling directories under the same ``prefix`` with a DIFFERENT
+    token are pruned before returning: every regeneration/salt bump
+    would otherwise orphan the previous directory and grow the
+    warehouse without bound across rounds. Pruning is safe because all
+    callers are on the SERIAL sweep list (same-data concurrent sessions
+    share one token, so a concurrent pruner could otherwise delete a
+    directory mid-read — documented in ARCHITECTURE.md's
+    env-robustness matrix)."""
+    import hashlib
+    import os
+    import shutil
+
+    data_tok = _data_fingerprint_token(sf_dir, table)
+    tok = hashlib.md5(f"{data_tok}|{salt}".encode()).hexdigest()[:8]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    target = f"{prefix}_{tok}"
+    if os.path.isdir(warehouse):
+        for d in os.listdir(warehouse):
+            if d.startswith(f"{prefix}_") and d != target:
+                shutil.rmtree(
+                    os.path.join(warehouse, d), ignore_errors=True
+                )
+    return os.path.join(warehouse, target)
+
+
 # ---------------------------------------------------------------------------
 # q30 — exact dedup groups (hash group-by on content).
 # ---------------------------------------------------------------------------
@@ -12301,7 +12344,7 @@ def q189_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY user_id
     """,
     description="Processing-time timer eviction: per-user counts kept in "
-    "GroupState keyed on 64 hash BUCKETS (lesson 9 on the stateful "
+    "GroupState keyed on 16 hash BUCKETS (lesson 9 on the stateful "
     "surface — per-group protocol cost dominated the replay) with a "
     "1 ms ProcessingTimeTimeout, evicted (emitted + state.remove) by "
     "timer fires on EMPTY triggers after each staged arrival phase "
@@ -12328,14 +12371,13 @@ def q190_processing_time_timer_eviction(
     ev = read_table(spark, sf_dir, "events").select("event_id", "user_id")
     tok = uuid.uuid4().hex[:8]
     watch_dir = f"/tmp/q190_watch_{tok}"
-    # Phase files are a pure function of the input table, so they are
-    # CACHED under the warehouse keyed on a data fingerprint (q192/q194
-    # pay-once discipline) — warm runs skip the staging write job.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    stage_dir = (
-        f"{warehouse}/q190_stage_{_data_fingerprint_token(sf_dir, 'events')}"
+    # Phase files are a pure function of the input table AND the staging
+    # recipe, so they are CACHED under the warehouse keyed on a data
+    # fingerprint + a staging-logic salt (bump the literal when the
+    # phase split / columns change); stale same-prefix siblings are
+    # pruned (see _fingerprint_cache_path). Warm runs skip the write.
+    stage_dir = _fingerprint_cache_path(
+        spark, sf_dir, "events", "q190_stage", "parity-pmod2-eid-uid-v1"
     )
     os.makedirs(watch_dir)
 
@@ -12413,7 +12455,7 @@ def q190_processing_time_timer_eviction(
         stream = spark.readStream.schema(schema).parquet(watch_dir)
         evictions = (
             stream.withColumn(
-                "bucket", F.pmod("user_id", F.lit(64))
+                "bucket", F.pmod("user_id", F.lit(16))
             )
             .groupBy("bucket")
             .applyInPandasWithState(
@@ -12424,11 +12466,13 @@ def q190_processing_time_timer_eviction(
                 GroupStateTimeout.ProcessingTimeTimeout,
             )
         )
-        # ONE state partition: with 64 bucket groups the replay is
+        # ONE state partition: with 16 bucket groups the replay is
         # bound by per-batch fixed cost (state-store commit + python
         # runner handshake per task), not by data — more partitions
         # multiply that floor (measured 8 parts ~6.5 s vs 1 part
-        # ~4.3 s warm). Production sizes this by key count, not cores.
+        # ~4.3 s warm; 64->16 buckets shaved ~0.2 s/batch of per-group
+        # state protocol). Production sizes this by key count, not
+        # cores.
         with scoped_shuffle_partitions(spark, 1):
             q = (
                 evictions.writeStream.format("memory")
@@ -12464,7 +12508,13 @@ def q190_processing_time_timer_eviction(
                             and p["stateOperators"][0]["numRowsTotal"] == 0
                         ):
                             return
-                        time.sleep(0.05)
+                        # 10 ms: the next (empty) micro-batch starts
+                        # back-to-back after the drain batch commits, so
+                        # a coarse poll usually loses the race and pays
+                        # one extra ~0.7 s empty batch before phase B's
+                        # file is discovered; a tight poll sometimes
+                        # wins it (py4j-cheap either way).
+                        time.sleep(0.01)
                     raise AssertionError(
                         f"q190 {label}: state never drained — "
                         "processing-time timers did not fire"
@@ -12712,15 +12762,15 @@ def q191_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q192_zonemap_layout_skipping(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # The cache token fingerprints the INPUT DATA, not just the path
-    # (see _data_fingerprint_token): testdata regenerated in place
-    # rebuilds the layouts instead of silently reusing stale artifacts.
-    tok = _data_fingerprint_token(sf_dir, "lineitem")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
+    # The cache token fingerprints the INPUT DATA (testdata regenerated
+    # in place rebuilds the layouts) and the LAYOUT RECIPE (salt: sort
+    # keys + block size — bump on change); stale same-prefix siblings
+    # are pruned (see _fingerprint_cache_path).
     paths = {
-        kind: f"{warehouse}/q192_{kind}_{tok}"
+        kind: _fingerprint_cache_path(
+            spark, sf_dir, "lineitem", f"q192_{kind}",
+            "rbr8-shipdate-blk64k-v1",
+        )
         for kind in ("clustered", "scattered")
     }
 
@@ -12914,7 +12964,7 @@ def q192_zonemap_layout_skipping(
     WHERE e1 + e2 + e3 > 0
     """,
     description="Event-time timer eviction: per-user counts and deadlines "
-    "in GroupState keyed on 64 hash buckets (a timer WHEEL — one timer "
+    "in GroupState keyed on 16 hash buckets (a timer WHEEL — one timer "
     "per bucket at the min user deadline; lesson 9 on the stateful "
     "surface), timers fired by WATERMARK advance (exactly one empty "
     "micro-batch per staged phase — deterministic, no wall clock). "
@@ -12943,16 +12993,16 @@ def q193_event_time_timer_eviction(
     ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
     tok = uuid.uuid4().hex[:8]
     watch_dir = f"/tmp/q193_watch_{tok}"
+    tmid = "2024-01-16 00:00:00"
     # Fingerprint-keyed cached staging, as q190: phase files are a pure
-    # function of the input table — warm runs skip the write job.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
-    stage_dir = (
-        f"{warehouse}/q193_stage_{_data_fingerprint_token(sf_dir, 'events')}"
+    # function of the input table and the staging recipe, so the cache
+    # token carries a logic salt (phase-split timestamp + columns —
+    # bump on change) and stale siblings are pruned
+    # (_fingerprint_cache_path). Warm runs skip the write job.
+    stage_dir = _fingerprint_cache_path(
+        spark, sf_dir, "events", "q193_stage", f"phase-{tmid}-uid-ts-v1"
     )
     os.makedirs(watch_dir)
-    tmid = "2024-01-16 00:00:00"
 
     def stage_phase(phase: int) -> None:
         out = os.path.join(stage_dir, f"phase={phase}")
@@ -13065,7 +13115,7 @@ def q193_event_time_timer_eviction(
         )
         evictions = (
             stream.withColumn(
-                "bucket", F.pmod("user_id", F.lit(64))
+                "bucket", F.pmod("user_id", F.lit(16))
             )
             .groupBy("bucket")
             .applyInPandasWithState(
@@ -13169,13 +13219,15 @@ def q194_zorder_multidim_skipping(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # Data-fingerprinted cache token (q192's discipline): regeneration
-    # of the input invalidates the cached layouts.
-    tok = _data_fingerprint_token(sf_dir, "lineitem")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-        "file:"
-    )
+    # of the input invalidates the cached layouts; the salt versions
+    # the layout recipe (interleave order, 16-bit normalization, block
+    # size — bump on change) and stale siblings are pruned
+    # (_fingerprint_cache_path).
     paths = {
-        kind: f"{warehouse}/q194_{kind}_{tok}"
+        kind: _fingerprint_cache_path(
+            spark, sf_dir, "lineitem", f"q194_{kind}",
+            "z16-supphigh-rbr8-blk64k-v1",
+        )
         for kind in ("zorder", "linear")
     }
 
@@ -13317,3 +13369,241 @@ def q194_zorder_multidim_skipping(
         results["zorder"],
         "l_returnflag string, n_rows bigint, rev_cents bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — MATERIALIZED MERGE ROUNDS (copy-on-write upsert against a real
+# on-disk table state): the physical twin of q51's logical MERGE shape.
+# q51 computes what one MERGE would RETURN; q115 streams upserts into
+# Derby via foreachBatch; this query maintains an actual partitioned
+# parquet TARGET across three sequential MERGE rounds and verifies the
+# final on-disk state — the Delta/Iceberg MERGE INTO mechanic restated
+# on plain parquet (Spark's built-in sources don't accept MERGE INTO;
+# the DSv2 catalogs that do don't ship in the stock distribution).
+# Mechanics, all asserted in-query:
+#   - target = customer dim (even custkeys only, so odd-key events
+#     exercise WHEN NOT MATCHED ... INSERT), hash-partitioned on
+#     bucket = key % 8 — only even buckets exist at init, so round 0
+#     also exercises insert-into-NEW-partition;
+#   - rounds 0-1: batch k = events with event_id % 2 = k, deduped to
+#     latest-per-key (ts, event_id total order); MATCHED -> value
+#     updates + n_merges bumps, NOT MATCHED -> insert. Sequencing is
+#     load-bearing: a key's final value comes from its LAST batch, so
+#     a wrong round order diverges from the oracle;
+#   - round 2: single-key metadata-only merge (point fix-up: bump
+#     n_merges, keep value) — the partial-COW proof: exactly ONE
+#     partition directory may be rewritten, the other seven must stay
+#     byte-stable (mtime+filename snapshot compared in-query);
+#   - every round rewrites ONLY the partitions holding source keys
+#     (DataFrameWriter option partitionOverwriteMode=dynamic — scoped
+#     to the write, no session conf touched), asserted via the same
+#     snapshot: rewritten dirs == the update set's bucket set. The
+#     merged slice is pinned with an eager localCheckpoint before the
+#     write because the plan reads the directory it overwrites (the
+#     path-parquet analog of Delta rewriting files it read; lineage
+#     loss is acceptable for a single-machine round — a cluster run
+#     would checkpoint to reliable storage).
+# At 100 TB this is THE upsert cost model: per round, O(|update set|)
+# shuffle for the dedup + full-outer join against only the TOUCHED
+# partitions, and a rewrite of those partitions — never a full-table
+# rewrite (the three rounds here rewrite 8+8+1 partition dirs).
+# Driver pulls are bounded: the touched-bucket list (<= 8 rows/round)
+# and the fix key (1 row). Final state re-read is localCheckpoint-
+# pinned so the /tmp target can be removed before returning.
+# ---------------------------------------------------------------------------
+@register(
+    "q195_merge_rounds_materialized",
+    """
+    WITH latest AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY event_id % 2 DESC, ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    nb AS (
+      SELECT user_id, COUNT(DISTINCT event_id % 2) AS nm
+      FROM events GROUP BY user_id
+    ),
+    dim AS (
+      SELECT c_custkey AS key, c_acctbal FROM customer
+      WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(d.key, nb.user_id) AS key,
+           COALESCE(l.value, d.c_acctbal) AS acct_value,
+           CAST(COALESCE(nb.nm, 0)
+                + CASE WHEN COALESCE(d.key, nb.user_id) =
+                            (SELECT MIN(user_id) FROM events)
+                       THEN 1 ELSE 0 END AS BIGINT) AS n_merges,
+           d.key IS NULL AS was_inserted
+    FROM dim d
+    FULL JOIN nb ON d.key = nb.user_id
+    LEFT JOIN latest l ON COALESCE(d.key, nb.user_id) = l.user_id
+    """,
+    description="Materialized MERGE rounds: a partitioned parquet target "
+    "(customer dim, even keys) upserted in place by two sequential "
+    "latest-per-key event batches plus one single-key metadata fix-up, "
+    "Delta-style copy-on-write via dynamic partition overwrite — each "
+    "round rewrites ONLY the partitions holding source keys (snapshot-"
+    "asserted; the fix-up round proves it by leaving 7 of 8 partition "
+    "dirs byte-stable). Oracle reproduces the full round algebra: "
+    "last-batch-wins values, per-key merge counts, insert flags. The "
+    "physical twin of q51's logical MERGE and q115's JDBC upsert.",
+    tags=("merge", "upsert", "sink", "layout", "scale-dial"),
+)
+def q195_merge_rounds_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
+        scoped_shuffle_partitions,
+    )
+
+    n_buckets = 8
+    tbl = f"/tmp/q195_target_{uuid.uuid4().hex[:8]}"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def snapshot() -> dict:
+        out = {}
+        for d in os.listdir(tbl):
+            if d.startswith("bucket="):
+                p = os.path.join(tbl, d)
+                out[d] = sorted(
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p)
+                    if not f.startswith(".") and not f.startswith("_")
+                )
+        return out
+
+    def merge_round(upd: DataFrame, label: str, bump_only: bool) -> None:
+        # MERGE INTO target USING upd ON target.key = upd.key
+        #   WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT —
+        # as a full-outer join over ONLY the touched partitions.
+        touched = sorted(
+            r["bucket"] for r in upd.select("bucket").distinct().collect()
+        )  # bounded pull: <= n_buckets rows
+        tgt = spark.read.parquet(tbl).filter(
+            F.col("bucket").isin([int(b) for b in touched])
+        )
+        joined = tgt.alias("t").join(
+            upd.alias("u"), F.col("t.key") == F.col("u.key"), "full_outer"
+        )
+        new_value = (
+            F.col("t.acct_value")
+            if bump_only
+            else F.coalesce("u.value", "t.acct_value")
+        )
+        merged = joined.select(
+            F.coalesce("t.key", "u.key").alias("key"),
+            new_value.alias("acct_value"),
+            (
+                F.coalesce("t.n_merges", F.lit(0))
+                + F.when(F.col("u.key").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_merges"),
+            F.coalesce("t.was_inserted", F.lit(True)).alias("was_inserted"),
+            F.coalesce("t.bucket", "u.bucket").cast("int").alias("bucket"),
+        ).localCheckpoint(eager=True)  # plan reads the dir it overwrites
+        before = snapshot()
+        # coalesce(1): the target is dim-sized, so ONE write task
+        # producing one file per touched partition beats 8 tasks each
+        # opening files in every dir (committer work scales with file
+        # count). At 100 TB the equivalent dial is a repartition on the
+        # partition column so each task owns whole partitions.
+        (
+            merged.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(tbl)
+        )
+        after = snapshot()
+        rewritten = {
+            d for d in before if before[d] != after.get(d)
+        } | (after.keys() - before.keys())
+        want = {f"bucket={int(b)}" for b in touched}
+        if rewritten != want:
+            raise AssertionError(
+                f"q195 {label}: dynamic partition overwrite rewrote "
+                f"{sorted(rewritten)}, expected exactly {sorted(want)} "
+                "(COW contract: only partitions holding source keys)"
+            )
+
+    try:
+        # Every stage here is tiny-per-partition (the target is a dim
+        # table, the update sets are latest-per-key slices); 32 default
+        # shuffle partitions would pay ~4x task overhead for nothing.
+        # All work below materializes inside the scope (writes,
+        # collects, eager checkpoints — lesson 15), so the restore
+        # can't re-plan anything.
+        with scoped_shuffle_partitions(spark, n_buckets):
+            (
+                read_table(spark, sf_dir, "customer")
+                .filter(F.pmod("c_custkey", F.lit(2)) == 0)
+                .select(
+                    F.col("c_custkey").alias("key"),
+                    F.col("c_acctbal").alias("acct_value"),
+                    F.lit(0).cast("long").alias("n_merges"),
+                    F.lit(False).alias("was_inserted"),
+                    F.pmod("c_custkey", F.lit(n_buckets))
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tbl)
+            )
+            # ONE events pass computes every round's update set
+            # (latest-per-key within each batch), pinned because three
+            # merge rounds consume slices of it (lesson 24).
+            w = Window.partitionBy("b", "user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            batches = (
+                ev.withColumn("b", F.pmod("event_id", F.lit(2)))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "b",
+                    F.col("user_id").alias("key"),
+                    "value",
+                    F.pmod("user_id", F.lit(n_buckets))
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            for k in range(2):
+                merge_round(
+                    batches.filter(F.col("b") == k).drop("b"),
+                    f"batch {k}",
+                    bump_only=False,
+                )
+            # Every user has a latest row, so min(key) over the pinned
+            # update sets equals min(user_id) over events (1-row pull).
+            fix_key = int(batches.agg(F.min("key")).collect()[0][0])
+            fixu = spark.createDataFrame(
+                [(fix_key,)], "key long"
+            ).select(
+                "key",
+                F.lit(None).cast("double").alias("value"),
+                F.pmod("key", F.lit(n_buckets)).cast("int").alias("bucket"),
+            )
+            merge_round(fixu, "point fix-up", bump_only=True)
+            return (
+                spark.read.parquet(tbl)
+                .select("key", "acct_value", "n_merges", "was_inserted")
+                .localCheckpoint(eager=True)  # survives the rmtree below
+            )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
