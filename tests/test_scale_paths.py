@@ -346,6 +346,16 @@ def test_write_signature_index_and_q98_match_cold_path(spark):
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     text_scans = [ln for ln in scans if "text:string" in ln]
     assert text_scans and all("documents" in ln for ln in text_scans)
+    # ADVICE r11: pin the REGISTERED plan's own shape too (the candidate
+    # sub-plan rebuilt below can't catch a wiring regression in the
+    # registered body): the delta's is the ONLY raw-text scan — a second
+    # one would mean candidate generation silently recomputing the index
+    # side from documents instead of reading the materialized tables —
+    # and the pinned candidate set surfaces as a checkpoint scan.
+    assert len(text_scans) == 1, text_scans
+    assert any(
+        "ExistingRDD" in ln for ln in plan.splitlines()
+    ), plan
     sigs_d = dd.minhash_signatures(
         dd.shingle_distinct(delta, n=2), n_hashes=_MH_N
     )
