@@ -101,6 +101,7 @@ QUERIES_TO_RUN = [
     # min-of-2: rep 1 pays the one-time Z/linear layout writes, rep 2 is
     # the warm probe cost (same note as q98/q167 above).
     "q194_zorder_multidim_skipping",   # trailing-dim Z-order skipping
+    "q195_merge_rounds_materialized",  # partition-COW merge rounds
 ]
 
 
