@@ -13535,7 +13535,27 @@ def q195_merge_rounds_materialized(
             .alias("n_merges"),
             F.coalesce("t.was_inserted", F.lit(True)).alias("was_inserted"),
             F.coalesce("t.bucket", "u.bucket").cast("int").alias("bucket"),
-        ).localCheckpoint(eager=True)  # plan reads the dir it overwrites
+        )
+        # In-plan read-side discipline (q170/q175 style): the target
+        # scan must PARTITION-PRUNE to the touched buckets — losing the
+        # PartitionFilter would silently re-read the whole table every
+        # round and void the O(touched) merge cost model. Rendering
+        # varies with predicate shape (IN (...) for a multi-bucket
+        # round, isnotnull + equality for the single-key fix-up), so
+        # match only "a non-empty PartitionFilters clause referencing
+        # bucket" (lesson 26), asserted on the plan the checkpoint job
+        # is about to run.
+        import re as _re
+
+        mplan = merged._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if not _re.search(r"PartitionFilters: \[[^\]]*bucket", mplan):
+            raise AssertionError(
+                f"q195 {label}: target scan lost bucket partition "
+                "pruning:\n" + mplan
+            )
+        merged = merged.localCheckpoint(
+            eager=True
+        )  # plan reads the dir it overwrites
         before = snapshot()
         # coalesce(1): the target is dim-sized, so ONE write task
         # producing one file per touched partition beats 8 tasks each
