@@ -67,27 +67,35 @@ def _fingerprint_cache_path(
       data fingerprint was introduced to eliminate, back on the code
       axis.
 
-    Sibling directories under the same ``prefix`` with a DIFFERENT
-    token are pruned before returning: every regeneration/salt bump
-    would otherwise orphan the previous directory and grow the
-    warehouse without bound across rounds. Pruning is safe because all
-    callers are on the SERIAL sweep list (same-data concurrent sessions
-    share one token, so a concurrent pruner could otherwise delete a
-    directory mid-read — documented in ARCHITECTURE.md's
-    env-robustness matrix)."""
+    Sibling directories under the same ``prefix`` AND scale-factor slug
+    with a DIFFERENT token are pruned before returning: every
+    regeneration/salt bump would otherwise orphan the previous
+    directory and grow the warehouse without bound across rounds. The
+    slug scopes the prune to one sf_dir — tokens embed the sf_dir, so
+    without it every scale-factor switch (parity at sf0.01, bench at
+    sf0.1) would evict the OTHER factor's still-valid cache and force
+    a rebuild per switch. Pruning is safe because all callers are on
+    the SERIAL sweep list (same-data concurrent sessions share one
+    token, so a concurrent pruner could otherwise delete a directory
+    mid-read — documented in ARCHITECTURE.md's env-robustness
+    matrix)."""
     import hashlib
     import os
+    import re
     import shutil
 
     data_tok = _data_fingerprint_token(sf_dir, table)
     tok = hashlib.md5(f"{data_tok}|{salt}".encode()).hexdigest()[:8]
+    slug = re.sub(
+        r"[^A-Za-z0-9.]", "-", os.path.basename(sf_dir.rstrip("/"))
+    )
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
-    target = f"{prefix}_{tok}"
+    target = f"{prefix}_{slug}_{tok}"
     if os.path.isdir(warehouse):
         for d in os.listdir(warehouse):
-            if d.startswith(f"{prefix}_") and d != target:
+            if d.startswith(f"{prefix}_{slug}_") and d != target:
                 shutil.rmtree(
                     os.path.join(warehouse, d), ignore_errors=True
                 )

@@ -25,24 +25,27 @@ def test_same_inputs_same_path_and_salt_moves_it(spark):
     assert p4 != p1
 
 
-def test_stale_siblings_pruned_other_prefixes_kept(spark):
+def test_stale_siblings_pruned_other_prefixes_and_sfs_kept(spark):
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
         "file:"
     )
-    stale = os.path.join(warehouse, "tcache_b_deadbeef")
-    other = os.path.join(warehouse, "tcache_bb_deadbeef")
-    os.makedirs(stale, exist_ok=True)
-    os.makedirs(other, exist_ok=True)
+    stale = os.path.join(warehouse, "tcache_b_sf0.001_deadbeef")
+    other = os.path.join(warehouse, "tcache_bb_sf0.001_deadbeef")
+    other_sf = os.path.join(warehouse, "tcache_b_sf0.01_deadbeef")
+    for d in (stale, other, other_sf):
+        os.makedirs(d, exist_ok=True)
     try:
         live = _fingerprint_cache_path(
             spark, SF_DIR, "events", "tcache_b", "v1"
         )
-        # the stale same-prefix sibling is gone, the live path is the
-        # returned one (not created yet — the caller writes it), and a
-        # LONGER prefix sharing the same leading text is untouched
-        # (prune matches "tcache_b_", never "tcache_bb_").
+        # the stale same-prefix same-SF sibling is gone; a LONGER
+        # prefix sharing the leading text is untouched (prune matches
+        # "tcache_b_sf0.001_", never "tcache_bb_..."); and ANOTHER
+        # scale factor's cache under the same prefix survives (an SF
+        # switch must not evict the other SF's still-valid artifacts).
         assert not os.path.exists(stale)
         assert os.path.exists(other)
+        assert os.path.exists(other_sf)
         assert os.path.dirname(live) == warehouse
         # a second resolve with a bumped salt prunes the previous token
         os.makedirs(live, exist_ok=True)
@@ -51,6 +54,6 @@ def test_stale_siblings_pruned_other_prefixes_kept(spark):
         )
         assert live2 != live and not os.path.exists(live)
     finally:
-        for d in (stale, other):
+        for d in (stale, other, other_sf):
             if os.path.isdir(d):
                 os.rmdir(d)
