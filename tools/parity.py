@@ -6,7 +6,13 @@ order-insensitive exact value comparison (columns sorted by name, rows
 sorted by all columns, floats compared bit-for-bit — stricter than any
 tolerance-based hash the driver might use).
 
-Usage: python -m tools.parity [--bare] [--window] [sf_dir] [query ...]
+Usage: python -m tools.parity [--bare] [--window] [--conf k=v ...]
+[--static-conf k=v ...] [sf_dir] [query ...]
+
+``--static-conf k=v`` (repeatable) applies BUILDER-time confs — core
+Spark confs such as ``spark.python.worker.reuse`` reject runtime
+``conf.set``. Implies ``--bare`` (the repo's cached session cannot take
+them) and verifies each conf actually landed on the live context.
 
 ``--window`` restricts the run to the 50 ``_PRIORITY`` queries — exactly
 the set the external driver will verify this round. Combine with
@@ -127,6 +133,18 @@ def main() -> int:
         i = args.index("--tz")
         args.pop(i)
         tz = args.pop(i)
+    # Repeatable --static-conf k=v: BUILDER-time confs (core Spark confs
+    # like spark.python.worker.reuse are not runtime-settable — conf.set
+    # on a live session raises). Implies --bare: get_spark()'s session is
+    # process-cached, so only a fresh bare builder can honor these.
+    static_confs: list[tuple[str, str]] = []
+    while "--static-conf" in args:
+        i = args.index("--static-conf")
+        k, _, v = args[i + 1].partition("=")
+        del args[i : i + 2]
+        static_confs.append((k, v))
+    if static_confs:
+        bare = True
     # Repeatable --conf k=v: runtime confs applied to the session before
     # any query runs — e.g. sweep every streaming replay under the
     # RocksDB state-store provider instead of only the q44 unit test.
@@ -164,12 +182,27 @@ def main() -> int:
         # split counts, a layout axis the shuffle-partition flip doesn't
         # cover).
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-        spark = (
+        builder = (
             SparkSession.builder.master(f"local[{cpus}]")
             .appName("parity-bare")
             .config("spark.ui.enabled", "false")
-            .getOrCreate()
         )
+        for k, v in static_confs:
+            builder = builder.config(k, v)
+            print(f"[static-conf {k}={v}]")
+        spark = builder.getOrCreate()
+        if static_confs:
+            # getOrCreate() silently reuses a pre-existing session, which
+            # would ignore every builder conf — verify each one landed.
+            for k, v in static_confs:
+                got = spark.sparkContext.getConf().get(k, None)
+                if got != v:
+                    print(
+                        f"[static-conf ERROR] {k}={got!r} on the live "
+                        f"session (wanted {v!r}) — a prior SparkSession "
+                        "in this process swallowed the builder conf"
+                    )
+                    return 2
         print(f"[bare session — driver-faithful, no repo configs, local[{cpus}]]")
     else:
         spark = get_spark("parity-check")
