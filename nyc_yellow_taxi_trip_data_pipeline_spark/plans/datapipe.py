@@ -78,7 +78,15 @@ def _fingerprint_cache_path(
     the SERIAL sweep list (same-data concurrent sessions share one
     token, so a concurrent pruner could otherwise delete a directory
     mid-read — documented in ARCHITECTURE.md's env-robustness
-    matrix)."""
+    matrix).
+
+    Same-token in-flight build dirs (``{target}.build-*``, see
+    ``_publish_cache_build``) are exempt from the prune — a concurrent
+    same-data session must not delete a build about to be published.
+    A pre-existing TARGET without ``_SUCCESS`` (a build that crashed
+    mid-write under the old in-place scheme) IS pruned, so the call
+    sites' existence check sees a cleanly absent directory instead of
+    re-reading a partial artifact forever."""
     import hashlib
     import os
     import re
@@ -95,11 +103,36 @@ def _fingerprint_cache_path(
     target = f"{prefix}_{slug}_{tok}"
     if os.path.isdir(warehouse):
         for d in os.listdir(warehouse):
-            if d.startswith(f"{prefix}_{slug}_") and d != target:
-                shutil.rmtree(
-                    os.path.join(warehouse, d), ignore_errors=True
-                )
+            if not d.startswith(f"{prefix}_{slug}_"):
+                continue
+            if d == target or d.startswith(f"{target}.build-"):
+                continue
+            shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+        if os.path.isdir(
+            os.path.join(warehouse, target)
+        ) and not os.path.exists(os.path.join(warehouse, target, "_SUCCESS")):
+            shutil.rmtree(os.path.join(warehouse, target), ignore_errors=True)
     return os.path.join(warehouse, target)
+
+
+def _publish_cache_build(tmp_dir: str, target: str) -> None:
+    """Atomically publish a finished cache build: rename the temp build
+    dir onto the fingerprint-keyed target. POSIX rename is atomic, so a
+    concurrent same-token reader sees either no target (and builds its
+    own) or a COMPLETE one — never the partial files an in-place
+    ``mode("overwrite")`` rebuild exposes (the FILE_NOT_EXIST mid-rebuild
+    race recorded in ARCHITECTURE.md's env-robustness notes). If a
+    concurrent builder already published, the rename fails on the
+    existing target and this build is discarded — both builds are
+    byte-equivalent by the token contract (same data fingerprint, same
+    logic salt)."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp_dir, target)
+    except OSError:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -12451,13 +12484,17 @@ def q190_processing_time_timer_eviction(
         # moments. The write is skipped when the fingerprint-keyed
         # cache already holds it.
         if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+            # Build to a temp sibling + atomic rename (never an in-place
+            # overwrite a concurrent same-token reader could half-see).
+            build = f"{stage_dir}.build-{tok}"
             (
                 ev.withColumn("parity", F.pmod("event_id", F.lit(2)))
                 .repartition(2, "parity")
                 .write.partitionBy("parity")
                 .mode("overwrite")
-                .parquet(stage_dir)
+                .parquet(build)
             )
+            _publish_cache_build(build, stage_dir)
         stage_phase(0)
         schema = "event_id long, user_id long"
         stream = spark.readStream.schema(schema).parquet(watch_dir)
@@ -12790,6 +12827,9 @@ def q192_zonemap_layout_skipping(
         return loc.getFileSystem(hconf).exists(loc)
 
     if not all(_built(p) for p in paths.values()):
+        import uuid as _uuid
+
+        bsuf = _uuid.uuid4().hex[:8]
         base = read_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             "l_linenumber",
@@ -12803,12 +12843,18 @@ def q192_zonemap_layout_skipping(
         # locality, and the small parquet block size manufactures many
         # row groups per file so intra-file skipping is observable even
         # at test scale (a real corpus gets this for free from volume).
+        # Each layout builds to a temp sibling and is renamed into place
+        # atomically (_publish_cache_build) — a concurrent same-token
+        # session reads complete artifacts or none.
         (
             base.repartitionByRange(8, "ship_date", "l_orderkey")
             .sortWithinPartitions("ship_date", "l_orderkey", "l_linenumber")
             .write.mode("overwrite")
             .option("parquet.block.size", 65536)
-            .parquet(paths["clustered"])
+            .parquet(f"{paths['clustered']}.build-{bsuf}")
+        )
+        _publish_cache_build(
+            f"{paths['clustered']}.build-{bsuf}", paths["clustered"]
         )
         # Scatter layout: md5 hash-partition + sort, deterministic file
         # bytes but every row group spans the whole date domain.
@@ -12822,7 +12868,10 @@ def q192_zonemap_layout_skipping(
             .drop("__scatter")
             .write.mode("overwrite")
             .option("parquet.block.size", 65536)
-            .parquet(paths["scattered"])
+            .parquet(f"{paths['scattered']}.build-{bsuf}")
+        )
+        _publish_cache_build(
+            f"{paths['scattered']}.build-{bsuf}", paths["scattered"]
         )
 
     lo = F.lit("1999-01-01").cast("date")
@@ -13102,6 +13151,8 @@ def q193_event_time_timer_eviction(
     sink = f"q193_out_{tok}"
     try:
         if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+            # Temp sibling + atomic rename, as q190.
+            build = f"{stage_dir}.build-{tok}"
             (
                 ev.withColumn(
                     "phase",
@@ -13112,8 +13163,9 @@ def q193_event_time_timer_eviction(
                 .repartition(2, "phase")
                 .write.partitionBy("phase")
                 .mode("overwrite")
-                .parquet(stage_dir)
+                .parquet(build)
             )
+            _publish_cache_build(build, stage_dir)
         stage_phase(0)
         schema = "user_id long, ts timestamp"
         stream = (
@@ -13290,6 +13342,10 @@ def q194_zorder_multidim_skipping(
             )
             term = s_bit.bitwiseOR(d_bit)
             z = term if z is None else z.bitwiseOR(term)
+        # Temp-sibling builds + atomic rename, as q192.
+        import uuid as _uuid
+
+        bsuf = _uuid.uuid4().hex[:8]
         (
             base.withColumn("__z", z)
             .repartitionByRange(8, "__z", "l_orderkey")
@@ -13297,8 +13353,9 @@ def q194_zorder_multidim_skipping(
             .drop("__z")
             .write.mode("overwrite")
             .option("parquet.block.size", 65536)
-            .parquet(paths["zorder"])
+            .parquet(f"{paths['zorder']}.build-{bsuf}")
         )
+        _publish_cache_build(f"{paths['zorder']}.build-{bsuf}", paths["zorder"])
         # Linear comparison layout: date-sorted (q192's clustered form)
         # — optimal for date probes, blind on the trailing suppkey.
         (
@@ -13306,8 +13363,9 @@ def q194_zorder_multidim_skipping(
             .sortWithinPartitions("ship_date", "l_orderkey", "l_linenumber")
             .write.mode("overwrite")
             .option("parquet.block.size", 65536)
-            .parquet(paths["linear"])
+            .parquet(f"{paths['linear']}.build-{bsuf}")
         )
+        _publish_cache_build(f"{paths['linear']}.build-{bsuf}", paths["linear"])
 
     s_lo = smin + ((smax - smin) * 2) // 5
     s_hi = s_lo + max((smax - smin) // 16, 1)

@@ -57,3 +57,59 @@ def test_stale_siblings_pruned_other_prefixes_and_sfs_kept(spark):
         for d in (stale, other, other_sf):
             if os.path.isdir(d):
                 os.rmdir(d)
+
+
+def test_inflight_builds_exempt_and_partial_targets_pruned(spark):
+    """Atomic-publish contract (r12): same-token ``.build-*`` temp dirs
+    survive the prune (a concurrent same-data session must not delete a
+    build about to be renamed into place), a COMPLETE target (_SUCCESS
+    present) survives re-resolution, and a PARTIAL target (no _SUCCESS —
+    a crashed in-place build) is wiped so call sites rebuild cleanly."""
+    live = _fingerprint_cache_path(spark, SF_DIR, "events", "tcache_c", "v1")
+    build = f"{live}.build-cafe0123"
+    os.makedirs(build, exist_ok=True)
+    try:
+        again = _fingerprint_cache_path(
+            spark, SF_DIR, "events", "tcache_c", "v1"
+        )
+        assert again == live
+        assert os.path.isdir(build), "in-flight same-token build was pruned"
+        # complete target: survives
+        os.makedirs(live, exist_ok=True)
+        open(os.path.join(live, "_SUCCESS"), "w").close()
+        assert (
+            _fingerprint_cache_path(spark, SF_DIR, "events", "tcache_c", "v1")
+            == live
+        )
+        assert os.path.exists(os.path.join(live, "_SUCCESS"))
+        # partial target: pruned on resolve
+        os.remove(os.path.join(live, "_SUCCESS"))
+        _fingerprint_cache_path(spark, SF_DIR, "events", "tcache_c", "v1")
+        assert not os.path.exists(live), "partial target survived resolve"
+    finally:
+        for d in (build, live):
+            if os.path.isdir(d):
+                import shutil
+
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def test_publish_cache_build_atomic_rename_and_loser_discard(spark, tmp_path):
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _publish_cache_build,
+    )
+
+    tmp = tmp_path / "t.build-1"
+    tgt = tmp_path / "t"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").touch()
+    _publish_cache_build(str(tmp), str(tgt))
+    assert tgt.is_dir() and (tgt / "_SUCCESS").exists()
+    assert not tmp.exists()
+    # a losing concurrent build is discarded, the winner untouched
+    loser = tmp_path / "t.build-2"
+    loser.mkdir()
+    (loser / "part-0.parquet").touch()
+    _publish_cache_build(str(loser), str(tgt))
+    assert not loser.exists()
+    assert (tgt / "_SUCCESS").exists()
