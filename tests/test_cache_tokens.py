@@ -113,3 +113,36 @@ def test_publish_cache_build_atomic_rename_and_loser_discard(spark, tmp_path):
     _publish_cache_build(str(loser), str(tgt))
     assert not loser.exists()
     assert (tgt / "_SUCCESS").exists()
+
+
+def test_publish_cache_build_concurrent_builders(tmp_path):
+    """Two builders racing the same token: exactly one publishes, the
+    loser's temp dir is discarded, and the published target is COMPLETE
+    (all of one builder's files — never a mix)."""
+    import threading
+
+    tgt = tmp_path / "c"
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _publish_cache_build,
+    )
+
+    def build(i: int) -> None:
+        tmp = tmp_path / f"c.build-{i}"
+        tmp.mkdir()
+        for j in range(5):
+            (tmp / f"part-{j}.builder{i}").touch()
+        (tmp / "_SUCCESS").touch()
+        _publish_cache_build(str(tmp), str(tgt))
+
+    threads = [threading.Thread(target=build, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert tgt.is_dir() and (tgt / "_SUCCESS").exists()
+    owners = {
+        f.suffix for f in tgt.iterdir() if f.name.startswith("part-")
+    }
+    assert len(owners) == 1, f"mixed-builder target: {sorted(owners)}"
+    assert len(list(tgt.glob("part-*"))) == 5
+    assert not list(tmp_path.glob("c.build-*")), "loser temp dirs left behind"
