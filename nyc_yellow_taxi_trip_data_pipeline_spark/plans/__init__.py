@@ -102,6 +102,12 @@ _PRIORITY = [
 # r9-green rows) leads; any r12-edited or new query is mandatory on
 # top. Budget new queries BEFORE writing them
 # (tests/test_round9_invariants.py staleness ratchet).
+# Budgeted r13 edit candidate (needs window slots for q94/q98/q167):
+# key the signature-index catalog-table NAME on the data fingerprint
+# (_data_fingerprint_token) instead of md5(sf_dir) alone, closing the
+# in-place-regeneration staleness edge within a long-lived session and
+# bringing the index up to the q190-q195 family's atomic-publish
+# discipline (late-r12) — the last reason the serial-sweep rule exists.
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()
