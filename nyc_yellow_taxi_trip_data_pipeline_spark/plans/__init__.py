@@ -17,97 +17,93 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. The r12
-# window executes the r11 verdict's item #1 (rotate the entire remaining
-# r8-vintage pool — after this round no green driver row predates r9)
-# plus the staleness-ratchet mandatories:
-# (a) MANDATORY (edited this round): q190/q193 (salted+GC'd staging
-#     cache tokens per ADVICE; 64->16 state buckets + 10 ms drain poll
-#     — measured ~0.9 s off each, oracles unchanged), q192/q194
-#     (salted+GC'd layout cache tokens, ADVICE items 1/4; q194 also
-#     documents the >=2x skipping assertion's SF floor).
-# (b) MANDATORY (new): q195 materialized MERGE rounds — the r11 verdict
-#     item #4(b) budgeted surface (dynamic-partition-overwrite COW
-#     upsert; the SPJ alternative is impossible with stock jars — the
-#     DSv2 test catalog that reports KeyGroupedPartitioning does not
-#     ship in the pyspark distribution).
-# (c) the full 45-row r8 pool (tools/window_planner.py fill, oldest
-#     driver row first): q01-q11 heads, q143-q166 block, q32/q34/q37,
-#     q58, q64-q84 block.
-# Slot math: 4 (a) + 1 (b) + 45 (c) = 50.
-# Sit-outs (first owed rows NOT in the window): the r9 pool heads
-# (q03_filter_group_count, q04_null_counts, q10_histogram,
-# q130_streaming_late_drop, q135_streaming_dedup_within_watermark) —
-# rationale: r9-green with byte-identical source since
-# (ratchet-checked), parity-gated at three SFs every commit; the
-# strictly-older r8 rows and the 5 mandatory rows outrank r9-green
-# re-verification. They lead the r13 window fill.
+# order therefore decides which queries earn a hard external row. The r13
+# window executes the r12 verdict's items #1/#2/#4:
+# (a) MANDATORY (edited this round): q98/q167 — the budgeted
+#     signature-index edit (catalog-table name keyed on the documents
+#     DATA FINGERPRINT instead of md5(sf_dir); atomic .build-<uuid> +
+#     rename publish, the q190-q195 discipline) — plus q94, the cold-
+#     shape consumer of the shared dedup helpers, routed through per
+#     lesson 24 (helper edits don't move plan hashes).
+# (b) MANDATORY (new): q196 small-file compaction/OPTIMIZE — the r12
+#     verdict item #4 budgeted surface (metadata-planned, partition-
+#     selective bin-pack rewrite; the 100 TB operational lever the
+#     layout family q170/q175/q192/q194/q195 didn't cover).
+# (c) fill: the r9-vintage pool (tools/window_planner.py, oldest driver
+#     row first) — 46 of its 49 non-mandatory rows (q167 is already
+#     mandatory above).
+# Slot math: 3 (a) + 1 (b) + 46 (c) = 50.
+# Sit-outs (owed r9 rows NOT in the window, double-coverage rationales):
+# - q31_dedup_keep_first: the keep-first window-dedup surface is
+#   double-covered by q30_dedup_exact (in this window) and the
+#   survivor-policy superset q144_keep_best_dedup (r12-green).
+# - q77_trimmed_mean_udaf: same GROUPED_AGG trimmed-mean surface as
+#   q86_trimmed_mean_udaf_bounded, which stays in the window (the
+#   bounded form is the historically fragile one — r8 tie bug).
+# - q159_streaming_union_watermark_max: same multi-watermark union
+#   algebra (lesson 13) and pipeline code path as
+#   q154_streaming_union_watermarks (min policy), which stays in.
 _PRIORITY = [
     # (a)+(b) mandatory: edited + new this round
-    "q190_processing_time_timer_eviction",
-    "q192_zonemap_layout_skipping",
-    "q193_event_time_timer_eviction",
-    "q194_zorder_multidim_skipping",
-    "q195_merge_rounds_materialized",
-    # (c) the r8 pool, oldest driver rows in the inventory
-    "q01_pricing_summary",
-    "q02_clean_features",
-    "q05_route_topk",
-    "q06_left_join_dim",
-    "q07_daily_multi_agg",
-    "q08_argmax_day",
-    "q09_quantiles_iqr",
-    "q11_summary_stats",
-    "q143_completeness_gaps",
-    "q144_keep_best_dedup",
-    "q145_ann_recall_eval",
-    "q146_integer_ols_trend",
-    "q147_cohort_retention",
-    "q148_component_variance",
-    "q149_cross_language_dups",
-    "q150_media_neardup_capped",
-    "q151_split_leakage_audit",
-    "q152_source_overlap_matrix",
-    "q153_domain_rank",
-    "q155_vocab_growth",
-    "q156_l_diversity_audit",
-    "q157_fd_violation_audit",
-    "q158_heavy_hitters",
-    "q162_variant_roundtrip",
-    "q164_retrieval_rank_eval",
-    "q165_corpus_datasheet",
-    "q166_neyman_allocation",
-    "q32_minhash_lsh_neardup",
-    "q34_embedding_topk",
-    "q37_text_quality",
-    "q58_rank_family",
-    "q64_multimodal_resize",
-    "q65_frame_sample",
-    "q66_ivf_ann",
-    "q69_lookback_range_join",
-    "q70_stratified_sample",
-    "q71_token_counts",
-    "q72_incremental_rollup",
-    "q73_kmeans_step",
-    "q74_reservoir_topn",
-    "q75_embedding_quantize",
-    "q79_curation_funnel",
-    "q80_stream_static_join",
-    "q82_triangle_count",
-    "q84_grouped_sketch_quantiles",
+    "q98_incremental_dedup_indexed",
+    "q167_keep_best_indexed",
+    "q94_incremental_dedup",
+    "q196_compact_optimize",
+    # (c) the r9 pool, oldest driver rows in the inventory
+    "q03_filter_group_count",
+    "q04_null_counts",
+    "q10_histogram",
+    "q130_streaming_late_drop",
+    "q135_streaming_dedup_within_watermark",
+    "q154_streaming_union_watermarks",
+    "q160_python_datasource_scan",
+    "q161_session_window_batch",
+    "q163_cuped_adjusted_ab",
+    "q168_bpe_train_loop",
+    "q169_retrieval_ndcg",
+    "q170_bucketed_ctas_join",
+    "q171_batch_ann_topk",
+    "q172_streaming_session_window",
+    "q173_chi2_independence",
+    "q174_temperature_mix",
+    "q175_dynamic_partition_pruning",
+    "q176_hard_negative_mining",
+    "q177_shuffle_interleave_audit",
+    "q178_arrow_python_udf",
+    "q179_observed_metrics",
+    "q180_cohens_kappa",
+    "q181_ece_calibration",
+    "q182_editdist_neardup",
+    "q183_bm25_rational_rank",
+    "q184_markov_transitions",
+    "q185_pareto_frontier",
+    "q186_scd2_history",
+    "q187_runtime_bloom_join",
+    "q188_spearman_trend",
+    "q189_partial_agg_rollup",
+    "q30_dedup_exact",
+    "q33_simhash",
+    "q38_lang_id",
+    "q39_fingerprint",
+    "q40_multimodal_meta",
+    "q41_multimodal_decode",
+    "q42_approx_sketches",
+    "q44_streaming_hourly",
+    "q45_ngram_jaccard",
+    "q56_regex_extract",
+    "q57_grouping_sets",
+    "q61_conditional_aggs",
+    "q63_date_math",
+    "q76_stream_stream_join",
+    "q86_trimmed_mean_udaf_bounded",
 ]
-# --- r13 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r12, oldest first: the r9 pool
-# (q03/q04/q10/q130/q135 if displaced this round, then the rest of the
-# r9-green rows) leads; any r12-edited or new query is mandatory on
-# top. Budget new queries BEFORE writing them
+# --- r14 rotation preview (slot arithmetic for the next window rewrite,
+# lesson 19) --- owed rows after r13, oldest first: the three r9
+# sit-outs above (q31/q77/q159), then the r10-vintage pool
+# (q100/q12/q131/q13/q14/q15/q16/q17/q18/q191/q19/q20/q21/q22/q23 lead
+# per window_planner). Any r13-edited or new query is mandatory on top.
+# Budget new queries BEFORE writing them
 # (tests/test_round9_invariants.py staleness ratchet).
-# Budgeted r13 edit candidate (needs window slots for q94/q98/q167):
-# key the signature-index catalog-table NAME on the data fingerprint
-# (_data_fingerprint_token) instead of md5(sf_dir) alone, closing the
-# in-place-regeneration staleness edge within a long-lived session and
-# bringing the index up to the q190-q195 family's atomic-publish
-# discipline (late-r12) — the last reason the serial-sweep rule exists.
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

@@ -51,6 +51,11 @@ def _data_fingerprint_token(sf_dir: str, table: str) -> str:
     return hashlib.md5(fp.encode()).hexdigest()[:8]
 
 
+# Same-token ``.build-*`` dirs older than this are crashed-builder
+# orphans (real builds finish in seconds); see _fingerprint_cache_path.
+_BUILD_SWEEP_S = 3600.0
+
+
 def _fingerprint_cache_path(
     spark: SparkSession, sf_dir: str, table: str, prefix: str, salt: str
 ) -> str:
@@ -82,7 +87,11 @@ def _fingerprint_cache_path(
 
     Same-token in-flight build dirs (``{target}.build-*``, see
     ``_publish_cache_build``) are exempt from the prune — a concurrent
-    same-data session must not delete a build about to be published.
+    same-data session must not delete a build about to be published —
+    UNLESS they are older than ``_BUILD_SWEEP_S`` (a crashed builder's
+    orphan: real builds here live for seconds, and each session uses a
+    fresh uuid suffix, so without an age sweep same-token orphans would
+    accumulate until the data fingerprint changes — ADVICE r12 item 3).
     A pre-existing TARGET without ``_SUCCESS`` (a build that crashed
     mid-write under the old in-place scheme) IS pruned, so the call
     sites' existence check sees a cleanly absent directory instead of
@@ -91,6 +100,7 @@ def _fingerprint_cache_path(
     import os
     import re
     import shutil
+    import time
 
     data_tok = _data_fingerprint_token(sf_dir, table)
     tok = hashlib.md5(f"{data_tok}|{salt}".encode()).hexdigest()[:8]
@@ -105,9 +115,20 @@ def _fingerprint_cache_path(
         for d in os.listdir(warehouse):
             if not d.startswith(f"{prefix}_{slug}_"):
                 continue
-            if d == target or d.startswith(f"{target}.build-"):
+            if d == target:
                 continue
-            shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+            full = os.path.join(warehouse, d)
+            if d.startswith(f"{target}.build-"):
+                try:
+                    fresh = (
+                        time.time() - os.stat(full).st_mtime
+                        <= _BUILD_SWEEP_S
+                    )
+                except OSError:
+                    fresh = True  # vanished mid-listing: a publisher won
+                if fresh:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
         if os.path.isdir(
             os.path.join(warehouse, target)
         ) and not os.path.exists(os.path.join(warehouse, target, "_SUCCESS")):
@@ -122,17 +143,136 @@ def _publish_cache_build(tmp_dir: str, target: str) -> None:
     own) or a COMPLETE one — never the partial files an in-place
     ``mode("overwrite")`` rebuild exposes (the FILE_NOT_EXIST mid-rebuild
     race recorded in ARCHITECTURE.md's env-robustness notes). If a
-    concurrent builder already published, the rename fails on the
-    existing target and this build is discarded — both builds are
-    byte-equivalent by the token contract (same data fingerprint, same
-    logic salt)."""
+    concurrent builder already published (target carries ``_SUCCESS``),
+    the rename fails on the existing target and this build is discarded
+    — both builds are byte-equivalent by the token contract (same data
+    fingerprint, same logic salt).
+
+    Failure discipline (ADVICE r12): a failed rename is only swallowed
+    when a COMPLETE target exists. A rename blocked by a stale PARTIAL
+    target (no ``_SUCCESS`` — a crashed in-place build, or a pruner that
+    hasn't finished wiping it) is retried once after wiping the partial;
+    any other failure (permissions, a stray regular file at the target
+    path, a cross-device temp dir) discards the temp build and RAISES,
+    so the caller fails at the publish site instead of with a confusing
+    FileNotFoundError far downstream."""
     import os
     import shutil
 
-    try:
-        os.rename(tmp_dir, target)
-    except OSError:
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+    for attempt in (0, 1):
+        try:
+            os.rename(tmp_dir, target)
+            return
+        except OSError as exc:
+            if os.path.exists(os.path.join(target, "_SUCCESS")):
+                # A concurrent same-token builder won the race; this
+                # build is byte-equivalent and safely discarded.
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+                return
+            if attempt == 0 and os.path.isdir(target):
+                # Stale partial target (no _SUCCESS): wipe and retry —
+                # closes the pruner-vs-publisher window ADVICE r12
+                # item 2 names, without relying on the serial rule.
+                shutil.rmtree(target, ignore_errors=True)
+                continue
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise OSError(
+                f"cache publish failed: cannot rename {tmp_dir!r} onto "
+                f"{target!r} and no complete target exists ({exc})"
+            ) from exc
+
+
+# Bump when the signature-index recipe changes (shingle n, hash count,
+# band size, bucket count, column set) — the logic axis of the token.
+_SIG_INDEX_SALT = "v2-fp"
+
+
+def _signature_index_name(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[str, str]:
+    """(published directory, catalog-table base name) for the corpus
+    signature index — both keyed on the documents table's data
+    fingerprint + the recipe salt. Resolving also runs the stale-sibling
+    prune (``_fingerprint_cache_path``)."""
+    import os
+    import re
+
+    target = _fingerprint_cache_path(
+        spark, sf_dir, "documents", prefix, _SIG_INDEX_SALT
+    )
+    return target, re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(target))
+
+
+def _signature_index(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    accepted: DataFrame,
+    n_hashes: int,
+    band_size: int,
+):
+    """Resolve-or-build the materialized MinHash signature index for an
+    accepted corpus snapshot (q98/q167's per-batch ingest path), with
+    the q190–q195 cache discipline (r13, closing CLAUDE.md lesson 25's
+    signature-index exception):
+
+    - the index is keyed on the documents table's DATA FINGERPRINT plus
+      a logic salt (``_fingerprint_cache_path``), never on the path
+      alone — in-place testdata regeneration changes the token, so a
+      long-lived session can never replay a stale index against fresh
+      data (the old md5(sf_dir) key could);
+    - the catalog-table NAME embeds the same token, so the
+      ``tableExists`` fast path is token-scoped too;
+    - the build is ATOMIC: both bucketed tables are written under a
+      ``.build-<uuid>`` temp sibling via ``dedup.write_signature_index``
+      (bucketBy needs saveAsTable; the temp catalog entries are dropped
+      after the write — external, so dropping keeps the files), a
+      top-level ``_SUCCESS`` is stamped, and the directory is renamed
+      onto the token path (``_publish_cache_build``). A concurrent
+      same-token session reads a complete index or builds its own; the
+      loser's build is discarded.
+
+    Returns ``(sigs, bands)`` DataFrames reading the published index as
+    BUCKETED catalog tables (doc_id / (band_id, band_key) clustering —
+    the asymmetric per-batch joins scan the index pre-clustered, so only
+    delta rows shuffle). Registration is CREATE TABLE ... CLUSTERED BY
+    ... LOCATION over the published files: a fresh session whose
+    in-memory catalog died re-registers without rebuilding."""
+    import os
+    import uuid
+
+    target, tbl = _signature_index_name(spark, sf_dir, prefix)
+    if not spark.catalog.tableExists(f"{tbl}_bands"):
+        if not os.path.exists(os.path.join(target, "_SUCCESS")):
+            bsuf = uuid.uuid4().hex[:8]
+            build = f"{target}.build-{bsuf}"
+            tmp_tbl = f"{tbl}_b{bsuf}"
+            dd.write_signature_index(
+                accepted,
+                tmp_tbl,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                path=build,
+            )
+            for suffix in ("_sigs", "_bands"):
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}{suffix}")
+            open(os.path.join(build, "_SUCCESS"), "w").close()
+            _publish_cache_build(build, target)
+        for suffix, cluster_cols in (
+            ("sigs", "doc_id"),
+            ("bands", "band_id, band_key"),
+        ):
+            loc = os.path.join(target, suffix)
+            ddl_cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(loc).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl}_{suffix} ({ddl_cols}) "
+                f"USING parquet CLUSTERED BY ({cluster_cols}) "
+                f"INTO 16 BUCKETS LOCATION '{loc}'"
+            )
+    return spark.table(f"{tbl}_sigs"), spark.table(f"{tbl}_bands")
 
 
 # ---------------------------------------------------------------------------
@@ -3785,24 +3925,23 @@ def _incremental_indexed_sql() -> str:
     tags=("dedup", "minhash", "lsh", "incremental", "index"),
 )
 def q98_incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-
     docs = read_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 0
     delta = docs.filter(is_new)
 
-    # One-time index build per (session, corpus snapshot): the table name
-    # carries an sf_dir token so different corpora never share an index.
-    base = f"q98_sig_index_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    if not spark.catalog.tableExists(f"{base}_bands"):
-        dd.write_signature_index(
-            docs.filter(~is_new),
-            base,
-            n_hashes=_MH_N,
-            band_size=_MH_BAND,
-        )
-    sigs_idx = spark.table(f"{base}_sigs")
-    bands_idx = spark.table(f"{base}_bands")
+    # One-time index build per corpus SNAPSHOT: the table name carries
+    # the documents table's data-fingerprint token (not just an sf_dir
+    # hash), so different corpora — including the same path regenerated
+    # in place — never share an index, and the build/publish is atomic
+    # under concurrent same-token sessions (_signature_index, r13).
+    sigs_idx, bands_idx = _signature_index(
+        spark,
+        sf_dir,
+        "q98_sig_index",
+        docs.filter(~is_new),
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+    )
 
     # Per-batch work — everything below is O(|delta|) + the band join.
     sigs_d = dd.minhash_signatures(
@@ -9887,8 +10026,6 @@ def _q167_sql() -> str:
           "training-data"),
 )
 def q167_keep_best_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
@@ -9898,17 +10035,17 @@ def q167_keep_best_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(is_new)
 
     # Own snapshot index (q167's accepted set differs from q98's: the
-    # fixed batch excludes only doc_id%10==0 below the batch cap).
-    base = f"q167_sig_index_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
-    if not spark.catalog.tableExists(f"{base}_bands"):
-        dd.write_signature_index(
-            docs.filter(~is_new),
-            base,
-            n_hashes=_MH_N,
-            band_size=_MH_BAND,
-        )
-    sigs_idx = spark.table(f"{base}_sigs")
-    bands_idx = spark.table(f"{base}_bands")
+    # fixed batch excludes only doc_id%10==0 below the batch cap),
+    # keyed on the documents data fingerprint and atomically published
+    # (_signature_index, r13 — same discipline as q98).
+    sigs_idx, bands_idx = _signature_index(
+        spark,
+        sf_dir,
+        "q167_sig_index",
+        docs.filter(~is_new),
+        n_hashes=_MH_N,
+        band_size=_MH_BAND,
+    )
 
     # Per-batch work: delta signatures fresh (checkpointed — reused by
     # both the band derivation and the agreement join), candidates via
@@ -13714,5 +13851,219 @@ def q195_merge_rounds_materialized(
                 .select("key", "acct_value", "n_merges", "was_inserted")
                 .localCheckpoint(eager=True)  # survives the rmtree below
             )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q196 — SMALL-FILE COMPACTION (the OPTIMIZE/bin-pack maintenance
+# operator): the one 100 TB operational lever the layout family
+# (q170 bucketing / q175 partition pruning / q192 zone maps / q194
+# Z-order / q195 COW merge) didn't cover. Streaming sinks (ST1-ST4)
+# and frequent small batch appends fragment a partitioned table into
+# many tiny files; scan cost then scales with FILE COUNT (task
+# scheduling + footer reads + open cost), not bytes. Mechanics, all
+# asserted in-query against a deterministically fragmented events
+# table (even days: 12-way hash-scattered small files; odd days:
+# pre-compacted single files):
+#   - PLANNING IS METADATA-ONLY: the compaction planner reads the
+#     partition directory listing and parquet FOOTER row counts — never
+#     data pages. Partitions are selected only when their file count
+#     exceeds the bin-packed target (ceil(rows / max_records_per_file),
+#     rows standing in for bytes at fixed row width — a byte-targeted
+#     planner is the same arithmetic on footer byte stats). Already-
+#     compact partitions (the odd days, and any partition whose files
+#     are FEWER than the target) are skipped: OPTIMIZE merges small
+#     files, it never splits large ones.
+#   - THE REWRITE IS PARTITION-SELECTIVE: the read partition-prunes to
+#     the selected days (PartitionFilters asserted in-plan, lesson 26),
+#     one hash repartition on the partition column makes each task own
+#     whole partitions, and dynamic partition overwrite rewrites ONLY
+#     the selected directories — unselected dirs are snapshot-asserted
+#     byte-stable (filename+mtime, the q195 discipline). The source is
+#     pinned (eager localCheckpoint) because the plan reads the very
+#     directories it overwrites.
+#   - OUTPUT FILE COUNTS ARE EXACT: maxRecordsPerFile splits each
+#     task's per-directory stream every max_rec rows, and each selected
+#     day lives in exactly one task, so files_after == ceil(rows /
+#     max_rec) — asserted per partition, along with files_after <
+#     files_before and footer-level row preservation.
+# At 100 TB: the listing + footer scan distributes as a Spark job over
+# file statuses (bounded here: <= 30 dirs x 12 files, driver-side), the
+# rewrite shuffles ONLY the fragmented partitions' rows (never the
+# compact ones), and untouched partitions cost zero I/O — compaction is
+# incremental table maintenance, not a full rewrite. The returned
+# DataFrame re-aggregates the COMPACTED table per day; the oracle
+# computes the same from raw events, so the oracle row is a
+# content-preservation proof for the whole fragment->compact cycle.
+# ---------------------------------------------------------------------------
+@register(
+    "q196_compact_optimize",
+    f"""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_qsum('value')} AS sum_value
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    description="Small-file compaction (OPTIMIZE): metadata-only planning "
+    "(directory listing + parquet footer row counts) selects only the "
+    "fragmented partitions, a partition-pruned + pinned read feeds a "
+    "dynamic-partition-overwrite bin-pack rewrite (maxRecordsPerFile) "
+    "that leaves already-compact partitions byte-stable, and exact "
+    "output file counts, file-count reduction, and row preservation are "
+    "asserted in-plan. The oracle re-aggregates the compacted table "
+    "against raw events — a content-preservation proof for the full "
+    "fragment->compact cycle.",
+    tags=("layout", "compaction", "sink", "maintenance"),
+)
+def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import re as _re
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import qsum
+
+    n_frag = 12  # fragmentation width of the simulated streaming sink
+    target_files = 3  # bin-pack target per partition (rows-as-bytes proxy)
+    tbl = f"/tmp/q196_table_{uuid.uuid4().hex[:8]}"
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.to_date("ts").alias("day"),
+    )
+
+    def part_stats() -> dict:
+        # Planner input: file count + FOOTER row count per partition dir
+        # (metadata pages only — at 100 TB this listing distributes as a
+        # job over file statuses; here it is <= 30 dirs x 12 files).
+        out = {}
+        for d in os.listdir(tbl):
+            if not d.startswith("day="):
+                continue
+            p = os.path.join(tbl, d)
+            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            rows = sum(
+                _pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                for f in files
+            )
+            out[d] = (len(files), rows)
+        return out
+
+    def snapshot() -> dict:
+        out = {}
+        for d in os.listdir(tbl):
+            if d.startswith("day="):
+                p = os.path.join(tbl, d)
+                out[d] = sorted(
+                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                    for f in os.listdir(p)
+                    if not f.startswith(".") and not f.startswith("_")
+                )
+        return out
+
+    try:
+        # Deterministic fragmentation: even days arrive 12-way hash-
+        # scattered (the streaming-sink shape), odd days pre-compacted.
+        frag_days = F.dayofmonth("day") % 2 == 0
+        (
+            ev.filter(frag_days)
+            .repartition(n_frag, "event_id")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(tbl)
+        )
+        (
+            ev.filter(~frag_days)
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(tbl)
+        )
+
+        stats = part_stats()
+        total_rows = sum(r for _, r in stats.values())
+        max_rec = max(1, -(-total_rows // (len(stats) * target_files)))
+        needed = {d: -(-rows // max_rec) for d, (_, rows) in stats.items()}
+        todo = sorted(d for d, (nf, _) in stats.items() if nf > needed[d])
+        if not todo:
+            raise AssertionError(
+                f"q196: planner selected no partitions from {stats}"
+            )
+        compact_skipped = [
+            d for d, (nf, _) in stats.items() if nf <= needed[d]
+        ]
+        if not compact_skipped:
+            raise AssertionError(
+                "q196: planner selected EVERY partition — the already-"
+                f"compact odd days must be skipped ({stats})"
+            )
+
+        days_todo = [
+            datetime.date.fromisoformat(d.split("=", 1)[1]) for d in todo
+        ]
+        src = spark.read.parquet(tbl).filter(F.col("day").isin(days_todo))
+        # The rewrite's read must partition-prune to the selected days —
+        # a lost PartitionFilter silently re-reads the whole table and
+        # voids the O(fragmented) cost model (lesson 26: match the
+        # clause loosely, never its renderer format).
+        splan = src._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if not _re.search(r"PartitionFilters: \[[^\]]*day", splan):
+            raise AssertionError(
+                "q196: compaction read lost day partition pruning:\n" + splan
+            )
+        pinned = src.localCheckpoint(eager=True)  # reads dirs it overwrites
+        before = snapshot()
+        (
+            pinned.repartition(len(todo), "day")
+            .sortWithinPartitions("day", "event_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", max_rec)
+            .partitionBy("day")
+            .parquet(tbl)
+        )
+        after = snapshot()
+        rewritten = {
+            d for d in before if before[d] != after.get(d)
+        } | (after.keys() - before.keys())
+        if rewritten != set(todo):
+            raise AssertionError(
+                f"q196: rewrite touched {sorted(rewritten)}, planner "
+                f"selected {todo} (selective-compaction contract)"
+            )
+        stats2 = part_stats()
+        for d in todo:
+            nf2, rows2 = stats2[d]
+            nf1, rows1 = stats[d]
+            if rows2 != rows1:
+                raise AssertionError(
+                    f"q196 {d}: rows {rows1} -> {rows2} (compaction must "
+                    "preserve content)"
+                )
+            if nf2 != needed[d] or nf2 >= nf1:
+                raise AssertionError(
+                    f"q196 {d}: {nf1} files -> {nf2}, expected exactly "
+                    f"{needed[d]} (ceil({rows1}/{max_rec}))"
+                )
+        if sum(r for _, r in stats2.values()) != total_rows:
+            raise AssertionError("q196: total rows drifted across compaction")
+
+        return (
+            spark.read.parquet(tbl)
+            .groupBy("day")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                qsum(F.col("value")).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)  # survives the rmtree below
+        )
     finally:
         shutil.rmtree(tbl, ignore_errors=True)

@@ -146,3 +146,179 @@ def test_publish_cache_build_concurrent_builders(tmp_path):
     assert len(owners) == 1, f"mixed-builder target: {sorted(owners)}"
     assert len(list(tgt.glob("part-*"))) == 5
     assert not list(tmp_path.glob("c.build-*")), "loser temp dirs left behind"
+
+
+def test_publish_cache_build_wipes_stale_partial_and_raises_legibly(
+    tmp_path,
+):
+    """ADVICE r12 items 1-2: a rename blocked by a stale PARTIAL target
+    (no _SUCCESS) is retried after wiping it; a rename that cannot
+    succeed at all (no parent dir, no complete winner) raises at the
+    publish site instead of silently discarding the finished build."""
+    import pytest
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _publish_cache_build,
+    )
+
+    # stale partial target: wiped, publish succeeds on the retry
+    tgt = tmp_path / "p"
+    tgt.mkdir()
+    (tgt / "part-stale.parquet").touch()  # no _SUCCESS => partial
+    build = tmp_path / "p.build-1"
+    build.mkdir()
+    (build / "part-fresh.parquet").touch()
+    (build / "_SUCCESS").touch()
+    _publish_cache_build(str(build), str(tgt))
+    assert (tgt / "_SUCCESS").exists()
+    assert (tgt / "part-fresh.parquet").exists()
+    assert not (tgt / "part-stale.parquet").exists()
+    # unpublishable: parent of target missing, no winner => raises
+    build2 = tmp_path / "q.build-1"
+    build2.mkdir()
+    (build2 / "_SUCCESS").touch()
+    with pytest.raises(OSError, match="cache publish failed"):
+        _publish_cache_build(
+            str(build2), str(tmp_path / "missing-parent" / "q")
+        )
+    assert not build2.exists()  # the doomed build is still cleaned up
+
+
+def test_fingerprint_cache_path_sweeps_aged_orphan_builds(spark):
+    """ADVICE r12 item 3: same-token .build-* dirs from crashed builders
+    are swept once older than _BUILD_SWEEP_S; fresh in-flight builds
+    stay exempt."""
+    import shutil
+    import time
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    live = dp._fingerprint_cache_path(
+        spark, SF_DIR, "events", "tcache_d", "v1"
+    )
+    fresh = f"{live}.build-fresh001"
+    aged = f"{live}.build-aged0001"
+    os.makedirs(fresh, exist_ok=True)
+    os.makedirs(aged, exist_ok=True)
+    old = time.time() - dp._BUILD_SWEEP_S - 60
+    os.utime(aged, (old, old))
+    try:
+        again = dp._fingerprint_cache_path(
+            spark, SF_DIR, "events", "tcache_d", "v1"
+        )
+        assert again == live
+        assert os.path.isdir(fresh), "fresh in-flight build was swept"
+        assert not os.path.exists(aged), "aged orphan build survived"
+    finally:
+        for d in (fresh, aged):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _copy_documents(src_sf: str, dst_dir) -> str:
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    shutil.copyfile(
+        os.path.join(src_sf, "documents.parquet"),
+        os.path.join(dst_dir, "documents.parquet"),
+    )
+    return str(dst_dir)
+
+
+def test_signature_index_fingerprints_data_and_reregisters(spark, tmp_path):
+    """r13 signature-index discipline (CORRECTNESS item 2): the catalog
+    table NAME is keyed on the documents DATA fingerprint — in-place
+    regeneration moves it and prunes the stale index — the publish is
+    atomic (_SUCCESS-stamped target), and a fresh session re-registers
+    over the published files WITHOUT rebuilding."""
+    import pyspark.sql.functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    sf = _copy_documents(SF_DIR, tmp_path / "sf")
+    docs = read_table(spark, sf, "documents")
+    accepted = docs.filter(F.col("doc_id") % 10 != 0)
+    n_accepted = accepted.count()
+
+    sigs, bands = dp._signature_index(spark, sf, "tsig", accepted, 12, 3)
+    target1, tbl1 = dp._signature_index_name(spark, sf, "tsig")
+    assert os.path.exists(os.path.join(target1, "_SUCCESS"))
+    assert sigs.count() == n_accepted
+    assert bands.select("band_id").distinct().count() == 4  # 12/3 bands
+    built_at = os.stat(os.path.join(target1, "sigs")).st_mtime_ns
+
+    # same data => same name, no rebuild
+    sigs2, _ = dp._signature_index(spark, sf, "tsig", accepted, 12, 3)
+    assert os.stat(os.path.join(target1, "sigs")).st_mtime_ns == built_at
+    assert sigs2.count() == n_accepted
+
+    # fresh-session path: catalog entries gone, published files present
+    # => re-register without rebuilding
+    for s in ("_sigs", "_bands"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl1}{s}")
+    sigs3, _ = dp._signature_index(spark, sf, "tsig", accepted, 12, 3)
+    assert os.stat(os.path.join(target1, "sigs")).st_mtime_ns == built_at
+    assert sigs3.count() == n_accepted
+    # bucketed catalog table: the re-registered relation carries the
+    # 16-bucket spec (a bare scan shows "Bucketed: false (disabled by
+    # query planner)" because nothing needs the clustering — the
+    # metadata, not the single-table plan, is the contract)
+    info = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESC EXTENDED {tbl1}_sigs").collect()
+    }
+    assert info.get("Num Buckets") == "16", info
+    assert "doc_id" in info.get("Bucket Columns", ""), info
+
+    # in-place regeneration: rewrite documents.parquet (same path, new
+    # bytes/mtime) => a DIFFERENT table name; the stale index is pruned
+    import pandas as pd
+
+    pdf = pd.read_parquet(os.path.join(sf, "documents.parquet"))
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"), index=False)
+    target2, tbl2 = dp._signature_index_name(spark, sf, "tsig")
+    assert tbl2 != tbl1
+    assert not os.path.exists(target1), "stale index survived regeneration"
+
+
+def test_signature_index_concurrent_builders_one_winner(spark, tmp_path):
+    """Two same-token builders racing: exactly one publishes, both get a
+    COMPLETE readable index (the q190-q195 race contract extended to the
+    signature index)."""
+    import threading
+
+    import pyspark.sql.functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    sf = _copy_documents(SF_DIR, tmp_path / "sf")
+    docs = read_table(spark, sf, "documents")
+    accepted = docs.filter(F.col("doc_id") % 10 != 0)
+    n_accepted = accepted.count()
+    counts: list = [None, None]
+    errs: list = []
+
+    def build(i: int) -> None:
+        try:
+            s, _ = dp._signature_index(spark, sf, "tsigrace", accepted, 12, 3)
+            counts[i] = s.count()
+        except Exception as exc:  # noqa: BLE001 — surfaced via assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=build, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert counts == [n_accepted, n_accepted]
+    target, _ = dp._signature_index_name(spark, sf, "tsigrace")
+    assert os.path.exists(os.path.join(target, "_SUCCESS"))
+    # no loser build dirs left behind
+    warehouse = os.path.dirname(target)
+    leftovers = [
+        d for d in os.listdir(warehouse) if ".build-" in d and "tsigrace" in d
+    ]
+    assert not leftovers, leftovers

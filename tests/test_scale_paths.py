@@ -298,9 +298,11 @@ def test_write_signature_index_and_q98_match_cold_path(spark):
     }
 
     # (a) every index doc has a fingerprint row in the materialized table
-    import hashlib
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.datapipe import (
+        _signature_index_name,
+    )
 
-    base = f"q98_sig_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    _, base = _signature_index_name(spark, sf_dir, "q98_sig_index")
     docs = read_table(spark, sf_dir, "documents")
     n_index = docs.filter(F.col("doc_id") % 10 != 0).count()
     assert spark.table(f"{base}_sigs").count() == n_index

@@ -140,6 +140,9 @@ def main() -> int:
     static_confs: list[tuple[str, str]] = []
     while "--static-conf" in args:
         i = args.index("--static-conf")
+        if i + 1 >= len(args) or "=" not in args[i + 1]:
+            print("error: --static-conf requires a k=v operand")
+            return 2
         k, _, v = args[i + 1].partition("=")
         del args[i : i + 2]
         static_confs.append((k, v))
@@ -151,6 +154,9 @@ def main() -> int:
     confs: list[tuple[str, str]] = []
     while "--conf" in args:
         i = args.index("--conf")
+        if i + 1 >= len(args) or "=" not in args[i + 1]:
+            print("error: --conf requires a k=v operand")
+            return 2
         args.pop(i)
         k, _, v = args.pop(i).partition("=")
         confs.append((k, v))

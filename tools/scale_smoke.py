@@ -102,6 +102,7 @@ QUERIES_TO_RUN = [
     # the warm probe cost (same note as q98/q167 above).
     "q194_zorder_multidim_skipping",   # trailing-dim Z-order skipping
     "q195_merge_rounds_materialized",  # partition-COW merge rounds
+    "q196_compact_optimize",           # selective small-file bin-pack
 ]
 
 
