@@ -13969,20 +13969,22 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     try:
-        # Deterministic fragmentation: even days arrive 12-way hash-
-        # scattered (the streaming-sink shape), odd days pre-compacted.
+        # Deterministic fragmentation in ONE write job: even days arrive
+        # hash-scattered across up to 12 routes (the streaming-sink
+        # shape), odd days ride a single route and land pre-compacted —
+        # a per-day file count of ~n_frag vs exactly 1. (Route-hash
+        # collisions can merge some even-day routes into one task; the
+        # planner reads MEASURED file counts, so nothing assumes 12.)
         frag_days = F.dayofmonth("day") % 2 == 0
         (
-            ev.filter(frag_days)
-            .repartition(n_frag, "event_id")
+            ev.withColumn(
+                "__route",
+                F.when(frag_days, F.pmod("event_id", F.lit(n_frag)))
+                .otherwise(F.lit(0)),
+            )
+            .repartition(n_frag, "__route")
+            .drop("__route")
             .write.mode("overwrite")
-            .partitionBy("day")
-            .parquet(tbl)
-        )
-        (
-            ev.filter(~frag_days)
-            .coalesce(1)
-            .write.mode("append")
             .partitionBy("day")
             .parquet(tbl)
         )
