@@ -322,3 +322,41 @@ def test_signature_index_concurrent_builders_one_winner(spark, tmp_path):
         d for d in os.listdir(warehouse) if ".build-" in d and "tsigrace" in d
     ]
     assert not leftovers, leftovers
+
+
+def test_q98_sees_in_place_corpus_regeneration(spark, tmp_path):
+    """End-to-end form of the r13 staleness fix: within ONE session, q98
+    builds its signature index, the corpus is regenerated IN PLACE with
+    a new index doc that exactly duplicates a delta doc, and the next
+    q98 run must drop that delta doc — which only happens if the index
+    was rebuilt for the new data fingerprint instead of replaying the
+    stale catalog table (the old md5(sf_dir) key did exactly that)."""
+    import pandas as pd
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    sf = _copy_documents(SF_DIR, tmp_path / "sf")
+    doc_path = os.path.join(sf, "documents.parquet")
+    run = QUERIES["q98_incremental_dedup_indexed"].spark
+
+    first = {r.doc_id for r in run(spark, sf).collect()}
+    assert first, "q98 accepted no delta docs on the original corpus"
+    victim = min(first)
+
+    pdf = pd.read_parquet(doc_path)
+    dup = pdf[pdf["doc_id"] == victim].copy()
+    # new INDEX doc (id % 10 != 0) carrying the victim's exact text
+    new_id = int(pdf["doc_id"].max()) + 1
+    if new_id % 10 == 0:
+        new_id += 1
+    dup["doc_id"] = new_id
+    pd.concat([pdf, dup], ignore_index=True).to_parquet(
+        doc_path, index=False
+    )
+
+    second = {r.doc_id for r in run(spark, sf).collect()}
+    assert victim not in second, (
+        "q98 replayed a stale signature index after in-place corpus "
+        "regeneration: the exact-duplicated delta doc survived"
+    )
+    assert second <= first, "regeneration should only remove delta docs"
