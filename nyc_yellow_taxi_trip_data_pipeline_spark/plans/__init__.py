@@ -104,6 +104,13 @@ _PRIORITY = [
 # per window_planner). Any r13-edited or new query is mandatory on top.
 # Budget new queries BEFORE writing them
 # (tests/test_round9_invariants.py staleness ratchet).
+# Budgeted r14 edit candidates (each needs its window slots):
+# - q170/q175/q189: the last md5(sf_dir)-keyed in-place CTAS rebuilds —
+#   give them the fingerprint token + atomic publish (retires their
+#   REQUIRED serial-sweep entries; ARCHITECTURE env-robustness notes).
+# - q195: migrate its snapshot()/rewritten-dirs assertions onto a
+#   shared helper with q196 (duplicated today because q195 was outside
+#   the r13 window; driver-side code, so a module helper is legal).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

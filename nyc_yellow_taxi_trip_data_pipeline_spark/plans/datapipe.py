@@ -171,8 +171,17 @@ def _publish_cache_build(tmp_dir: str, target: str) -> None:
                 return
             if attempt == 0 and os.path.isdir(target):
                 # Stale partial target (no _SUCCESS): wipe and retry —
-                # closes the pruner-vs-publisher window ADVICE r12
-                # item 2 names, without relying on the serial rule.
+                # narrows the pruner-vs-publisher window ADVICE r12
+                # item 2 names. Re-probe _SUCCESS immediately before
+                # the wipe: a concurrent builder may have published
+                # BETWEEN the failed rename's probe above and here, and
+                # deleting its complete artifact would re-open the
+                # mid-read race. A probe->rmtree window still exists
+                # (POSIX offers no atomic exchange here), which is one
+                # reason the serial sweep rule stays belt-and-braces.
+                if os.path.exists(os.path.join(target, "_SUCCESS")):
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
+                    return
                 shutil.rmtree(target, ignore_errors=True)
                 continue
             shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -182,23 +191,39 @@ def _publish_cache_build(tmp_dir: str, target: str) -> None:
             ) from exc
 
 
-# Bump when the signature-index recipe changes (shingle n, hash count,
-# band size, bucket count, column set) — the logic axis of the token.
+# Bump when a recipe ingredient the token cannot see mechanically
+# changes (shingle n, selected columns). The MECHANICAL ingredients —
+# n_hashes, band_size, num_file_buckets, and each caller's ``recipe``
+# string — are folded into the salt automatically by
+# ``_signature_index_name``, so tuning those can never replay a stale
+# persistent index (the index outlives sessions; a missed bump would
+# stay red across restarts, unlike the old per-session scheme).
 _SIG_INDEX_SALT = "v2-fp"
 
 
 def _signature_index_name(
-    spark: SparkSession, sf_dir: str, prefix: str
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    num_file_buckets: int = 16,
+    recipe: str = "",
 ) -> tuple[str, str]:
     """(published directory, catalog-table base name) for the corpus
     signature index — both keyed on the documents table's data
-    fingerprint + the recipe salt. Resolving also runs the stale-sibling
-    prune (``_fingerprint_cache_path``)."""
+    fingerprint + the full recipe salt (version literal + the
+    mechanical parameters + the caller's ``recipe`` string). Resolving
+    also runs the stale-sibling prune (``_fingerprint_cache_path``)."""
     import os
     import re
 
+    salt = (
+        f"{_SIG_INDEX_SALT}.h{n_hashes}.b{band_size}"
+        f".f{num_file_buckets}.{recipe}"
+    )
     target = _fingerprint_cache_path(
-        spark, sf_dir, "documents", prefix, _SIG_INDEX_SALT
+        spark, sf_dir, "documents", prefix, salt
     )
     return target, re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(target))
 
@@ -210,6 +235,8 @@ def _signature_index(
     accepted: DataFrame,
     n_hashes: int,
     band_size: int,
+    num_file_buckets: int = 16,
+    recipe: str = "",
 ):
     """Resolve-or-build the materialized MinHash signature index for an
     accepted corpus snapshot (q98/q167's per-batch ingest path), with
@@ -232,16 +259,28 @@ def _signature_index(
       same-token session reads a complete index or builds its own; the
       loser's build is discarded.
 
+    The token folds in the mechanical recipe parameters (n_hashes,
+    band_size, num_file_buckets) automatically; ``recipe`` is for the
+    one ingredient the helper cannot see — the caller's ACCEPTED-SET
+    predicate. A caller whose accepted set is anything but the plain
+    ``doc_id % 10`` split must encode the discriminating constants in
+    ``recipe`` (q167 passes its batch cap) so a predicate change can
+    never replay a stale persistent index.
+
     Returns ``(sigs, bands)`` DataFrames reading the published index as
     BUCKETED catalog tables (doc_id / (band_id, band_key) clustering —
     the asymmetric per-batch joins scan the index pre-clustered, so only
     delta rows shuffle). Registration is CREATE TABLE ... CLUSTERED BY
-    ... LOCATION over the published files: a fresh session whose
-    in-memory catalog died re-registers without rebuilding."""
+    ... LOCATION over the published files, with the SAME
+    ``num_file_buckets`` that wrote them (one constant, both sites): a
+    fresh session whose in-memory catalog died re-registers without
+    rebuilding."""
     import os
     import uuid
 
-    target, tbl = _signature_index_name(spark, sf_dir, prefix)
+    target, tbl = _signature_index_name(
+        spark, sf_dir, prefix, n_hashes, band_size, num_file_buckets, recipe
+    )
     if not spark.catalog.tableExists(f"{tbl}_bands"):
         if not os.path.exists(os.path.join(target, "_SUCCESS")):
             bsuf = uuid.uuid4().hex[:8]
@@ -252,6 +291,7 @@ def _signature_index(
                 tmp_tbl,
                 n_hashes=n_hashes,
                 band_size=band_size,
+                num_file_buckets=num_file_buckets,
                 path=build,
             )
             for suffix in ("_sigs", "_bands"):
@@ -270,7 +310,7 @@ def _signature_index(
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS {tbl}_{suffix} ({ddl_cols}) "
                 f"USING parquet CLUSTERED BY ({cluster_cols}) "
-                f"INTO 16 BUCKETS LOCATION '{loc}'"
+                f"INTO {num_file_buckets} BUCKETS LOCATION '{loc}'"
             )
     return spark.table(f"{tbl}_sigs"), spark.table(f"{tbl}_bands")
 
@@ -10037,7 +10077,9 @@ def q167_keep_best_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Own snapshot index (q167's accepted set differs from q98's: the
     # fixed batch excludes only doc_id%10==0 below the batch cap),
     # keyed on the documents data fingerprint and atomically published
-    # (_signature_index, r13 — same discipline as q98).
+    # (_signature_index, r13 — same discipline as q98). The batch cap
+    # participates in the accepted-set predicate, so it rides the
+    # recipe string: retuning it re-keys the persistent index.
     sigs_idx, bands_idx = _signature_index(
         spark,
         sf_dir,
@@ -10045,6 +10087,7 @@ def q167_keep_best_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(~is_new),
         n_hashes=_MH_N,
         band_size=_MH_BAND,
+        recipe=f"bmax{_Q167_BATCH_MAX_ID}",
     )
 
     # Per-batch work: delta signatures fresh (checkpointed — reused by
