@@ -56,6 +56,28 @@ def _data_fingerprint_token(sf_dir: str, table: str) -> str:
 _BUILD_SWEEP_S = 3600.0
 
 
+def _tree_mtime(path: str) -> float | None:
+    """Newest mtime across a directory TREE, not the top-level dir
+    alone: writing files into ``build/bands`` does not advance the
+    build root's st_mtime, so a top-level probe would judge a
+    long-running live build "stale" and let a concurrent session sweep
+    it mid-write (ADVICE r13 item 1). None = vanished mid-walk (a
+    publisher won the race; caller treats it as fresh)."""
+    import os
+
+    try:
+        newest = os.stat(path).st_mtime
+    except OSError:
+        return None
+    for r, _, fs in os.walk(path):
+        for f in fs:
+            try:
+                newest = max(newest, os.stat(os.path.join(r, f)).st_mtime)
+            except OSError:
+                continue
+    return newest
+
+
 def _fingerprint_cache_path(
     spark: SparkSession, sf_dir: str, table: str, prefix: str, salt: str
 ) -> str:
@@ -119,14 +141,13 @@ def _fingerprint_cache_path(
                 continue
             full = os.path.join(warehouse, d)
             if d.startswith(f"{target}.build-"):
-                try:
-                    fresh = (
-                        time.time() - os.stat(full).st_mtime
-                        <= _BUILD_SWEEP_S
-                    )
-                except OSError:
-                    fresh = True  # vanished mid-listing: a publisher won
-                if fresh:
+                newest = _tree_mtime(full)
+                # None = vanished mid-listing (a publisher won); tree
+                # mtime, not the root's — a live build writing into a
+                # subdir does not advance the root (ADVICE r13 item 1).
+                if newest is None or (
+                    time.time() - newest <= _BUILD_SWEEP_S
+                ):
                     continue
             shutil.rmtree(full, ignore_errors=True)
         if os.path.isdir(
@@ -151,17 +172,28 @@ def _publish_cache_build(tmp_dir: str, target: str) -> None:
     Failure discipline (ADVICE r12): a failed rename is only swallowed
     when a COMPLETE target exists. A rename blocked by a stale PARTIAL
     target (no ``_SUCCESS`` — a crashed in-place build, or a pruner that
-    hasn't finished wiping it) is retried once after wiping the partial;
-    any other failure (permissions, a stray regular file at the target
-    path, a cross-device temp dir) discards the temp build and RAISES,
-    so the caller fails at the publish site instead of with a confusing
+    hasn't finished wiping it) is retried once after renaming the
+    partial ASIDE to a ``.stale-<uuid>`` sibling (never rmtree'd in
+    place — so even if the _SUCCESS re-probe loses a concurrent publish
+    race, the target path is never empty-but-expected and the complete
+    artifact survives the displacement; ADVICE r13 item 2); any other
+    failure (permissions, a stray regular file at the target path, a
+    cross-device temp dir) discards the temp build and RAISES, so the
+    caller fails at the publish site instead of with a confusing
     FileNotFoundError far downstream."""
     import os
     import shutil
 
+    displaced: list[str] = []
     for attempt in (0, 1):
         try:
             os.rename(tmp_dir, target)
+            # Clean any partial displaced aside AFTER the publish so
+            # the target path's empty window is one rename wide; a
+            # crash between the renames leaves a ``.stale-`` sibling
+            # the next resolve's prune sweeps.
+            for s in displaced:
+                shutil.rmtree(s, ignore_errors=True)
             return
         except OSError as exc:
             if os.path.exists(os.path.join(target, "_SUCCESS")):
@@ -170,19 +202,32 @@ def _publish_cache_build(tmp_dir: str, target: str) -> None:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
                 return
             if attempt == 0 and os.path.isdir(target):
-                # Stale partial target (no _SUCCESS): wipe and retry —
-                # narrows the pruner-vs-publisher window ADVICE r12
-                # item 2 names. Re-probe _SUCCESS immediately before
-                # the wipe: a concurrent builder may have published
-                # BETWEEN the failed rename's probe above and here, and
-                # deleting its complete artifact would re-open the
-                # mid-read race. A probe->rmtree window still exists
-                # (POSIX offers no atomic exchange here), which is one
-                # reason the serial sweep rule stays belt-and-braces.
+                # Stale partial target (no _SUCCESS): move it ASIDE and
+                # retry (ADVICE r12 item 2, tightened per ADVICE r13
+                # item 2). Re-probe _SUCCESS immediately before the
+                # move: a concurrent builder may have published BETWEEN
+                # the failed rename's probe above and here, and
+                # displacing its complete artifact would re-open the
+                # mid-read race. The displacement itself is a RENAME to
+                # a ``.stale-<uuid>`` sibling, not an rmtree: if the
+                # re-probe loses a publish race anyway, the complete
+                # artifact survives intact at the sibling path and the
+                # retry republishes a byte-equivalent build — the
+                # target path is never empty-but-expected. The sibling
+                # is wiped afterwards (and any leftover is also caught
+                # by the sibling prune in _fingerprint_cache_path: it
+                # shares the prefix and is not a fresh ``.build-``).
                 if os.path.exists(os.path.join(target, "_SUCCESS")):
                     shutil.rmtree(tmp_dir, ignore_errors=True)
                     return
-                shutil.rmtree(target, ignore_errors=True)
+                stale = f"{target}.stale-{os.path.basename(tmp_dir)[-8:]}"
+                try:
+                    os.rename(target, stale)
+                    displaced.append(stale)
+                except OSError:
+                    # Target vanished (a pruner finished) or was
+                    # replaced; just retry the publish.
+                    pass
                 continue
             shutil.rmtree(tmp_dir, ignore_errors=True)
             raise OSError(
@@ -10488,7 +10533,10 @@ def q169_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.c_mktsegment
     """,
     description="Bucketed CTAS + co-located join: customer and orders "
-    "written as 8-bucket tables on the customer key, read back and "
+    "written as 8-bucket tables on the customer key under a BOTH-inputs "
+    "data-fingerprint token with an atomic publish and lesson-27 "
+    "CLUSTERED BY re-registration (r14, retiring the md5(sf_dir) "
+    "session CTAS), read back and "
     "joined with auto-broadcast disabled — the bucketed scan and "
     "exchange-free sort-merge join are asserted inside the query (a "
     "silent degrade to a shuffled join fails loudly); per-segment "
@@ -10498,35 +10546,68 @@ def q169_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sink", "bucketing", "join", "agg", "scale-dial"),
 )
 def q170_bucketed_ctas_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
+    import os
+    import re as _re
+    import uuid
 
-    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    tc, to = f"q170_cust_{tok}", f"q170_ord_{tok}"
+    # Fingerprint-keyed bucketed pair (r14, retiring the md5(sf_dir)
+    # session CTAS): the token fingerprints CUSTOMER's data and folds
+    # ORDERS' fingerprint into the logic salt, so regenerating either
+    # input in place invalidates the pair. Both bucketed tables are
+    # written under ONE .build-<uuid> sibling (bucketBy needs
+    # saveAsTable — written through token-scoped temp catalog names
+    # whose external files survive the DROP) and published by ONE
+    # atomic rename; reads re-register the published files with
+    # CREATE TABLE ... CLUSTERED BY (lesson 27: bucket file names
+    # carry the bucket id, so relocation preserves the clustering) —
+    # the catalog names embed the token, so the tableExists fast path
+    # is token-scoped too (the q98/q167 discipline).
+    n_buckets = 8
+    salt = f"v2-fp.b{n_buckets}.{_data_fingerprint_token(sf_dir, 'orders')}"
+    target = _fingerprint_cache_path(
+        spark, sf_dir, "customer", "q170_pair", salt
+    )
+    base = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(target))
+    tc, to = f"{base}_cust", f"{base}_ord"
     if not (spark.catalog.tableExists(tc) and spark.catalog.tableExists(to)):
-        # One-time bucketed CTAS per (session, corpus); stale warehouse
-        # dirs from a dead session are cleared first (same hazard
-        # write_signature_index documents).
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        for t in (tc, to):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            loc = hadoop_path(f"{warehouse}/{t}")
-            fs = loc.getFileSystem(hconf)
-            if fs.exists(loc):
-                fs.delete(loc, True)
-        cust = read_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        )
-        orders = read_table(spark, sf_dir, "orders").select(
-            "o_custkey", "o_totalprice"
-        )
-        cust.write.format("parquet").bucketBy(8, "c_custkey").sortBy(
-            "c_custkey"
-        ).mode("overwrite").saveAsTable(tc)
-        orders.write.format("parquet").bucketBy(8, "o_custkey").sortBy(
-            "o_custkey"
-        ).mode("overwrite").saveAsTable(to)
+        if not os.path.exists(os.path.join(target, "_SUCCESS")):
+            bsuf = uuid.uuid4().hex[:8]
+            build = f"{target}.build-{bsuf}"
+            cust = read_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+            orders = read_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice"
+            )
+            for df, sub, key in (
+                (cust, "cust", "c_custkey"),
+                (orders, "ord", "o_custkey"),
+            ):
+                tmp_tbl = f"{base}_b{bsuf}_{sub}"
+                (
+                    df.write.format("parquet")
+                    .bucketBy(n_buckets, key)
+                    .sortBy(key)
+                    .option("path", os.path.join(build, sub))
+                    .saveAsTable(tmp_tbl)
+                )
+                # External table: dropping the temp catalog entry
+                # keeps the files for the publish below.
+                spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            open(os.path.join(build, "_SUCCESS"), "w").close()
+            _publish_cache_build(build, target)
+        for tbl_name, sub, key in ((tc, "cust", "c_custkey"), (to, "ord", "o_custkey")):
+            loc = os.path.join(target, sub)
+            ddl_cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(loc).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl_name} ({ddl_cols}) "
+                f"USING parquet CLUSTERED BY ({key}) "
+                f"SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
 
     conf_key = "spark.sql.autoBroadcastJoinThreshold"
     prev = spark.conf.get(conf_key)
@@ -11069,7 +11150,8 @@ def q174_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q175 — DYNAMIC PARTITION PRUNING over a day-partitioned fact write:
 # the second write-side scale technique registered as a query (q170 is
 # bucketing for shuffle-free joins; q175 is partitioning for scan
-# pruning). The fact table is CTAS'd PARTITIONED BY day; the dim side
+# pruning). The fact table is written PARTITIONED BY day under a
+# data-fingerprint token with an atomic publish (r14); the dim side
 # carries a filterable attribute (grp = day % 7) and is joined after
 # filtering grp = 3 — at planning time Spark injects the broadcast
 # result as a partition filter (dynamicpruningexpression in the fact
@@ -11097,8 +11179,11 @@ def q174_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE day % 7 = 3
     GROUP BY day
     """,
-    description="Dynamic partition pruning: events CTAS'd PARTITIONED BY "
-    "day, joined to a dim filtered on a derived attribute (day%7=3) — "
+    description="Dynamic partition pruning: events written PARTITIONED "
+    "BY day under a data-fingerprint token with an atomic one-rename "
+    "publish (fact+dim as ONE directory; r14, retiring the md5(sf_dir) "
+    "session CTAS), joined to a dim filtered on a derived attribute "
+    "(day%7=3) — "
     "Spark injects the broadcast result as a fact-scan partition "
     "filter (dynamicpruningexpression, asserted in-plan), reading only "
     "matching day directories; per-day quantized rollup proves the "
@@ -11109,20 +11194,24 @@ def q174_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q175_dynamic_partition_pruning(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import hashlib as _hl
+    import os
+    import uuid
 
-    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    tf, td = f"q175_fact_{tok}", f"q175_dim_{tok}"
-    if not (spark.catalog.tableExists(tf) and spark.catalog.tableExists(td)):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        for t in (tf, td):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
-            loc = hadoop_path(f"{warehouse}/{t}")
-            fs = loc.getFileSystem(hconf)
-            if fs.exists(loc):
-                fs.delete(loc, True)
+    # Fingerprint-keyed fact/dim pair (r14, retiring the md5(sf_dir)
+    # session CTAS): both sides derive from events, so one events token
+    # keys both; the two directories are built under ONE .build-<uuid>
+    # sibling and published by ONE atomic rename — a concurrent
+    # same-token session can never see the fact without the dim (the
+    # q98/q167 index discipline; CLAUDE.md lesson 25). DPP fires on the
+    # path-based partition-discovered read exactly as on a catalog
+    # table (dynamicpruningexpression lands in the file scan's
+    # PartitionFilters), so no catalog registration is needed and a
+    # fresh session self-heals from the published files alone.
+    target = _fingerprint_cache_path(
+        spark, sf_dir, "events", "q175_dpp", "v2-fp"
+    )
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        build = f"{target}.build-{uuid.uuid4().hex[:8]}"
         ev = read_table(spark, sf_dir, "events").select(
             F.expr(
                 "CAST(unix_timestamp(ts) AS BIGINT) div 86400"
@@ -11131,15 +11220,23 @@ def q175_dynamic_partition_pruning(
             .cast("long")
             .alias("qv"),
         )
-        ev.write.format("parquet").partitionBy("day").mode(
-            "overwrite"
-        ).saveAsTable(tf)
-        spark.table(tf).select("day").distinct().withColumn(
-            "grp", F.pmod("day", F.lit(7))
-        ).write.format("parquet").mode("overwrite").saveAsTable(td)
+        ev.write.partitionBy("day").parquet(os.path.join(build, "fact"))
+        (
+            spark.read.parquet(os.path.join(build, "fact"))
+            .select("day")
+            .distinct()
+            .withColumn("grp", F.pmod("day", F.lit(7)))
+            .write.parquet(os.path.join(build, "dim"))
+        )
+        open(os.path.join(build, "_SUCCESS"), "w").close()
+        _publish_cache_build(build, target)
 
-    fact = spark.table(tf)
-    dim = spark.table(td).filter(F.col("grp") == 3).select("day")
+    fact = spark.read.parquet(os.path.join(target, "fact"))
+    dim = (
+        spark.read.parquet(os.path.join(target, "dim"))
+        .filter(F.col("grp") == 3)
+        .select("day")
+    )
     joined = fact.join(dim, "day").groupBy("day").agg(
         F.count("*").alias("n_events"),
         F.sum("qv").cast("long").alias("value_cents"),
@@ -12457,9 +12554,11 @@ def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical (the oracle computes the weekly rollup DIRECTLY from
 # raw events — the equality is the correctness claim, q98's
 # materialized-index philosophy applied to aggregation). The partial
-# table is CTAS'd per sf_dir (q175's token pattern) and reused on
-# every subsequent run — the measured warm cost is the partial-read
-# merge, which is independent of corpus row count.
+# table is keyed on the events table's DATA FINGERPRINT and published
+# atomically (the q98/q167 index discipline — in-place regeneration
+# can never replay stale partials) and reused on every subsequent run
+# — the measured warm cost is the partial-read merge, which is
+# independent of corpus row count.
 # ---------------------------------------------------------------------------
 @register(
     "q189_partial_agg_rollup",
@@ -12473,27 +12572,30 @@ def q188_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY week, event_type
     """,
     description="Incremental partial-aggregate rollup: daily (day x "
-    "type) count/quantized-sum partials materialized once (CTAS, "
-    "O(days*types) rows), weekly rollup merges ONLY partials — "
+    "type) count/quantized-sum partials materialized once under a "
+    "data-fingerprint token with an atomic publish (O(days*types) "
+    "rows; r14 — a stale replay after in-place regeneration is "
+    "structurally impossible), weekly rollup merges ONLY partials — "
     "associative merge makes it bit-identical to the oracle's direct "
     "aggregation over raw events. The never-rescan-raw ETL shape: "
     "warm cost is independent of corpus row count.",
     tags=("agg", "incremental", "warehouse", "etl"),
 )
 def q189_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
+    import os
+    import uuid
 
-    tok = _hl.md5(sf_dir.encode()).hexdigest()[:8]
-    tp = f"q189_daily_{tok}"
-    if not spark.catalog.tableExists(tp):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        hadoop_path = spark._jvm.org.apache.hadoop.fs.Path  # noqa: SLF001
-        hconf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-        spark.sql(f"DROP TABLE IF EXISTS {tp}")
-        loc = hadoop_path(f"{warehouse}/{tp}")
-        fs = loc.getFileSystem(hconf)
-        if fs.exists(loc):
-            fs.delete(loc, True)
+    # Fingerprint-keyed partials (r14, retiring the md5(sf_dir) session
+    # CTAS): the daily partial table CARRIES CONTENT, so a stale replay
+    # after in-place events regeneration would return wrong numbers —
+    # exactly the hazard the data-fingerprint token (file count + bytes
+    # + newest mtime) plus atomic .build-<uuid>/rename publish
+    # eliminates (the q98/q167 discipline; CLAUDE.md lesson 25).
+    target = _fingerprint_cache_path(
+        spark, sf_dir, "events", "q189_daily", "v2-fp"
+    )
+    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+        build = f"{target}.build-{uuid.uuid4().hex[:8]}"
         events = read_table(spark, sf_dir, "events")
         (
             events.select(
@@ -12510,11 +12612,12 @@ def q189_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_events"),
                 F.sum("qv").cast("long").alias("value_cents"),
             )
-            .write.format("parquet")
-            .mode("overwrite")
-            .saveAsTable(tp)
+            .write.parquet(build)
         )
-    partials = spark.table(tp)
+        # Spark's committer stamps build/_SUCCESS itself — the same
+        # marker _fingerprint_cache_path's partial-target wipe probes.
+        _publish_cache_build(build, target)
+    partials = spark.read.parquet(target)
     return (
         partials.groupBy(
             F.expr("day div 7").alias("week"), "event_type"
@@ -13724,12 +13827,15 @@ def q194_zorder_multidim_skipping(
 def q195_merge_rounds_materialized(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import os
     import shutil
     import uuid
 
     from pyspark.sql import Window
 
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
+        partition_snapshot,
+        rewritten_partitions,
+    )
     from nyc_yellow_taxi_trip_data_pipeline_spark.streaming.pipeline import (
         scoped_shuffle_partitions,
     )
@@ -13739,18 +13845,6 @@ def q195_merge_rounds_materialized(
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-
-    def snapshot() -> dict:
-        out = {}
-        for d in os.listdir(tbl):
-            if d.startswith("bucket="):
-                p = os.path.join(tbl, d)
-                out[d] = sorted(
-                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
-                    for f in os.listdir(p)
-                    if not f.startswith(".") and not f.startswith("_")
-                )
-        return out
 
     def merge_round(upd: DataFrame, label: str, bump_only: bool) -> None:
         # MERGE INTO target USING upd ON target.key = upd.key
@@ -13802,7 +13896,7 @@ def q195_merge_rounds_materialized(
         merged = merged.localCheckpoint(
             eager=True
         )  # plan reads the dir it overwrites
-        before = snapshot()
+        before = partition_snapshot(tbl, "bucket=")
         # coalesce(1): the target is dim-sized, so ONE write task
         # producing one file per touched partition beats 8 tasks each
         # opening files in every dir (committer work scales with file
@@ -13815,10 +13909,8 @@ def q195_merge_rounds_materialized(
             .partitionBy("bucket")
             .parquet(tbl)
         )
-        after = snapshot()
-        rewritten = {
-            d for d in before if before[d] != after.get(d)
-        } | (after.keys() - before.keys())
+        after = partition_snapshot(tbl, "bucket=")
+        rewritten = rewritten_partitions(before, after)
         want = {f"bucket={int(b)}" for b in touched}
         if rewritten != want:
             raise AssertionError(
@@ -13907,8 +13999,11 @@ def q195_merge_rounds_materialized(
 # many tiny files; scan cost then scales with FILE COUNT (task
 # scheduling + footer reads + open cost), not bytes. Mechanics, all
 # asserted in-query against a deterministically fragmented events
-# table (even days: 12-way hash-scattered small files; odd days:
-# pre-compacted single files):
+# table (even days PLUS the row-richest day: 12-way hash-scattered
+# small files; other odd days: pre-compacted single files — always
+# fragmenting the largest day and clamping the bin-pack target to it
+# makes the planner's non-empty selection data-shape-independent,
+# ADVICE r13):
 #   - PLANNING IS METADATA-ONLY: the compaction planner reads the
 #     partition directory listing and parquet FOOTER row counts — never
 #     data pages. Partitions are selected only when their file count
@@ -13963,14 +14058,16 @@ def q195_merge_rounds_materialized(
 )
 def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
-    import os
     import re as _re
     import shutil
     import uuid
 
-    import pyarrow.parquet as _pq
-
     from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import qsum
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
+        partition_file_stats,
+        partition_snapshot,
+        rewritten_partitions,
+    )
 
     n_frag = 12  # fragmentation width of the simulated streaming sink
     target_files = 3  # bin-pack target per partition (rows-as-bytes proxy)
@@ -13982,35 +14079,6 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
     )
 
-    def part_stats() -> dict:
-        # Planner input: file count + FOOTER row count per partition dir
-        # (metadata pages only — at 100 TB this listing distributes as a
-        # job over file statuses; here it is <= 30 dirs x 12 files).
-        out = {}
-        for d in os.listdir(tbl):
-            if not d.startswith("day="):
-                continue
-            p = os.path.join(tbl, d)
-            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
-            rows = sum(
-                _pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
-                for f in files
-            )
-            out[d] = (len(files), rows)
-        return out
-
-    def snapshot() -> dict:
-        out = {}
-        for d in os.listdir(tbl):
-            if d.startswith("day="):
-                p = os.path.join(tbl, d)
-                out[d] = sorted(
-                    (f, os.stat(os.path.join(p, f)).st_mtime_ns)
-                    for f in os.listdir(p)
-                    if not f.startswith(".") and not f.startswith("_")
-                )
-        return out
-
     try:
         # Deterministic fragmentation in ONE write job: even days arrive
         # hash-scattered across up to 12 routes (the streaming-sink
@@ -14018,7 +14086,23 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a per-day file count of ~n_frag vs exactly 1. (Route-hash
         # collisions can merge some even-day routes into one task; the
         # planner reads MEASURED file counts, so nothing assumes 12.)
-        frag_days = F.dayofmonth("day") % 2 == 0
+        # Data-shape guarantee (ADVICE r13): the row-RICHEST day is
+        # ALWAYS routed through all n_frag routes regardless of parity,
+        # and max_rec is clamped so that day's bin-packed target stays
+        # <= target_files << its file count — so the planner always has
+        # at least one selectable partition even if a regenerated
+        # corpus makes every even day sparse. The per-day counts are a
+        # bounded pull (<= #days rows).
+        day_counts = {
+            r["day"]: r["n"]
+            for r in ev.groupBy("day").agg(F.count("*").alias("n")).collect()
+        }
+        big_day, big_rows = max(
+            day_counts.items(), key=lambda kv: (kv[1], kv[0].toordinal())
+        )
+        frag_days = (F.dayofmonth("day") % 2 == 0) | (
+            F.col("day") == F.lit(big_day)
+        )
         (
             ev.withColumn(
                 "__route",
@@ -14032,9 +14116,18 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(tbl)
         )
 
-        stats = part_stats()
+        # Planner input is METADATA-ONLY: directory listing + parquet
+        # footer row counts (partition_file_stats) — never data pages.
+        stats = {
+            d: (nf, rows)
+            for d, (nf, rows, _) in partition_file_stats(tbl, "day=").items()
+        }
         total_rows = sum(r for _, r in stats.values())
-        max_rec = max(1, -(-total_rows // (len(stats) * target_files)))
+        max_rec = max(
+            1,
+            -(-total_rows // (len(stats) * target_files)),
+            -(-big_rows // target_files),
+        )
         needed = {d: -(-rows // max_rec) for d, (_, rows) in stats.items()}
         todo = sorted(d for d, (nf, _) in stats.items() if nf > needed[d])
         if not todo:
@@ -14064,7 +14157,7 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "q196: compaction read lost day partition pruning:\n" + splan
             )
         pinned = src.localCheckpoint(eager=True)  # reads dirs it overwrites
-        before = snapshot()
+        before = partition_snapshot(tbl, "day=")
         (
             pinned.repartition(len(todo), "day")
             .sortWithinPartitions("day", "event_id")
@@ -14074,16 +14167,17 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("day")
             .parquet(tbl)
         )
-        after = snapshot()
-        rewritten = {
-            d for d in before if before[d] != after.get(d)
-        } | (after.keys() - before.keys())
+        after = partition_snapshot(tbl, "day=")
+        rewritten = rewritten_partitions(before, after)
         if rewritten != set(todo):
             raise AssertionError(
                 f"q196: rewrite touched {sorted(rewritten)}, planner "
                 f"selected {todo} (selective-compaction contract)"
             )
-        stats2 = part_stats()
+        stats2 = {
+            d: (nf, rows)
+            for d, (nf, rows, _) in partition_file_stats(tbl, "day=").items()
+        }
         for d in todo:
             nf2, rows2 = stats2[d]
             nf1, rows1 = stats[d]
@@ -14107,6 +14201,196 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_events"),
                 F.countDistinct("user_id").alias("n_users"),
                 qsum(F.col("value")).alias("sum_value"),
+            )
+            .localCheckpoint(eager=True)  # survives the rmtree below
+        )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q197 — BYTE-TARGETED COMPACTION (OPTIMIZE's production contract):
+# q196 plans on footer ROW counts (rows standing in for bytes at fixed
+# row width); real OPTIMIZE implementations (Delta/Iceberg bin-pack)
+# plan on BYTES, because row width varies across partitions and a
+# row-count target mis-sizes wide-row partitions. Same maintenance
+# mechanics as q196 — metadata-only planning, partition-selective
+# pinned read, dynamic-overwrite rewrite, byte-stable untouched dirs,
+# exact output file counts — with the two byte-specific levers:
+#   - SELECTION is byte-planned: per-partition compressed bytes come
+#     from file stats (partition_file_stats — still metadata-only), the
+#     per-file byte target derives from the table's total bytes, and a
+#     partition is selected only when its file count exceeds
+#     ceil(partition_bytes / target_file_bytes).
+#   - SIZING is byte-derived: the write's maxRecordsPerFile is
+#     floor(target_file_bytes / measured_bytes_per_row) — the measured
+#     global footer bytes-per-row converts the byte target into the
+#     record budget the writer can actually enforce. Output byte sizes
+#     themselves are NOT asserted (encoding varies with row order —
+#     lesson 28: assert counts and aggregates, never bytes); the exact
+#     per-partition file count ceil(rows / max_rec) is.
+# Staging table: lineitem partitioned by ship YEAR (7 dirs — a second
+# table shape vs q196's ~30 event days), even years + the row-richest
+# year fragmented 12-way by l_orderkey (the q196 data-shape guarantee),
+# other years pre-compacted. The returned DataFrame re-aggregates the
+# COMPACTED table per year against a raw-lineitem oracle — the same
+# content-preservation proof as q196, on the byte-planned cycle.
+# ---------------------------------------------------------------------------
+@register(
+    "q197_compact_bytes_optimize",
+    f"""
+    SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           {sql_qsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY CAST(YEAR(l_shipdate) AS INTEGER)
+    """,
+    description="Byte-targeted compaction (the production OPTIMIZE "
+    "contract): planning selects fragmented partitions by FOOTER/stat "
+    "BYTES against a per-file byte target, sizing converts that target "
+    "into maxRecordsPerFile via measured bytes-per-row, and the "
+    "partition-selective rewrite is asserted exactly like q196 "
+    "(pruned read, byte-stable untouched dirs, exact output file "
+    "counts, row preservation) — byte sizes themselves are never "
+    "asserted (encoding varies; lesson 28). Oracle re-aggregates the "
+    "compacted lineitem-by-ship-year table against raw lineitem.",
+    tags=("layout", "compaction", "sink", "maintenance"),
+)
+def q197_compact_bytes_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import re as _re
+    import shutil
+    import uuid
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.helpers import qsum
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
+        partition_file_stats,
+        partition_snapshot,
+        rewritten_partitions,
+    )
+
+    n_frag = 12  # fragmentation width of the simulated append pattern
+    target_files = 3  # bin-pack target per partition, in FILES-of-bytes
+    tbl = f"/tmp/q197_table_{uuid.uuid4().hex[:8]}"
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    )
+
+    try:
+        # Deterministic fragmentation (q196's shape + data guarantee):
+        # even years and the row-richest year arrive 12-way scattered,
+        # other years pre-compacted. Bounded pull: <= #years rows.
+        year_counts = {
+            r["ship_year"]: r["n"]
+            for r in li.groupBy("ship_year")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        big_year, _ = max(year_counts.items(), key=lambda kv: (kv[1], kv[0]))
+        frag = (F.col("ship_year") % 2 == 0) | (
+            F.col("ship_year") == big_year
+        )
+        (
+            li.withColumn(
+                "__route",
+                F.when(frag, F.pmod("l_orderkey", F.lit(n_frag))).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .repartition(n_frag, "__route")
+            .drop("__route")
+            .write.mode("overwrite")
+            .partitionBy("ship_year")
+            .parquet(tbl)
+        )
+
+        # BYTE-planned selection from metadata only: compressed bytes
+        # per partition from file stats, rows from footers.
+        stats = partition_file_stats(tbl, "ship_year=")
+        total_rows = sum(r for _, r, _ in stats.values())
+        total_bytes = sum(b for _, _, b in stats.values())
+        big_bytes = max(b for _, _, b in stats.values())
+        # Per-file byte target; clamped to the byte-richest partition
+        # (the q196 guarantee restated in bytes: that partition's
+        # bin-packed target stays <= target_files << its file count).
+        tfb = max(
+            1,
+            -(-total_bytes // (len(stats) * target_files)),
+            -(-big_bytes // target_files),
+        )
+        needed = {d: -(-b // tfb) for d, (_, _, b) in stats.items()}
+        todo = sorted(d for d, (nf, _, _) in stats.items() if nf > needed[d])
+        if not todo:
+            raise AssertionError(
+                f"q197: byte planner selected no partitions from {stats}"
+            )
+        if all(nf > needed[d] for d, (nf, _, _) in stats.items()):
+            raise AssertionError(
+                "q197: byte planner selected EVERY partition — "
+                f"pre-compacted years must be skipped ({stats})"
+            )
+        # BYTE-derived sizing: convert the byte target into the record
+        # budget the writer enforces, via measured bytes-per-row.
+        max_rec = max(1, (tfb * total_rows) // total_bytes)
+
+        years_todo = [int(d.split("=", 1)[1]) for d in todo]
+        src = spark.read.parquet(tbl).filter(
+            F.col("ship_year").isin(years_todo)
+        )
+        splan = src._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        if not _re.search(r"PartitionFilters: \[[^\]]*ship_year", splan):
+            raise AssertionError(
+                "q197: compaction read lost year partition pruning:\n"
+                + splan
+            )
+        pinned = src.localCheckpoint(eager=True)  # reads dirs it overwrites
+        before = partition_snapshot(tbl, "ship_year=")
+        (
+            pinned.repartition(len(todo), "ship_year")
+            .sortWithinPartitions("ship_year", "l_orderkey")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("maxRecordsPerFile", max_rec)
+            .partitionBy("ship_year")
+            .parquet(tbl)
+        )
+        after = partition_snapshot(tbl, "ship_year=")
+        rewritten = rewritten_partitions(before, after)
+        if rewritten != set(todo):
+            raise AssertionError(
+                f"q197: rewrite touched {sorted(rewritten)}, planner "
+                f"selected {todo} (selective-compaction contract)"
+            )
+        stats2 = partition_file_stats(tbl, "ship_year=")
+        for d in todo:
+            nf2, rows2, _ = stats2[d]
+            nf1, rows1, _ = stats[d]
+            if rows2 != rows1:
+                raise AssertionError(
+                    f"q197 {d}: rows {rows1} -> {rows2} (compaction must "
+                    "preserve content)"
+                )
+            expect = -(-rows1 // max_rec)
+            if nf2 != expect or nf2 >= nf1:
+                raise AssertionError(
+                    f"q197 {d}: {nf1} files -> {nf2}, expected exactly "
+                    f"{expect} (ceil({rows1}/{max_rec}))"
+                )
+        if sum(r for _, r, _ in stats2.values()) != total_rows:
+            raise AssertionError("q197: total rows drifted across compaction")
+
+        return (
+            spark.read.parquet(tbl)
+            .groupBy(F.col("ship_year").cast("int").alias("ship_year"))
+            .agg(
+                F.count("*").alias("n_items"),
+                F.countDistinct("l_suppkey").alias("n_supps"),
+                qsum(F.col("l_extendedprice")).alias("sum_price"),
             )
             .localCheckpoint(eager=True)  # survives the rmtree below
         )

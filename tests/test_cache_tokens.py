@@ -324,6 +324,151 @@ def test_signature_index_concurrent_builders_one_winner(spark, tmp_path):
     assert not leftovers, leftovers
 
 
+def _copy_tables(src_sf: str, dst_dir, tables) -> str:
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in tables:
+        shutil.copyfile(
+            os.path.join(src_sf, f"{t}.parquet"),
+            os.path.join(dst_dir, f"{t}.parquet"),
+        )
+    return str(dst_dir)
+
+
+def test_q189_sees_in_place_events_regeneration(spark, tmp_path):
+    """r14 migration contract for the CONTENT-carrying cache: q189's
+    daily partials are keyed on the events data fingerprint, so
+    regenerating events IN PLACE (same path, new bytes) within one
+    session must rebuild the partials — a stale replay would keep the
+    old sums (exactly what the retired md5(sf_dir) key did in a
+    long-lived session)."""
+    import pandas as pd
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = _copy_tables(SF_DIR, tmp_path / "sf", ["events"])
+    run = QUERIES["q189_partial_agg_rollup"].spark
+
+    first = run(spark, sf).collect()
+    assert any(r.value_cents != 0 for r in first)
+    target1 = dp._fingerprint_cache_path(
+        spark, sf, "events", "q189_daily", "v2-fp"
+    )
+    assert os.path.exists(os.path.join(target1, "_SUCCESS"))
+
+    ev_path = os.path.join(sf, "events.parquet")
+    pdf = pd.read_parquet(ev_path)
+    pdf["value"] = 0.0
+    pdf.to_parquet(ev_path, index=False)
+
+    second = run(spark, sf).collect()
+    assert all(r.value_cents == 0 for r in second), (
+        "q189 replayed stale daily partials after in-place events "
+        "regeneration"
+    )
+    assert sum(r.n_events for r in second) == len(pdf)
+    assert not os.path.exists(target1), "stale partials survived the prune"
+
+
+def test_q170_sees_in_place_orders_regeneration(spark, tmp_path):
+    """q170's bucketed pair fingerprints BOTH inputs (customer token in
+    the path, orders token folded into the salt): zeroing o_totalprice
+    in place must move the token, rebuild the pair, and zero every
+    revenue_cents."""
+    import pandas as pd
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    sf = _copy_tables(SF_DIR, tmp_path / "sf", ["customer", "orders"])
+    run = QUERIES["q170_bucketed_ctas_join"].spark
+
+    first = run(spark, sf).collect()
+    assert any(r.revenue_cents != 0 for r in first)
+
+    o_path = os.path.join(sf, "orders.parquet")
+    pdf = pd.read_parquet(o_path)
+    pdf["o_totalprice"] = 0.0
+    pdf.to_parquet(o_path, index=False)
+
+    second = run(spark, sf).collect()
+    assert all(r.revenue_cents == 0 for r in second), (
+        "q170 replayed a stale bucketed pair after in-place orders "
+        "regeneration"
+    )
+    assert sum(r.n_orders for r in second) == len(pdf)
+
+
+def test_q175_sees_in_place_events_regeneration(spark, tmp_path):
+    """q175's partitioned fact/dim pair is fingerprint-keyed and
+    atomically published as ONE directory: in-place events regeneration
+    rebuilds both sides together (the DPP assertion inside the query
+    re-proves the pruning on the rebuilt pair)."""
+    import pandas as pd
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    sf = _copy_tables(SF_DIR, tmp_path / "sf", ["events"])
+    run = QUERIES["q175_dynamic_partition_pruning"].spark
+
+    first = run(spark, sf).collect()
+    assert first and any(r.value_cents != 0 for r in first)
+
+    ev_path = os.path.join(sf, "events.parquet")
+    pdf = pd.read_parquet(ev_path)
+    pdf["value"] = 0.0
+    pdf.to_parquet(ev_path, index=False)
+
+    second = run(spark, sf).collect()
+    assert second and all(r.value_cents == 0 for r in second), (
+        "q175 replayed a stale fact/dim pair after in-place events "
+        "regeneration"
+    )
+    assert {r.day for r in second} == {r.day for r in first}
+
+
+def test_q189_concurrent_same_token_runs(spark, tmp_path):
+    """Two same-session threads racing q189's first build on one token:
+    both must return the correct rollup (one publishes, the loser's
+    build is discarded) — the signature-index race contract extended to
+    the migrated partials cache."""
+    import threading
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+
+    sf = _copy_tables(SF_DIR, tmp_path / "sf", ["events"])
+    run = QUERIES["q189_partial_agg_rollup"].spark
+    results: list = [None, None]
+    errs: list = []
+
+    def go(i: int) -> None:
+        try:
+            results[i] = sorted(
+                (r.week, r.event_type, r.n_events, r.value_cents)
+                for r in run(spark, sf).collect()
+            )
+        except Exception as exc:  # noqa: BLE001 — surfaced via assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert results[0] == results[1] and results[0]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    leftovers = [
+        d
+        for d in os.listdir(warehouse)
+        if d.startswith("q189_daily_sf_") and ".build-" in d
+    ]
+    assert not leftovers, leftovers
+
+
 def test_q98_sees_in_place_corpus_regeneration(spark, tmp_path):
     """End-to-end form of the r13 staleness fix: within ONE session, q98
     builds its signature index, the corpus is regenerated IN PLACE with
