@@ -103,6 +103,7 @@ QUERIES_TO_RUN = [
     "q194_zorder_multidim_skipping",   # trailing-dim Z-order skipping
     "q195_merge_rounds_materialized",  # partition-COW merge rounds
     "q196_compact_optimize",           # selective small-file bin-pack
+    "q197_compact_bytes_optimize",     # byte-planned bin-pack (lineitem)
 ]
 
 
