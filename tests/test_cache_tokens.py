@@ -386,6 +386,12 @@ def test_q170_sees_in_place_orders_regeneration(spark, tmp_path):
 
     first = run(spark, sf).collect()
     assert any(r.revenue_cents != 0 for r in first)
+    tables_before = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("q170_pair_sf_")
+    }
+    assert tables_before, "first run registered no token-scoped tables"
 
     o_path = os.path.join(sf, "orders.parquet")
     pdf = pd.read_parquet(o_path)
@@ -398,6 +404,17 @@ def test_q170_sees_in_place_orders_regeneration(spark, tmp_path):
         "regeneration"
     )
     assert sum(r.n_orders for r in second) == len(pdf)
+    # catalog hygiene: the previous token's dangling pair was dropped
+    # when the new token registered (its LOCATION was already pruned)
+    tables_after = {
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("q170_pair_sf_")
+    }
+    assert not (tables_before & tables_after), (
+        f"stale-token catalog entries survived: "
+        f"{sorted(tables_before & tables_after)}"
+    )
 
 
 def test_q175_sees_in_place_events_regeneration(spark, tmp_path):
