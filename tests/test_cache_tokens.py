@@ -445,6 +445,42 @@ def test_q175_sees_in_place_events_regeneration(spark, tmp_path):
     assert {r.day for r in second} == {r.day for r in first}
 
 
+def test_largest_group_memoizes_on_data_fingerprint(spark, tmp_path):
+    """The compaction planners' row-richest-partition pull recomputes
+    exactly when the data fingerprint moves: same corpus => cached (no
+    second scan), in-place regeneration => fresh value."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import read_table
+
+    sf = _copy_tables(SF_DIR, tmp_path / "sf", ["events"])
+    ev = read_table(spark, sf, "events").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    n1, g1 = dp._largest_group(spark, sf, "events", ev, "day")
+    key = (dp._data_fingerprint_token(sf, "events"), "day")
+    assert key in dp._LARGEST_GROUP_CACHE
+    # same corpus: the cached tuple is returned (no recompute) even for
+    # a df that would give a different answer — proving the cache hit
+    empty = ev.filter(F.lit(False))
+    assert dp._largest_group(spark, sf, "events", empty, "day") == (n1, g1)
+
+    # in-place regeneration: keep only one day => new fingerprint, new
+    # answer computed from the fresh data
+    ev_path = os.path.join(sf, "events.parquet")
+    pdf = pd.read_parquet(ev_path)
+    keep_day = pdf["ts"].dt.date.min()
+    pdf2 = pdf[pdf["ts"].dt.date == keep_day]
+    pdf2.to_parquet(ev_path, index=False)
+    ev2 = read_table(spark, sf, "events").select(
+        "event_id", F.to_date("ts").alias("day")
+    )
+    n2, g2 = dp._largest_group(spark, sf, "events", ev2, "day")
+    assert g2 == keep_day and n2 == len(pdf2)
+
+
 def test_q189_concurrent_same_token_runs(spark, tmp_path):
     """Two same-session threads racing q189's first build on one token:
     both must return the correct rollup (one publishes, the loser's
