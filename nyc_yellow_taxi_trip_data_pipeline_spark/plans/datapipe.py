@@ -14112,6 +14112,7 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
         partition_file_stats,
         partition_snapshot,
+        plan_compaction,
         rewritten_partitions,
     )
 
@@ -14140,7 +14141,7 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corpus makes every even day sparse. Memoized per corpus
         # (_largest_group): bench reps and repeated driver runs don't
         # re-scan events for a value fixed by the data fingerprint.
-        big_rows, big_day = _largest_group(spark, sf_dir, "events", ev, "day")
+        _, big_day = _largest_group(spark, sf_dir, "events", ev, "day")
         frag_days = (F.dayofmonth("day") % 2 == 0) | (
             F.col("day") == F.lit(big_day)
         )
@@ -14159,26 +14160,21 @@ def q196_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # Planner input is METADATA-ONLY: directory listing + parquet
         # footer row counts (partition_file_stats) — never data pages.
-        stats = {
-            d: (nf, rows)
-            for d, (nf, rows, _) in partition_file_stats(tbl, "day=").items()
-        }
+        # Row-planned bin-pack (plan_compaction, the q197 twin plans
+        # the same arithmetic on BYTES): the clamp to the row-richest
+        # partition (fragmented above) keeps the selection non-empty
+        # for any data shape.
+        full_stats = partition_file_stats(tbl, "day=")
+        stats = {d: (nf, rows) for d, (nf, rows, _) in full_stats.items()}
         total_rows = sum(r for _, r in stats.values())
-        max_rec = max(
-            1,
-            -(-total_rows // (len(stats) * target_files)),
-            -(-big_rows // target_files),
+        todo, max_rec, needed = plan_compaction(
+            full_stats, target_files, by_bytes=False
         )
-        needed = {d: -(-rows // max_rec) for d, (_, rows) in stats.items()}
-        todo = sorted(d for d, (nf, _) in stats.items() if nf > needed[d])
         if not todo:
             raise AssertionError(
                 f"q196: planner selected no partitions from {stats}"
             )
-        compact_skipped = [
-            d for d, (nf, _) in stats.items() if nf <= needed[d]
-        ]
-        if not compact_skipped:
+        if len(todo) == len(stats):
             raise AssertionError(
                 "q196: planner selected EVERY partition — the already-"
                 f"compact odd days must be skipped ({stats})"
@@ -14309,6 +14305,7 @@ def q197_compact_bytes_optimize(
     from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
         partition_file_stats,
         partition_snapshot,
+        plan_compaction,
         rewritten_partitions,
     )
 
@@ -14348,35 +14345,22 @@ def q197_compact_bytes_optimize(
         )
 
         # BYTE-planned selection from metadata only: compressed bytes
-        # per partition from file stats, rows from footers.
-        stats = partition_file_stats(tbl, "ship_year=")
-        total_rows = sum(r for _, r, _ in stats.values())
-        total_bytes = sum(b for _, _, b in stats.values())
-        big_bytes = max(b for _, _, b in stats.values())
-        # Per-file byte target; clamped to the byte-richest partition
-        # (the q196 guarantee restated in bytes: that partition's
-        # bin-packed target stays <= target_files << its file count).
-        tfb = max(
-            1,
-            -(-total_bytes // (len(stats) * target_files)),
-            -(-big_bytes // target_files),
-        )
-        needed = {d: -(-b // tfb) for d, (_, _, b) in stats.items()}
-        # BYTE-derived sizing: convert the byte target into the record
-        # budget the writer enforces, via measured GLOBAL bytes-per-row.
-        max_rec = max(1, (tfb * total_rows) // total_bytes)
-        # Selection = byte-planned (nf > ceil(bytes/tfb)) AND writer-
-        # feasible (nf > ceil(rows/max_rec)): the writer enforces the
-        # ROW budget, so a partition whose bytes-per-row diverges far
-        # enough from the global average that the row-sized rewrite
+        # per partition from file stats, rows from footers. The shared
+        # arithmetic (plan_compaction, by_bytes=True) selects on
+        # nf > ceil(bytes/target_file_bytes) AND writer feasibility
+        # nf > ceil(rows/max_rec) — the writer enforces the ROW budget
+        # (maxRecordsPerFile from the byte target via measured global
+        # bytes-per-row), so a partition whose bytes-per-row diverges
+        # far enough from the global average that the row-sized rewrite
         # would not reduce its file count is skipped, not rewritten —
         # production OPTIMIZE semantics (never rewrite without
-        # improving), and it makes the exact-file-count assertion below
-        # structurally unable to collide with nf2 >= nf1.
-        todo = sorted(
-            d
-            for d, (nf, rows, _) in stats.items()
-            if nf > needed[d] and nf > -(-rows // max_rec)
+        # improving), and the exact-file-count assertion below can
+        # never collide with nf2 >= nf1. The byte target is clamped to
+        # the byte-richest partition (the q196 guarantee in bytes).
+        stats = partition_file_stats(tbl, "ship_year=")
+        total_rows = sum(r for _, r, _ in stats.values())
+        todo, max_rec, _ = plan_compaction(
+            stats, target_files, by_bytes=True
         )
         if not todo:
             raise AssertionError(

@@ -48,6 +48,63 @@ def rewritten_partitions(
     )
 
 
+def plan_compaction(
+    stats: dict[str, tuple[int, int, int]],
+    target_files: int,
+    by_bytes: bool = False,
+) -> tuple[list[str], int, dict[str, int]]:
+    """Bin-pack compaction plan from per-partition metadata stats
+    ``{dir: (file_count, rows, bytes)}`` — the shared arithmetic behind
+    q196 (row-planned) and q197 (byte-planned). Returns
+    ``(todo, max_rec, needed)``:
+
+    - the per-file target derives from the table total spread over
+      ``len(stats) * target_files`` files, CLAMPED to the size-richest
+      partition so that partition's bin-packed target stays
+      <= target_files (the ADVICE-r13 data-shape guarantee: the planner
+      always has a selectable partition as long as one is fragmented
+      past target_files files);
+    - ``needed[d] = max(1, ceil(size_d / unit))`` — at least one file
+      per partition, so a single-file partition can never be selected;
+    - ``max_rec`` is the maxRecordsPerFile the writer enforces: the
+      unit itself in row mode, or the byte unit divided by the
+      measured global bytes-per-row in byte mode;
+    - selection requires BOTH the planned improvement
+      (``nf > needed``) and writer feasibility
+      (``nf > ceil(rows / max_rec)``) — in row mode the two coincide;
+      in byte mode the second guards partitions whose bytes-per-row
+      diverges from the global average far enough that the row-sized
+      rewrite would not reduce their file count (never rewrite without
+      improving).
+
+    Invariants property-tested in tests/test_round9c_properties.py:
+    single-file partitions never selected, selected partitions strictly
+    reduce their file count to exactly ceil(rows/max_rec), the richest
+    partition's needed <= target_files, max_rec >= 1."""
+    sizes = {
+        d: (b if by_bytes else r) for d, (_, r, b) in stats.items()
+    }
+    total = sum(sizes.values())
+    total_rows = sum(r for _, r, _ in stats.values())
+    big = max(sizes.values())
+    unit = max(
+        1,
+        -(-total // (len(stats) * target_files)),
+        -(-big // target_files),
+    )
+    needed = {d: max(1, -(-sizes[d] // unit)) for d in stats}
+    if by_bytes:
+        max_rec = max(1, (unit * total_rows) // total) if total else 1
+    else:
+        max_rec = unit
+    todo = sorted(
+        d
+        for d, (nf, rows, _) in stats.items()
+        if nf > needed[d] and nf > max(1, -(-rows // max_rec))
+    )
+    return todo, max_rec, needed
+
+
 def partition_file_stats(
     tbl: str, prefix: str
 ) -> dict[str, tuple[int, int, int]]:

@@ -258,3 +258,49 @@ def test_timestamp_queries_survive_foreign_session_timezone():
         cwd="/root/repo",
     )
     assert "TZ_OK" in out.stdout, out.stderr[-2000:]
+
+
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),   # file count
+            st.integers(min_value=1, max_value=5000), # rows
+            st.integers(min_value=1, max_value=10**7) # bytes
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    target_files=st.integers(min_value=1, max_value=6),
+    by_bytes=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_plan_compaction_invariants(parts, target_files, by_bytes):
+    """The shared q196/q197 bin-pack planner (plans/layout.py) holds its
+    contract on arbitrary partition shapes: single-file partitions are
+    never selected, every selected partition's rewrite strictly reduces
+    its file count to exactly ceil(rows/max_rec), the size-richest
+    partition's bin-packed target never exceeds target_files (the
+    ADVICE-r13 non-empty-selection clamp), and the writer budget is
+    always a valid maxRecordsPerFile (>= 1)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
+        plan_compaction,
+    )
+
+    stats = {f"p={i}": t for i, t in enumerate(parts)}
+    todo, max_rec, needed = plan_compaction(stats, target_files, by_bytes)
+
+    assert max_rec >= 1
+    size_of = (lambda t: t[2]) if by_bytes else (lambda t: t[1])
+    richest = max(stats, key=lambda d: size_of(stats[d]))
+    assert needed[richest] <= target_files
+    for d in stats:
+        nf, rows, _ = stats[d]
+        expect = max(1, -(-rows // max_rec))
+        if d in todo:
+            assert nf > 1, "single-file partition selected"
+            assert nf > needed[d], "selected without planned improvement"
+            assert expect < nf, "selected without writer-feasible reduction"
+        else:
+            # skipped because it is already at/below the planned target
+            # OR the row-sized rewrite would not improve it
+            assert nf <= needed[d] or expect >= nf
