@@ -17,104 +17,93 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. The r14
-# window executes the r13 verdict's items #1/#2/#3/#4:
-# (a) MANDATORY (edited this round): q170/q175/q189 — the last
-#     md5(sf_dir)-keyed in-place CTAS rebuilds, migrated onto the data-
-#     fingerprint token + atomic .build-<uuid>/_SUCCESS/rename publish
-#     (the machinery q98/q167 got in r13), retiring their REQUIRED
-#     serial-sweep entries — plus q195/q196, whose duplicated
-#     snapshot()/rewritten-dirs closures move onto one shared module
-#     helper (driver-side code, legal per invariant 3) and q196 gains
-#     the ADVICE data-shape guarantee (largest day always fragmented).
-# (b) MANDATORY (new): q197 byte-targeted compaction planner — the r13
-#     verdict item #4 budgeted surface (bin-pack on parquet footer BYTE
-#     stats, the production OPTIMIZE contract; q196's row-count planner
-#     with bytes-per-row-derived sizing).
-# (c) fill: oldest driver rows first (tools/window_planner.py) — the
-#     three r9 sit-outs now owed (q31/q77/q159) and 41 of the 46
-#     r10-vintage rows.
-# Slot math: 5 (a) + 1 (b) + 44 (c) = 50.
-# Sit-outs (owed r10/r11 rows NOT in the window, double-coverage
+# order therefore decides which queries earn a hard external row. The r15
+# window is the r14 verdict's item #1 — a consolidation rotation:
+# (a) MANDATORY (edited this round): q175/q189 — the r14 verdict's
+#     item #2 bench-delta fix. The per-run ~0.1 s costs turned out to
+#     be `spark.read.parquet` DataFrame creation (file listing +
+#     partition discovery) on the immutable published dirs, not the
+#     fingerprint probe (measured <1 ms), so the fix is a memoized
+#     `_read_published_parquet` CALLED FROM the plan bodies — a plan-
+#     source edit, which the staleness ratchet correctly forces back
+#     through the window (both were r14-green, so re-verification is
+#     zero-risk insurance on the memo semantics).
+# (b) fill: the remaining 48 slots go to the oldest-driver-vintage rows
+#     — the six r14 sit-outs now owed (q91/q92/q93/q95/q96 at
+#     r10-vintage, q101 at r11) plus the 42 oldest r11-vintage rows in
+#     planner owed order.
+# Slot math: 2 (a) + 48 (b) = 50.
+# Sit-outs (owed r11 rows NOT in the window, double-coverage
 # rationales):
-# - q91_grouped_hll_distinct: the approx-distinct sketch surface is
-#   double-covered by q42_approx_sketches (r13-green) and
-#   q100_summary_stats_sketch (in this window).
-# - q92_simhash_neardup: same SimHash band machinery as q33_simhash
-#   (r13-green, byte-identical since) and the blocked-neardup shape as
-#   q83_blocked_neardup_srp (in this window).
-# - q93_conversion_funnel: the stacked single-exchange window-minima
-#   machinery is double-covered by q20_sessionization (in this window)
-#   and the funnel-counting twin q79_curation_funnel (r12-green).
-# - q95_streaming_incremental_dedup: streaming dedup double-covered by
-#   q81_streaming_dedup (in this window) and
-#   q135_streaming_dedup_within_watermark (r13-green).
-# - q96_recency_weighted_score: the quantized-rational per-key agg
-#   contract is double-covered by q23_hourly_rollup (in this window)
-#   and the broadcast scalar-subquery shape by q163_cuped_adjusted_ab
-#   (r13-green).
-# - q101_minhash_neardup_sharp: the sharpened dial over the SAME banded
-#   MinHash pair machinery as q68_dedup_clusters (in this window) and
-#   q32_minhash_lsh_neardup (r12-green).
+# - q121_salted_skew_join: the salting machinery is double-covered by
+#   q25_salted_agg (r14-green) and the skew-join surface by
+#   q191_aqe_skew_join (r14-green, the AQE twin of the same shape);
+#   q120_join_skew_audit (in this window) re-verifies the skew
+#   diagnosis side.
+# - q138_star_join_q5: the multi-dim broadcast star join is
+#   double-covered by q24_revenue_by_nation (r14-green, same
+#   fact->dim->dim shape) and by q05_route_topk, which the driver's
+#   entry() smoke re-runs EVERY round on top of its r12 driver row.
+# The next rows NOT fitting are the r12-vintage pool (q01/q02/q05/...
+# per window_planner), which becomes the oldest owed pool for r16.
 _PRIORITY = [
-    # (a)+(b) mandatory: edited + new this round
-    "q170_bucketed_ctas_join",
+    # (a) mandatory: edited this round (memoized published reads)
     "q175_dynamic_partition_pruning",
     "q189_partial_agg_rollup",
-    "q195_merge_rounds_materialized",
-    "q196_compact_optimize",
-    "q197_compact_bytes_optimize",
-    # (c) fill: the owed r9 sit-outs, then the r10 pool oldest-first
-    "q159_streaming_union_watermark_max",
-    "q31_dedup_keep_first",
-    "q77_trimmed_mean_udaf",
-    "q100_summary_stats_sketch",
-    "q12_error_metrics",
-    "q131_cogroup_reconcile",
-    "q13_distinct_months",
-    "q14_ordered_limit",
-    "q15_label_map",
-    "q16_top_customers",
-    "q17_priority_rollup",
-    "q18_topk_per_segment",
-    "q191_aqe_skew_join",
-    "q19_set_ops",
-    "q20_sessionization",
-    "q21_asof_join",
-    "q22_pivot_counts",
-    "q23_hourly_rollup",
-    "q24_revenue_by_nation",
-    "q25_salted_agg",
-    "q26_status_cube",
-    "q27_grouped_zscore",
-    "q28_pandas_udf_bucketing",
-    "q29_json_roundtrip",
-    "q35_embedding_neardup",
-    "q36_ann_srp_bucket",
-    "q43_sql_api",
-    "q46_tfidf_topterms",
-    "q47_moving_avg",
-    "q48_grouped_quantiles",
-    "q49_unpivot",
-    "q51_upsert_merge",
-    "q52_char_ngram_langid",
-    "q53_winnowing",
-    "q54_semi_anti_join",
-    "q55_constraint_audit",
-    "q62_fuzzy_editdistance",
-    "q68_dedup_clusters",
-    "q81_streaming_dedup",
-    "q83_blocked_neardup_srp",
-    "q85_multimodal_phash",
-    "q87_sequence_packing",
-    "q89_cross_source_contamination",
-    "q50_correlation",
+    # (b) fill: planner's owed order, oldest driver row first
+    "q91_grouped_hll_distinct",
+    "q92_simhash_neardup",
+    "q93_conversion_funnel",
+    "q95_streaming_incremental_dedup",
+    "q96_recency_weighted_score",
+    "q101_minhash_neardup_sharp",
+    "q102_corpus_snapshot_diff",
+    "q103_repetition_filters",
+    "q104_embedding_drift_audit",
+    "q105_ngram_decontamination",
+    "q106_shard_manifest",
+    "q107_length_bucket_padding",
+    "q108_semantic_dedup",
+    "q109_bpe_merge_step",
+    "q110_streaming_sliding_rate",
+    "q111_importance_weights",
+    "q112_dup_cluster_histogram",
+    "q113_media_neardup_phash",
+    "q114_curated_shard_build",
+    "q115_streaming_upsert_totals",
+    "q116_bpe_apply_merge",
+    "q117_referential_integrity",
+    "q118_session_documents",
+    "q119_embedding_truncation_audit",
+    "q120_join_skew_audit",
+    "q122_scd2_intervals",
+    "q123_lsh_verify_editdist",
+    "q124_hash_threshold_sample",
+    "q125_word_freq_spectrum",
+    "q126_training_mix_schedule",
+    "q127_quality_classifier",
+    "q128_bloom_prefilter_join",
+    "q129_chunk_dup_mass",
+    "q132_vocab_oov_coverage",
+    "q133_stream_outer_join",
+    "q134_chained_stateful",
+    "q136_k_anonymity_audit",
+    "q137_label_shift_tvd",
+    "q139_ab_exposure_audit",
+    "q140_winsorized_mean",
+    "q141_trailing_range_window",
+    "q142_forward_fill",
+    "q67_streaming_sessionize",
+    "q78_chunk_windows_udtf",
+    "q88_pii_redaction_audit",
+    "q90_domain_mix_budget",
+    "q97_grouped_mad_outliers",
+    "q99_quantiles_iqr_sketch",
 ]
-# --- r15 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r14, oldest first: the six r14
-# sit-outs above (q91/q92/q93/q95/q96 at r10, q101 at r11), then the
-# r11-vintage pool (q102/q103/q104/q105/q106/... per window_planner).
-# Any r14-edited or new query is mandatory on top. Budget new queries
+# --- r16 rotation preview (slot arithmetic for the next window rewrite,
+# lesson 19) --- owed rows after r15, oldest first: the r12-vintage pool
+# (q01/q02/q05/q06/q07/q08/q09/q11/q143-q149/... per window_planner).
+# Any r15-edited or new query is mandatory on top. Budget new queries
 # BEFORE writing them (tests/test_round9_invariants.py staleness
 # ratchet).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -264,14 +264,67 @@ _LARGEST_GROUP_CACHE: dict = {}
 
 
 def _largest_group(spark, sf_dir: str, table: str, df, col: str):
-    """(row_count, group_value) of the row-richest ``col`` group in
-    ``df``, ties to the LARGEST group value — memoized on ``table``'s
-    data fingerprint. Bounded pull: <= #groups rows, once per corpus."""
+    """(row_count, group_value) of the row-richest non-null ``col``
+    group in ``df``, ties to the LARGEST group value — memoized on
+    ``table``'s data fingerprint. Bounded pull: <= #groups rows, once
+    per corpus. Concurrency (ADVICE r14): same-session threads may race
+    the cold probe — compute-then-setdefault keeps the worst case at a
+    duplicated scan, never a torn entry; null groups are filtered so
+    the (n, group) tie-break max() can't hit a None/int comparison."""
     key = (_data_fingerprint_token(sf_dir, table), col)
     if key not in _LARGEST_GROUP_CACHE:
-        rows = df.groupBy(col).agg(F.count("*").alias("n")).collect()
-        _LARGEST_GROUP_CACHE[key] = max((r["n"], r[col]) for r in rows)
+        rows = (
+            df.filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if not rows:
+            raise AssertionError(
+                f"_largest_group: no non-null {col!r} groups in {table}"
+            )
+        _LARGEST_GROUP_CACHE.setdefault(
+            key, max((r["n"], r[col]) for r in rows)
+        )
     return _LARGEST_GROUP_CACHE[key]
+
+
+# Published-cache DataFrame memo (r15, the q175/q189 bench-delta fix):
+# creating a path-based parquet DataFrame costs ~0.1 s of driver-side
+# file listing + schema/partition discovery PER READ (measured at
+# sf0.1; lesson 29 documents the partition-discovery half), paid on
+# every warm run even though the published directory is immutable.
+# Entries key on (applicationId, path, _SUCCESS mtime): the path embeds
+# the data-fingerprint token + logic salt, the appId drops entries from
+# dead sessions, and the _SUCCESS mtime invalidates the one remaining
+# hole — a same-token wipe + rebuild inside one session (new part-file
+# names would orphan a cached file index). Plain-dict setdefault
+# concurrency: worst case a duplicated listing, never a torn entry.
+_PARQUET_DF_CACHE: dict = {}
+
+
+def _read_published_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Memoized ``spark.read.parquet(path)`` for ATOMICALLY-PUBLISHED,
+    immutable cache directories (``_publish_cache_build`` targets or
+    their subdirs). Not for mutable tables — the memo assumes the files
+    under ``path`` never change while its ``_SUCCESS`` stamp stands."""
+    import os
+
+    success = path
+    while success and not os.path.exists(os.path.join(success, "_SUCCESS")):
+        parent = os.path.dirname(success)
+        if parent == success:
+            break
+        success = parent
+    try:
+        stamp = os.stat(os.path.join(success, "_SUCCESS")).st_mtime_ns
+    except OSError:
+        # unpublished/racing target: no safe memo key, read directly
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path, stamp)
+    if key not in _PARQUET_DF_CACHE:
+        _PARQUET_DF_CACHE.setdefault(key, spark.read.parquet(path))
+    return _PARQUET_DF_CACHE[key]
 
 
 # Bump when a recipe ingredient the token cannot see mechanically
@@ -11277,9 +11330,13 @@ def q175_dynamic_partition_pruning(
         open(os.path.join(build, "_SUCCESS"), "w").close()
         _publish_cache_build(build, target)
 
-    fact = spark.read.parquet(os.path.join(target, "fact"))
+    # Memoized published reads (r15): the fact read re-ran partition
+    # discovery and the dim read re-listed per run (~0.1 s each,
+    # lesson 29) — the published pair is immutable, so the DataFrames
+    # are cached per (session, path, publish stamp).
+    fact = _read_published_parquet(spark, os.path.join(target, "fact"))
     dim = (
-        spark.read.parquet(os.path.join(target, "dim"))
+        _read_published_parquet(spark, os.path.join(target, "dim"))
         .filter(F.col("grp") == 3)
         .select("day")
     )
@@ -12663,7 +12720,10 @@ def q189_partial_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark's committer stamps build/_SUCCESS itself — the same
         # marker _fingerprint_cache_path's partial-target wipe probes.
         _publish_cache_build(build, target)
-    partials = spark.read.parquet(target)
+    # Memoized published read (r15): re-listing the immutable partials
+    # directory cost ~0.08 s per warm run — cached per (session, path,
+    # publish stamp).
+    partials = _read_published_parquet(spark, target)
     return (
         partials.groupBy(
             F.expr("day div 7").alias("week"), "event_type"

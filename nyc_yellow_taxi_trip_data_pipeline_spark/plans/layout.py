@@ -68,7 +68,15 @@ def plan_compaction(
       per partition, so a single-file partition can never be selected;
     - ``max_rec`` is the maxRecordsPerFile the writer enforces: the
       unit itself in row mode, or the byte unit divided by the
-      measured global bytes-per-row in byte mode;
+      measured global bytes-per-row in byte mode — additionally
+      clamped in byte mode so the SIZE-RICHEST partition stays writer-
+      feasible (``ceil(rows_richest / max_rec) <= target_files``):
+      without the clamp a byte-richest partition with much narrower
+      rows than the global average could need more than target_files
+      row-sized files and be skipped, leaving ``todo`` empty even
+      though a partition is fragmented past target_files (ADVICE r14 —
+      unreachable on uniform-width lineitem, real on mixed-width
+      corpora);
     - selection requires BOTH the planned improvement
       (``nf > needed``) and writer feasibility
       (``nf > ceil(rows / max_rec)``) — in row mode the two coincide;
@@ -77,10 +85,18 @@ def plan_compaction(
       rewrite would not reduce their file count (never rewrite without
       improving).
 
+    Empty ``stats`` returns an empty plan (``([], 1, {})``) so callers
+    hit their own descriptive 'planner selected no partitions'
+    assertion instead of an opaque max()-of-empty ValueError (ADVICE
+    r14).
+
     Invariants property-tested in tests/test_round9c_properties.py:
     single-file partitions never selected, selected partitions strictly
     reduce their file count to exactly ceil(rows/max_rec), the richest
-    partition's needed <= target_files, max_rec >= 1."""
+    partition's needed <= target_files AND (byte mode) its row-sized
+    file budget ceil(rows/max_rec) <= target_files, max_rec >= 1."""
+    if not stats:
+        return [], 1, {}
     sizes = {
         d: (b if by_bytes else r) for d, (_, r, b) in stats.items()
     }
@@ -95,6 +111,11 @@ def plan_compaction(
     needed = {d: max(1, -(-sizes[d] // unit)) for d in stats}
     if by_bytes:
         max_rec = max(1, (unit * total_rows) // total) if total else 1
+        rows_richest = max(
+            (r for d, (_, r, _) in stats.items() if sizes[d] == big),
+            default=0,
+        )
+        max_rec = max(max_rec, -(-rows_richest // target_files))
     else:
         max_rec = unit
     todo = sorted(

@@ -280,11 +280,18 @@ def test_plan_compaction_invariants(parts, target_files, by_bytes):
     never selected, every selected partition's rewrite strictly reduces
     its file count to exactly ceil(rows/max_rec), the size-richest
     partition's bin-packed target never exceeds target_files (the
-    ADVICE-r13 non-empty-selection clamp), and the writer budget is
-    always a valid maxRecordsPerFile (>= 1)."""
+    ADVICE-r13 non-empty-selection clamp), the size-richest partition
+    is also WRITER-feasible within target_files (the ADVICE-r14 byte-
+    mode max_rec clamp: ceil(rows_richest/max_rec) <= target_files, so
+    a fragmented richest partition is always selectable even when its
+    bytes-per-row is far below the global average), and the writer
+    budget is always a valid maxRecordsPerFile (>= 1). Empty stats
+    return an empty plan rather than raising (ADVICE r14)."""
     from nyc_yellow_taxi_trip_data_pipeline_spark.plans.layout import (
         plan_compaction,
     )
+
+    assert plan_compaction({}, target_files, by_bytes) == ([], 1, {})
 
     stats = {f"p={i}": t for i, t in enumerate(parts)}
     todo, max_rec, needed = plan_compaction(stats, target_files, by_bytes)
@@ -293,6 +300,11 @@ def test_plan_compaction_invariants(parts, target_files, by_bytes):
     size_of = (lambda t: t[2]) if by_bytes else (lambda t: t[1])
     richest = max(stats, key=lambda d: size_of(stats[d]))
     assert needed[richest] <= target_files
+    # the non-empty-selection guarantee end-to-end: if the size-richest
+    # partition is fragmented past target_files, it must be selected
+    assert -(-stats[richest][1] // max_rec) <= target_files
+    if stats[richest][0] > target_files:
+        assert richest in todo
     for d in stats:
         nf, rows, _ = stats[d]
         expect = max(1, -(-rows // max_rec))
