@@ -310,12 +310,14 @@ def _read_published_parquet(spark: SparkSession, path: str) -> DataFrame:
     under ``path`` never change while its ``_SUCCESS`` stamp stands."""
     import os
 
+    # The stamp lives at the path itself (q189's partials) or one level
+    # up (q175's fact/dim under a single publish root). The walk is
+    # BOUNDED to that one step — an unbounded ascent could latch onto
+    # some unrelated ancestor's _SUCCESS, whose mtime would never move
+    # on a republish of `path` (a silent-staleness hole).
     success = path
-    while success and not os.path.exists(os.path.join(success, "_SUCCESS")):
-        parent = os.path.dirname(success)
-        if parent == success:
-            break
-        success = parent
+    if not os.path.exists(os.path.join(success, "_SUCCESS")):
+        success = os.path.dirname(path)
     try:
         stamp = os.stat(os.path.join(success, "_SUCCESS")).st_mtime_ns
     except OSError:

@@ -558,3 +558,53 @@ def test_q98_sees_in_place_corpus_regeneration(spark, tmp_path):
         "regeneration: the exact-duplicated delta doc survived"
     )
     assert second <= first, "regeneration should only remove delta docs"
+
+
+def test_read_published_parquet_memoizes_and_invalidates_on_republish(
+    spark, tmp_path
+):
+    """r15 memo contract: a published (atomic, immutable) parquet dir is
+    listed ONCE per session — repeat calls return the same DataFrame
+    object — while a same-path republish (new _SUCCESS stamp) or a
+    missing _SUCCESS (unpublished/racing target) falls back to a fresh
+    direct read, so the memo can never orphan a file index."""
+    import pyspark.sql.functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    pub = tmp_path / "pub"
+    spark.range(10).withColumn("v", F.col("id") * 2).write.parquet(str(pub))
+    df1 = dp._read_published_parquet(spark, str(pub))
+    df2 = dp._read_published_parquet(spark, str(pub))
+    assert df1 is df2, "second call must hit the memo"
+    assert df1.count() == 10
+
+    # q175 shape: _SUCCESS lives at the PUBLISH ROOT, data in a subdir —
+    # the memo must find the stamp by walking up
+    root = tmp_path / "pair"
+    spark.range(5).write.parquet(str(root / "fact"))
+    os.remove(str(root / "fact" / "_SUCCESS"))
+    open(str(root / "_SUCCESS"), "w").close()
+    f1 = dp._read_published_parquet(spark, str(root / "fact"))
+    assert f1 is dp._read_published_parquet(spark, str(root / "fact"))
+    assert f1.count() == 5
+
+    # same-path republish: new files + new _SUCCESS mtime => new entry
+    # reading the NEW data (the one hole a pure path key would leave)
+    import shutil
+
+    shutil.rmtree(pub)
+    spark.range(3).write.parquet(str(pub))
+    df3 = dp._read_published_parquet(spark, str(pub))
+    assert df3 is not df1
+    assert df3.count() == 3
+
+    # unpublished dir (no _SUCCESS anywhere up the tree): direct read,
+    # never memoized
+    raw = tmp_path / "raw"
+    spark.range(7).write.parquet(str(raw))
+    os.remove(str(raw / "_SUCCESS"))
+    r1 = dp._read_published_parquet(spark, str(raw))
+    r2 = dp._read_published_parquet(spark, str(raw))
+    assert r1 is not r2
+    assert r1.count() == 7
