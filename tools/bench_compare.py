@@ -38,6 +38,18 @@ def main() -> None:
         f"{sum(old[q] for q in common):.1f}s -> new "
         f"{sum(new[q] for q in common):.1f}s"
     )
+    # Lesson 31: judge cross-round A/Bs by the ratio DISTRIBUTION over
+    # common queries, never by totals — a uniform shift is environment
+    # inflation, only outliers beyond the band are real deltas.
+    ratios = sorted(new[q] / old[q] for q in common if old[q])
+    if ratios:
+        mid = ratios[len(ratios) // 2]
+        p10 = ratios[len(ratios) // 10]
+        p90 = ratios[9 * len(ratios) // 10]
+        print(
+            f"ratio distribution: median {mid:.3f} | p10 {p10:.3f} | "
+            f"p90 {p90:.3f} (uniform shift = env inflation, lesson 31)"
+        )
     rows = sorted(common, key=lambda q: new[q] - old[q], reverse=True)
     flagged = 0
     for q in rows:
