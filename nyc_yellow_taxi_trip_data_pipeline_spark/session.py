@@ -101,6 +101,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    # Builder-time classpath additions (e.g. a JDBC driver jar for the
+    # live-Postgres integration tests): comma-separated jar paths.
+    # Builder-time because spark.jars cannot be set on a live session —
+    # callers needing a DIFFERENT jar set than the process-cached
+    # session carries must use a fresh process (the subprocess pattern
+    # in tests/test_postgres_live.py).
+    extra_jars = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if extra_jars:
+        builder = builder.config("spark.jars", extra_jars)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

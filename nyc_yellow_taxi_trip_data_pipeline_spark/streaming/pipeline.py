@@ -440,10 +440,19 @@ def foreach_batch_jdbc_upsert(
         dm = spark._jvm.java.sql.DriverManager  # noqa: SLF001
         conn = dm.getConnection(url)
         try:
-            # Spark's JDBC writer CREATEs with quoted, case-sensitive
-            # identifiers; the driver-side statements must quote the same
-            # way or the database folds them (Derby/Postgres: to the
-            # opposite default case) and reports a missing column.
+            # Identifier-folding contract (pinned LIVE on both Derby and
+            # Postgres by tests/test_postgres_live.py — the two fold
+            # unquoted names to OPPOSITE cases, so a wrong choice passes
+            # on one and fails on the other): Spark's JDBC writer emits
+            # CREATE TABLE with the table name UNQUOTED (the database
+            # folds it: Postgres->lower, Derby->upper) but quotes every
+            # COLUMN name (case preserved exactly). The driver-side
+            # statements must therefore leave TABLE identifiers unquoted
+            # — folding the same way the writer's CREATE did — and quote
+            # COLUMN identifiers. Quoting the table name instead only
+            # works when the caller's name happens to match the
+            # database's fold (the trap the original Derby-only test
+            # fell into with an uppercase table name).
             def q(ident: str) -> str:
                 return '"' + ident + '"'
 
@@ -452,15 +461,15 @@ def foreach_batch_jdbc_upsert(
                 f"s.{q(k)} = t.{q(k)}" for k in key_cols
             )
             st.executeUpdate(
-                f"DELETE FROM {q(table)} t WHERE EXISTS "
-                f"(SELECT 1 FROM {q(staging)} s WHERE {on_keys})"
+                f"DELETE FROM {table} t WHERE EXISTS "
+                f"(SELECT 1 FROM {staging} s WHERE {on_keys})"
             )
             collist = ", ".join(q(c) for c in cols)
             n = st.executeUpdate(
-                f"INSERT INTO {q(table)} ({collist}) "
-                f"SELECT {collist} FROM {q(staging)}"
+                f"INSERT INTO {table} ({collist}) "
+                f"SELECT {collist} FROM {staging}"
             )
-            st.execute(f"DROP TABLE {q(staging)}")
+            st.execute(f"DROP TABLE {staging}")
             st.close()
             if on_batch is not None:
                 on_batch(batch_id, n)
