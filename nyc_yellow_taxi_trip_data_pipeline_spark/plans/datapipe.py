@@ -325,6 +325,15 @@ def _read_published_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     key = (spark.sparkContext.applicationId, path, stamp)
     if key not in _PARQUET_DF_CACHE:
+        # Evict superseded stamps for the same (session, path) first: a
+        # long-lived session republishing per regeneration would
+        # otherwise accumulate one dead DataFrame (and its JVM plan)
+        # per old stamp — the catalog-axis growth concern of lesson 30,
+        # re-closed on the memo axis.
+        for old in [
+            k for k in _PARQUET_DF_CACHE if k[:2] == key[:2] and k != key
+        ]:
+            _PARQUET_DF_CACHE.pop(old, None)
         _PARQUET_DF_CACHE.setdefault(key, spark.read.parquet(path))
     return _PARQUET_DF_CACHE[key]
 
