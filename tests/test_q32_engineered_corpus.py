@@ -129,3 +129,32 @@ def test_q68_engineered_corpus_transitive_cluster(spark, tmp_path):
         "engineered corpus diverged from the hand-derived components: "
         f"got {sorted(got_set)}, expected {sorted(expected)}"
     )
+
+
+def test_q112_engineered_corpus_cluster_histogram(spark, tmp_path):
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from tools.parity import compare, duck_connection
+
+    sf = _write_sf(tmp_path)
+    q = QUERIES["q112_dup_cluster_histogram"]
+    got = q.spark(spark, sf).toPandas()
+    duck = duck_connection(sf).execute(q.oracle).fetch_df()
+    problems = compare("q112_engineered", got, duck)
+    assert not problems, problems
+
+    expected = {
+        # (cluster_size, n_clusters, n_docs): docs 6/7/8/9 are
+        # singletons (8-9's J=0.448 pair is sub-threshold), {1,2} and
+        # {10,11} are the size-2 clusters, {3,4,5} the transitive 3.
+        (1, 4, 4),
+        (2, 2, 4),
+        (3, 1, 3),
+    }
+    got_set = {
+        (int(r.cluster_size), int(r.n_clusters), int(r.n_docs))
+        for r in got.itertuples()
+    }
+    assert got_set == expected, (
+        "engineered corpus diverged from the hand-derived histogram: "
+        f"got {sorted(got_set)}, expected {sorted(expected)}"
+    )
