@@ -158,3 +158,48 @@ def test_q112_engineered_corpus_cluster_histogram(spark, tmp_path):
         "engineered corpus diverged from the hand-derived histogram: "
         f"got {sorted(got_set)}, expected {sorted(expected)}"
     )
+
+
+def test_q144_engineered_corpus_keep_best(spark, tmp_path):
+    """Keep-best survivor policy on the hand-derived clusters: the
+    n_chars argmax per cluster (computed here in plain Python over the
+    corpus dict — independent of both engines), with the identical pair
+    {1,2} exercising the doc_id tiebreak (equal n_chars)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from tools.parity import compare, duck_connection
+
+    sf = _write_sf(tmp_path)
+    q = QUERIES["q144_keep_best_dedup"]
+    got = q.spark(spark, sf).toPandas()
+    duck = duck_connection(sf).execute(q.oracle).fetch_df()
+    problems = compare("q144_engineered", got, duck)
+    assert not problems, problems
+
+    docs = _corpus()
+    clusters = [[1, 2], [3, 4, 5], [10, 11]]
+    expected = set()
+    for members in clusters:
+        keep = min(members, key=lambda d: (-len(docs[d]), d))
+        expected.add(
+            (
+                min(members),
+                keep,
+                len(members),
+                sum(d for d in members if d != keep),
+            )
+        )
+    # the identical pair must have resolved by the doc_id tiebreak
+    assert (1, 1, 2, 2) in expected
+    got_set = {
+        (
+            int(r.cluster),
+            int(r.keep_doc_id),
+            int(r.n_members),
+            int(r.removed_id_sum),
+        )
+        for r in got.itertuples()
+    }
+    assert got_set == expected, (
+        "engineered corpus diverged from the hand-derived survivors: "
+        f"got {sorted(got_set)}, expected {sorted(expected)}"
+    )
