@@ -17,95 +17,101 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. The r15
-# window is the r14 verdict's item #1 — a consolidation rotation:
-# (a) MANDATORY (edited this round): q175/q189 — the r14 verdict's
-#     item #2 bench-delta fix. The per-run ~0.1 s costs turned out to
-#     be `spark.read.parquet` DataFrame creation (file listing +
-#     partition discovery) on the immutable published dirs, not the
-#     fingerprint probe (measured <1 ms), so the fix is a memoized
-#     `_read_published_parquet` CALLED FROM the plan bodies — a plan-
-#     source edit, which the staleness ratchet correctly forces back
-#     through the window (both were r14-green, so re-verification is
-#     zero-risk insurance on the memo semantics).
-# (b) fill: the remaining 48 slots go to the oldest-driver-vintage rows
-#     — the six r14 sit-outs now owed (q91/q92/q93/q95/q96 at
-#     r10-vintage, q101 at r11) plus the 42 oldest r11-vintage rows in
-#     planner owed order.
-# Slot math: 2 (a) + 48 (b) = 50.
-# Sit-outs (owed r11 rows NOT in the window, double-coverage
-# rationales):
-# - q121_salted_skew_join: the salting machinery is double-covered by
-#   q25_salted_agg (r14-green) and the skew-join surface by
-#   q191_aqe_skew_join (r14-green, the AQE twin of the same shape);
-#   q120_join_skew_audit (in this window) re-verifies the skew
-#   diagnosis side.
-# - q138_star_join_q5: the multi-dim broadcast star join is
-#   double-covered by q24_revenue_by_nation (r14-green, same
-#   fact->dim->dim shape) and by q05_route_topk, which the driver's
-#   entry() smoke re-runs EVERY round on top of its r12 driver row.
-# The next rows NOT fitting are the r12-vintage pool (q01/q02/q05/...
-# per window_planner), which becomes the oldest owed pool for r16.
+# order therefore decides which queries earn a hard external row. The r16
+# window is the r15 verdict's item #1 (shared MinHash build) plus the
+# planner's owed rotation:
+# (a) MANDATORY (edited this round):
+#     - q32/q68/q101/q112/q144: the MinHash near-dup family now reads
+#       ONE fingerprint-keyed session-memoized verified-pair build
+#       (`_minhash_verified_pairs` / `_minhash_cc_labels`) instead of
+#       five full shingle->signature->band->verify recomputes (~18 s of
+#       the 184 s r15 bench). Values are unchanged by construction, but
+#       the plan bodies changed, so the ratchet correctly forces all
+#       five through the window.
+#     - q192/q194: their layout probes now read the published immutable
+#       layout dirs through `_read_published_parquet` (lesson 32 —
+#       same memo q175/q189 adopted in r15, re-verified then).
+# (b) fill: 43 slots in planner owed order, oldest driver row first —
+#     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
+#     pool. q32/q144/q192/q194 already sit in the owed pool and are
+#     counted under (a).
+# Slot math: 7 (a) + 43 (b) = 50.
+# Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
+# - q79_curation_funnel: the staged-gate funnel rollup shape is
+#   double-covered by q93_conversion_funnel (r15-green, same
+#   sequential-stage count rollup) and its quality-gate inputs by
+#   q103_repetition_filters (r15-green) + q37_text_quality (IN this
+#   window).
+# - q80_stream_static_join: the micro-batch trigger loop is re-verified
+#   by the ten r15-green streaming rows (q110/q115/q133/q134/q135/...)
+#   and the static-dim broadcast side by q06_left_join_dim (IN this
+#   window, same dim join shape).
+# - q82_triangle_count: the pair-graph edge-join machinery is
+#   re-verified THIS round by mandatory q68/q112 (CC over the same LSH
+#   pair graph), and the iterative self-join surface by q73_kmeans_step
+#   (IN this window).
 _PRIORITY = [
-    # (a) mandatory: edited this round (memoized published reads)
-    "q175_dynamic_partition_pruning",
-    "q189_partial_agg_rollup",
-    # (b) fill: planner's owed order, oldest driver row first
-    "q91_grouped_hll_distinct",
-    "q92_simhash_neardup",
-    "q93_conversion_funnel",
-    "q95_streaming_incremental_dedup",
-    "q96_recency_weighted_score",
+    # (a) mandatory: edited this round (shared MinHash build;
+    #     memoized published layout reads)
+    "q32_minhash_lsh_neardup",
+    "q68_dedup_clusters",
     "q101_minhash_neardup_sharp",
-    "q102_corpus_snapshot_diff",
-    "q103_repetition_filters",
-    "q104_embedding_drift_audit",
-    "q105_ngram_decontamination",
-    "q106_shard_manifest",
-    "q107_length_bucket_padding",
-    "q108_semantic_dedup",
-    "q109_bpe_merge_step",
-    "q110_streaming_sliding_rate",
-    "q111_importance_weights",
     "q112_dup_cluster_histogram",
-    "q113_media_neardup_phash",
-    "q114_curated_shard_build",
-    "q115_streaming_upsert_totals",
-    "q116_bpe_apply_merge",
-    "q117_referential_integrity",
-    "q118_session_documents",
-    "q119_embedding_truncation_audit",
-    "q120_join_skew_audit",
-    "q122_scd2_intervals",
-    "q123_lsh_verify_editdist",
-    "q124_hash_threshold_sample",
-    "q125_word_freq_spectrum",
-    "q126_training_mix_schedule",
-    "q127_quality_classifier",
-    "q128_bloom_prefilter_join",
-    "q129_chunk_dup_mass",
-    "q132_vocab_oov_coverage",
-    "q133_stream_outer_join",
-    "q134_chained_stateful",
-    "q136_k_anonymity_audit",
-    "q137_label_shift_tvd",
-    "q139_ab_exposure_audit",
-    "q140_winsorized_mean",
-    "q141_trailing_range_window",
-    "q142_forward_fill",
-    "q67_streaming_sessionize",
-    "q78_chunk_windows_udtf",
-    "q88_pii_redaction_audit",
-    "q90_domain_mix_budget",
-    "q97_grouped_mad_outliers",
-    "q99_quantiles_iqr_sketch",
+    "q144_keep_best_dedup",
+    "q192_zonemap_layout_skipping",
+    "q194_zorder_multidim_skipping",
+    # (b) fill: planner's owed order, oldest driver row first
+    "q121_salted_skew_join",
+    "q138_star_join_q5",
+    "q01_pricing_summary",
+    "q02_clean_features",
+    "q05_route_topk",
+    "q06_left_join_dim",
+    "q07_daily_multi_agg",
+    "q08_argmax_day",
+    "q09_quantiles_iqr",
+    "q11_summary_stats",
+    "q143_completeness_gaps",
+    "q145_ann_recall_eval",
+    "q146_integer_ols_trend",
+    "q147_cohort_retention",
+    "q148_component_variance",
+    "q149_cross_language_dups",
+    "q150_media_neardup_capped",
+    "q151_split_leakage_audit",
+    "q152_source_overlap_matrix",
+    "q153_domain_rank",
+    "q155_vocab_growth",
+    "q156_l_diversity_audit",
+    "q157_fd_violation_audit",
+    "q158_heavy_hitters",
+    "q162_variant_roundtrip",
+    "q164_retrieval_rank_eval",
+    "q165_corpus_datasheet",
+    "q166_neyman_allocation",
+    "q190_processing_time_timer_eviction",
+    "q193_event_time_timer_eviction",
+    "q34_embedding_topk",
+    "q37_text_quality",
+    "q58_rank_family",
+    "q64_multimodal_resize",
+    "q65_frame_sample",
+    "q66_ivf_ann",
+    "q69_lookback_range_join",
+    "q70_stratified_sample",
+    "q71_token_counts",
+    "q72_incremental_rollup",
+    "q73_kmeans_step",
+    "q74_reservoir_topn",
+    "q75_embedding_quantize",
 ]
-# --- r16 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r15, oldest first: the r12-vintage pool
-# (q01/q02/q05/q06/q07/q08/q09/q11/q143-q149/... per window_planner).
-# Any r15-edited or new query is mandatory on top. Budget new queries
-# BEFORE writing them (tests/test_round9_invariants.py staleness
-# ratchet).
+# --- r17 rotation preview (slot arithmetic for the next window rewrite,
+# lesson 19) --- owed rows after r16, oldest first: the three r16
+# sit-outs (q79/q80/q82, r12 vintage) then the r13-vintage pool
+# (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/q167-q172/... per
+# window_planner). Any r16-edited or new query is mandatory on top.
+# Budget new queries BEFORE writing them
+# (tests/test_round9_invariants.py staleness ratchet).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

@@ -325,17 +325,144 @@ def _read_published_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     key = (spark.sparkContext.applicationId, path, stamp)
     if key not in _PARQUET_DF_CACHE:
-        # Evict superseded stamps for the same (session, path) first: a
-        # long-lived session republishing per regeneration would
-        # otherwise accumulate one dead DataFrame (and its JVM plan)
-        # per old stamp — the catalog-axis growth concern of lesson 30,
-        # re-closed on the memo axis.
+        # Evict superseded stamps for the same (session, path) AND
+        # every entry from a different applicationId (a stopped
+        # session's DataFrames can never be returned again — without
+        # this a long-lived multi-session process accumulates one dead
+        # plan per session per path, ADVICE r15): the catalog-axis
+        # growth concern of lesson 30, re-closed on the memo axis.
         for old in [
-            k for k in _PARQUET_DF_CACHE if k[:2] == key[:2] and k != key
+            k
+            for k in _PARQUET_DF_CACHE
+            if k[0] != key[0] or (k[:2] == key[:2] and k != key)
         ]:
             _PARQUET_DF_CACHE.pop(old, None)
         _PARQUET_DF_CACHE.setdefault(key, spark.read.parquet(path))
     return _PARQUET_DF_CACHE[key]
+
+
+# Shared MinHash near-dup build (r16, the r15 verdict's item #1): five
+# registered queries consume the SAME verified pair set — q32 (pairs +
+# jaccard), q68/q112/q144 (pair graph -> connected components), and
+# q101 at its own 24-hash dial — and each used to re-run the whole
+# shingle -> signature -> band-join -> verify pipeline (~18 s of the
+# 184 s r15 bench; at 100 TB you'd never recompute signatures five
+# times per corpus snapshot either — ARCHITECTURE.md's answer there is
+# ONE persisted signature/pair snapshot, which q98/q167's bucketed
+# signature index already demonstrates; this memo is the in-session
+# equivalent for the batch family). Entries key on:
+#   - applicationId (dead-session DataFrames are evicted on insert,
+#     same discipline as _PARQUET_DF_CACHE),
+#   - the documents table's DATA fingerprint (in-place regeneration
+#     rebuilds — lesson 25; never path-keyed),
+#   - every recipe dial (threshold/hashes/bands/shingle/cap/gate), so
+#     q101's sharpened dial can never collide with q32's default,
+#   - the session's CURRENT spark.sql.shuffle.partitions: the
+#     layout-flip determinism sweep (tools/rerun_determinism.py) runs
+#     both layouts in ONE session, and a layout-blind memo would hand
+#     the second layout the first layout's checkpointed build —
+#     turning that gate into a self-comparison for this family.
+# Values are eager-localCheckpointed (executor-local disk): the pair
+# set is consumed by up to four downstream plan shapes per bench pass,
+# and lineage past the checkpoint is already truncated inside
+# minhash_near_duplicates. Plain-dict compute-then-setdefault
+# concurrency: worst case a duplicated build, never a torn entry.
+_MINHASH_PAIRS_CACHE: dict = {}
+_MINHASH_CC_CACHE: dict = {}
+
+
+def _minhash_recipe_key(spark: SparkSession, sf_dir: str, recipe: tuple):
+    return (
+        spark.sparkContext.applicationId,
+        _data_fingerprint_token(sf_dir, "documents"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        recipe,
+    )
+
+
+def _evict_dead_sessions(cache: dict, app_id: str) -> None:
+    """Drop memo entries from stopped sessions (their DataFrames can
+    never be returned again) — keeps the dict bounded in a long-lived
+    multi-session process (ADVICE r15)."""
+    for old in [k for k in cache if k[0] != app_id]:
+        cache.pop(old, None)
+
+
+def _minhash_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+    sig_agree_min: int | None = None,
+) -> DataFrame:
+    """Session-memoized exact-verified MinHash near-dup pairs
+    (doc_a, doc_b, jaccard >= threshold) over the documents corpus —
+    the one build q32/q68/q112/q144 (default dial) and q101 (sharp
+    dial) all share. EAGER on a cold key: building runs Spark jobs
+    (the full dedup pipeline + a localCheckpoint pin)."""
+    key = _minhash_recipe_key(
+        spark,
+        sf_dir,
+        (threshold, n_hashes, band_size, shingle_n, max_bucket, sig_agree_min),
+    )
+    if key not in _MINHASH_PAIRS_CACHE:
+        _evict_dead_sessions(_MINHASH_PAIRS_CACHE, key[0])
+        docs = read_table(spark, sf_dir, "documents")
+        pairs = (
+            dd.minhash_near_duplicates(
+                docs,
+                threshold=threshold,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                shingle_n=shingle_n,
+                max_bucket=max_bucket,
+                sig_agree_min=sig_agree_min,
+            )
+            .select("doc_a", "doc_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+        _MINHASH_PAIRS_CACHE.setdefault(key, pairs)
+    return _MINHASH_PAIRS_CACHE[key]
+
+
+def _minhash_cc_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+    sig_agree_min: int | None = None,
+) -> DataFrame:
+    """Session-memoized connected-component labels (node, cluster) over
+    the shared verified pair graph — q68/q112/q144 each run the same
+    hash-min label-propagation fixpoint on the same pairs, so the
+    converged labels are memoized one level above the pairs. Same key
+    discipline and eagerness as ``_minhash_verified_pairs``."""
+    key = _minhash_recipe_key(
+        spark,
+        sf_dir,
+        (threshold, n_hashes, band_size, shingle_n, max_bucket, sig_agree_min),
+    )
+    if key not in _MINHASH_CC_CACHE:
+        _evict_dead_sessions(_MINHASH_CC_CACHE, key[0])
+        pairs = _minhash_verified_pairs(
+            spark,
+            sf_dir,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            band_size=band_size,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+            sig_agree_min=sig_agree_min,
+        ).select("doc_a", "doc_b")
+        labels = dd.connected_components(pairs).localCheckpoint(eager=True)
+        _MINHASH_CC_CACHE.setdefault(key, labels)
+    return _MINHASH_CC_CACHE[key]
 
 
 # Bump when a recipe ingredient the token cannot see mechanically
@@ -623,9 +750,12 @@ def _mh_sql(
     tags=("dedup", "minhash", "lsh"),
 )
 def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return dd.minhash_near_duplicates(
-        docs,
+    # Shared build: q32/q68/q112/q144 consume the same verified pair
+    # set (fingerprint-keyed session memo — at 100 TB this is a
+    # persisted per-snapshot pair table, never five recomputes).
+    return _minhash_verified_pairs(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_N,
         band_size=_MH_BAND,
@@ -1962,17 +2092,18 @@ def _cc_sql() -> str:
 def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_near_duplicates(
-        docs,
+    # Shared build: pair graph AND converged CC labels come from the
+    # fingerprint-keyed session memo q112/q144 also read.
+    cc = _minhash_cc_labels(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_N,
         band_size=_MH_BAND,
         shingle_n=2,
         max_bucket=_MH_MAX_BUCKET,
         sig_agree_min=_MH_SIG_AGREE,
-    ).select("doc_a", "doc_b")
-    cc = dd.connected_components(pairs)
+    )
     return (
         cc.select(F.col("node").alias("doc_id"), "cluster")
         .withColumn(
@@ -4190,9 +4321,11 @@ _MH_SHARP_AGREE = 10
     tags=("dedup", "minhash", "lsh", "scale-dial"),
 )
 def q101_minhash_neardup_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return dd.minhash_near_duplicates(
-        docs,
+    # Same shared-build memo as q32, at the sharpened dial — the recipe
+    # tuple in the memo key keeps the two dials from ever colliding.
+    return _minhash_verified_pairs(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_SHARP_N,
         band_size=_MH_BAND,
@@ -5113,16 +5246,18 @@ def q111_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q112_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_near_duplicates(
-        docs,
+    # Shared build: converged CC labels from the same fingerprint-keyed
+    # session memo as q68/q144.
+    cc = _minhash_cc_labels(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_N,
         band_size=_MH_BAND,
         shingle_n=2,
         max_bucket=_MH_MAX_BUCKET,
         sig_agree_min=_MH_SIG_AGREE,
-    ).select("doc_a", "doc_b")
-    cc = dd.connected_components(pairs)
+    )
     sizes = cc.groupBy("cluster").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
@@ -7890,18 +8025,18 @@ def q144_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_near_duplicates(
-        docs,
+    # Shared build: converged CC labels from the same fingerprint-keyed
+    # session memo as q68/q112.
+    labels = _minhash_cc_labels(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_N,
         band_size=_MH_BAND,
         shingle_n=2,
         max_bucket=_MH_MAX_BUCKET,
         sig_agree_min=_MH_SIG_AGREE,
-    ).select("doc_a", "doc_b")
-    labels = dd.connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster"
-    )
+    ).select(F.col("node").alias("doc_id"), "cluster")
     scored = labels.join(
         docs.select("doc_id", "n_chars"), "doc_id"
     )
@@ -13282,8 +13417,11 @@ def q192_zonemap_layout_skipping(
         results: dict[str, list] = {}
         scan_rows: dict[str, int] = {}
         for kind, path in paths.items():
+            # Memoized published read (lesson 32): the layout dirs are
+            # atomically-published immutable artifacts, so each bench
+            # rep otherwise pays ~0.1 s/dir of re-listing + discovery.
             probe = (
-                spark.read.parquet(path)
+                _read_published_parquet(spark, path)
                 .filter((F.col("ship_date") >= lo) & (F.col("ship_date") < hi))
                 .groupBy("l_returnflag")
                 .agg(
@@ -13775,8 +13913,11 @@ def q194_zorder_multidim_skipping(
         results: dict[str, list] = {}
         scan_rows: dict[str, int] = {}
         for kind, path in paths.items():
+            # Memoized published read (lesson 32): the layout dirs are
+            # atomically-published immutable artifacts, so each bench
+            # rep otherwise pays ~0.1 s/dir of re-listing + discovery.
             probe = (
-                spark.read.parquet(path)
+                _read_published_parquet(spark, path)
                 .filter(
                     (F.col("l_suppkey") >= F.lit(s_lo))
                     & (F.col("l_suppkey") < F.lit(s_hi))

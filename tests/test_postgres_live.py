@@ -32,16 +32,46 @@ import textwrap
 import pytest
 
 # A public Maven artifact (org.postgresql:postgresql); discovery only —
-# never copied into the repo. SPARK_GRAFT_PG_JAR overrides.
-PG_JAR = os.environ.get("SPARK_GRAFT_PG_JAR") or next(
-    iter(
-        glob.glob("/root/reference/postgresql-*.jar")
-        + glob.glob("/usr/share/java/postgresql*.jar")
-        + glob.glob(
-            os.path.expanduser("~/.ivy2/jars/*postgresql*.jar")
-        )
-    ),
-    None,
+# never copied into the repo. Trust order (ADVICE r15): an explicit
+# SPARK_GRAFT_PG_JAR always wins (operator opt-in); then SYSTEM/ivy
+# locations (installed by the environment owner); the jar sitting in
+# the UNTRUSTED reference checkout is considered LAST and only when
+# its sha256 matches the pin below — running unpinned third-party
+# bytecode from public untrusted content in the Spark JVM is exactly
+# the supply-chain hole the advice flagged.
+#
+# Pin provenance: recorded from the artifact observed in this
+# environment (first-use pin — cross-check against the Maven Central
+# .sha256 for org.postgresql:postgresql:42.7.4 whenever network is
+# available). The pin's job is narrower than full provenance: it
+# freezes the observed bytes, so a later swap of the reference file
+# can never silently reach the JVM.
+_REFERENCE_JAR_SHA256 = {
+    # postgresql-42.7.4.jar
+    "188976721ead8e8627eb6d8389d500dccc0c9bebd885268a3047180274a6031e",
+}
+
+
+def _pinned_reference_jar() -> str | None:
+    import hashlib
+
+    for cand in glob.glob("/root/reference/postgresql-*.jar"):
+        digest = hashlib.sha256(open(cand, "rb").read()).hexdigest()
+        if digest in _REFERENCE_JAR_SHA256:
+            return cand
+    return None
+
+
+PG_JAR = (
+    os.environ.get("SPARK_GRAFT_PG_JAR")
+    or next(
+        iter(
+            glob.glob("/usr/share/java/postgresql*.jar")
+            + glob.glob(os.path.expanduser("~/.ivy2/jars/*postgresql*.jar"))
+        ),
+        None,
+    )
+    or _pinned_reference_jar()
 )
 INITDB = shutil.which("initdb")
 PG_CTL = shutil.which("pg_ctl")
