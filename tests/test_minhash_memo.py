@@ -1,0 +1,121 @@
+"""Memo-semantics tests for the r16 shared MinHash build
+(``plans/datapipe._minhash_verified_pairs`` / ``_minhash_cc_labels``).
+
+The sharing is a correctness RISK CLASS of its own: a wrong memo key
+serves one corpus's pair set to another corpus, one dial's pairs to
+the other dial, or stale pairs after an in-place regeneration — all
+silent value corruption the oracle gate would only catch if the
+affected query happens to be in the driver window that round. These
+tests pin each failure mode on engineered corpora where the expected
+pair sets differ by construction.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from tests.test_q32_engineered_corpus import _corpus, _write_sf
+
+_RECIPE = dict(
+    threshold=0.5,
+    n_hashes=12,
+    band_size=3,
+    shingle_n=2,
+    max_bucket=64,
+    sig_agree_min=5,
+)
+
+
+def _write_docs(sf: str, docs: dict[int, str]) -> None:
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(list(docs.keys()), dtype="int64"),
+            "text": list(docs.values()),
+            "lang": "en",
+            "source": "engineered",
+            "n_chars": pd.array(
+                [len(t) for t in docs.values()], dtype="int64"
+            ),
+        }
+    )
+    pdf.to_parquet(os.path.join(sf, "documents.parquet"), index=False)
+
+
+def _pairs(spark, sf: str) -> set[tuple[int, int]]:
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    df = dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    return {(int(r.doc_a), int(r.doc_b)) for r in df.collect()}
+
+
+def test_memo_hit_returns_cached_build(spark, tmp_path):
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = _write_sf(tmp_path)
+    a = dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    b = dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    assert a is b, "identical (corpus, recipe) key must hit the memo"
+    cc_a = dp._minhash_cc_labels(spark, sf, **_RECIPE)
+    cc_b = dp._minhash_cc_labels(spark, sf, **_RECIPE)
+    assert cc_a is cc_b
+
+
+def test_memo_rebuilds_on_inplace_regeneration(spark, tmp_path):
+    """Invariant 5's drift scenario applied to the memo: rewriting the
+    documents table IN PLACE must move the data fingerprint and rebuild
+    — a stale hit would serve the old corpus's pairs against new data."""
+    sf = str(tmp_path)
+    _write_docs(sf, _corpus())
+    before = _pairs(spark, sf)
+    assert (1, 2) in before  # the engineered identical pair
+
+    # Regenerate in place: drop the identical pair (doc 2 becomes a
+    # zero-overlap singleton), keep everything else.
+    docs2 = dict(_corpus())
+    docs2[2] = " ".join(f"s5z{i}" for i in range(1, 25))
+    _write_docs(sf, docs2)
+    after = _pairs(spark, sf)
+    assert (1, 2) not in after, (
+        "memo served a stale build after in-place regeneration: "
+        f"{sorted(after)}"
+    )
+    assert (3, 4) in after  # untouched chain still pairs
+
+
+def test_memo_dial_isolation_q32_vs_q101(spark, tmp_path):
+    """q32 (12 hashes, agree>=5) and q101 (24 hashes, agree>=10) share
+    the memo machinery on the SAME corpus in one session — each must
+    still match its own oracle (the recipe tuple in the key is what
+    prevents one dial's pairs being served to the other)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from tools.parity import compare, duck_connection
+
+    sf = _write_sf(tmp_path)
+    for name in ("q32_minhash_lsh_neardup", "q101_minhash_neardup_sharp"):
+        q = QUERIES[name]
+        got = q.spark(spark, sf).toPandas()
+        duck = duck_connection(sf).execute(q.oracle).fetch_df()
+        problems = compare(f"{name}_memo_dial", got, duck)
+        assert not problems, problems
+
+
+def test_memo_cross_corpus_interleaving(spark, tmp_path):
+    """Two corpora interleaved in one session: A, B, then A again —
+    each read must return its own corpus's pairs (path+fingerprint in
+    the key), and the second A read must be byte-stable."""
+    sf_a = os.path.join(str(tmp_path), "a")
+    sf_b = os.path.join(str(tmp_path), "b")
+    os.makedirs(sf_a)
+    os.makedirs(sf_b)
+    _write_docs(sf_a, _corpus())
+    docs_b = {k: v for k, v in _corpus().items() if k not in (1, 2)}
+    _write_docs(sf_b, docs_b)
+
+    first_a = _pairs(spark, sf_a)
+    b = _pairs(spark, sf_b)
+    second_a = _pairs(spark, sf_a)
+    assert (1, 2) in first_a
+    assert (1, 2) not in b
+    assert first_a == second_a
