@@ -21,21 +21,22 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 # window is the r15 verdict's item #1 (shared MinHash build) plus the
 # planner's owed rotation:
 # (a) MANDATORY (edited this round):
-#     - q32/q68/q101/q112/q144: the MinHash near-dup family now reads
-#       ONE fingerprint-keyed session-memoized verified-pair build
-#       (`_minhash_verified_pairs` / `_minhash_cc_labels`) instead of
-#       five full shingle->signature->band->verify recomputes (~18 s of
-#       the 184 s r15 bench). Values are unchanged by construction, but
-#       the plan bodies changed, so the ratchet correctly forces all
-#       five through the window.
+#     - q32/q68/q101/q112/q144 + q82/q151 (both already owed fills):
+#       the MinHash near-dup family now reads ONE fingerprint-keyed
+#       session-memoized verified-pair build (`_minhash_verified_pairs`
+#       / `_minhash_cc_labels`) instead of seven full shingle->
+#       signature->band->verify recomputes (~25 s of the 184 s r15
+#       bench). Values are unchanged by construction, but the plan
+#       bodies changed, so the ratchet correctly forces all seven
+#       through the window.
 #     - q192/q194: their layout probes now read the published immutable
 #       layout dirs through `_read_published_parquet` (lesson 32 —
 #       same memo q175/q189 adopted in r15, re-verified then).
-# (b) fill: 43 slots in planner owed order, oldest driver row first —
+# (b) fill: 41 slots in planner owed order, oldest driver row first —
 #     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
-#     pool. q32/q144/q192/q194 already sit in the owed pool and are
-#     counted under (a).
-# Slot math: 7 (a) + 43 (b) = 50.
+#     pool. q32/q82/q144/q151/q192/q194 already sit in the owed pool
+#     and are counted under (a).
+# Slot math: 9 (a) + 41 (b) = 50.
 # Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
 # - q79_curation_funnel: the staged-gate funnel rollup shape is
 #   double-covered by q93_conversion_funnel (r15-green, same
@@ -46,18 +47,20 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #   by the ten r15-green streaming rows (q110/q115/q133/q134/q135/...)
 #   and the static-dim broadcast side by q06_left_join_dim (IN this
 #   window, same dim join shape).
-# - q82_triangle_count: the pair-graph edge-join machinery is
-#   re-verified THIS round by mandatory q68/q112 (CC over the same LSH
-#   pair graph), and the iterative self-join surface by q73_kmeans_step
-#   (IN this window).
+# - q75_embedding_quantize: the integer-quantized embedding-audit
+#   machinery is double-covered by q104_embedding_drift_audit and
+#   q119_embedding_truncation_audit (both r15-green, same quantized
+#   map-only audit shape over the same embeddings table).
 _PRIORITY = [
     # (a) mandatory: edited this round (shared MinHash build;
     #     memoized published layout reads)
     "q32_minhash_lsh_neardup",
     "q68_dedup_clusters",
+    "q82_triangle_count",
     "q101_minhash_neardup_sharp",
     "q112_dup_cluster_histogram",
     "q144_keep_best_dedup",
+    "q151_split_leakage_audit",
     "q192_zonemap_layout_skipping",
     "q194_zorder_multidim_skipping",
     # (b) fill: planner's owed order, oldest driver row first
@@ -78,7 +81,6 @@ _PRIORITY = [
     "q148_component_variance",
     "q149_cross_language_dups",
     "q150_media_neardup_capped",
-    "q151_split_leakage_audit",
     "q152_source_overlap_matrix",
     "q153_domain_rank",
     "q155_vocab_growth",
@@ -103,15 +105,17 @@ _PRIORITY = [
     "q72_incremental_rollup",
     "q73_kmeans_step",
     "q74_reservoir_topn",
-    "q75_embedding_quantize",
 ]
 # --- r17 rotation preview (slot arithmetic for the next window rewrite,
 # lesson 19) --- owed rows after r16, oldest first: the three r16
-# sit-outs (q79/q80/q82, r12 vintage) then the r13-vintage pool
+# sit-outs (q79/q80/q75, r12 vintage) then the r13-vintage pool
 # (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/q167-q172/... per
 # window_planner). Any r16-edited or new query is mandatory on top.
 # Budget new queries BEFORE writing them
-# (tests/test_round9_invariants.py staleness ratchet).
+# (tests/test_round9_invariants.py staleness ratchet). Known candidate
+# edit for r17: q94_incremental_dedup still builds its own full-corpus
+# shingle/signature pass (same _MH_N dial) — sharing it needs a
+# signature-level memo plus a q94 body edit, i.e. one mandatory slot.
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

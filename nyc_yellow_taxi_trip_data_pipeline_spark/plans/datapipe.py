@@ -3042,9 +3042,12 @@ def _tri_sql() -> str:
     tags=("dedup", "graph", "join"),
 )
 def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_near_duplicates(
-        docs,
+    # Shared build (same dial as q32/q68/q112/q144): the memoized pair
+    # set is already checkpointed, so one artifact serves all three
+    # join branches below AND every other consumer in the session.
+    pairs = _minhash_verified_pairs(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_N,
         band_size=_MH_BAND,
@@ -3052,9 +3055,7 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket=_MH_MAX_BUCKET,
         sig_agree_min=_MH_SIG_AGREE,
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # One materialization serves all three join branches — recomputing the
-    # LSH pipeline 3x would triple the dominant cost.
-    e = pairs.localCheckpoint(eager=True)
+    e = pairs
     e1 = e
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
@@ -8600,8 +8601,11 @@ def _q151_sql(string_type: str) -> str:
 )
 def q151_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_near_duplicates(
-        docs,
+    # Shared build: same dial as q32/q68/q112/q144, so the audit costs
+    # one doc_id equi-join over the memoized pair set, as documented.
+    pairs = _minhash_verified_pairs(
+        spark,
+        sf_dir,
         threshold=0.5,
         n_hashes=_MH_N,
         band_size=_MH_BAND,
