@@ -352,10 +352,21 @@ def minhash_near_duplicates(
     text_col: str = "text",
     max_bucket: int | None = None,
     sig_agree_min: int | None = None,
+    sh: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signatures -> bands ->
     candidate pairs [-> signature-agreement pre-filter] -> exact-Jaccard
     verify -> threshold.
+
+    ``sh`` / ``sigs`` optionally inject ALREADY-MATERIALIZED shingle /
+    signature tables (they must have been built with the same
+    ``shingle_n`` / ``n_hashes`` / ``id_col`` — the caller owns that
+    consistency): a session that runs several pipelines over one corpus
+    (symmetric near-dup + the delta-vs-index form) computes the two
+    expensive base tables once and feeds every consumer, exactly as a
+    cluster deployment would read per-corpus-snapshot shingle/signature
+    parquet instead of recomputing them per query.
 
     ``sig_agree_min`` enables the estimate gate between candidate
     generation and exact verification (see ``sig_agreement_filter``) —
@@ -370,12 +381,14 @@ def minhash_near_duplicates(
     subtree and dominated the whole pipeline (measured 4-6x the useful
     work). At cluster scale the same role is played by writing the
     shingle/signature tables to parquet once per corpus snapshot."""
-    sh = shingle_distinct(
-        df, n=shingle_n, id_col=id_col, text_col=text_col
-    ).localCheckpoint(eager=True)
-    sigs = minhash_signatures(
-        sh, n_hashes=n_hashes, id_col=id_col
-    ).localCheckpoint(eager=True)
+    if sh is None:
+        sh = shingle_distinct(
+            df, n=shingle_n, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)
+    if sigs is None:
+        sigs = minhash_signatures(
+            sh, n_hashes=n_hashes, id_col=id_col
+        ).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         lsh_bands(sigs, n_hashes=n_hashes, band_size=band_size, id_col=id_col),
         id_col=id_col,

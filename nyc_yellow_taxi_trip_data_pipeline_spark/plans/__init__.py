@@ -32,11 +32,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #     - q192/q194: their layout probes now read the published immutable
 #       layout dirs through `_read_published_parquet` (lesson 32 —
 #       same memo q175/q189 adopted in r15, re-verified then).
-# (b) fill: 41 slots in planner owed order, oldest driver row first —
+#     - q94_incremental_dedup: its delta-vs-index pipeline now reads
+#       the session-memoized shingle/signature BASE tables
+#       (`_minhash_shingle_sigs` — one level below the pair memo; its
+#       asymmetric pair set cannot share the pairs themselves).
+# (b) fill: 40 slots in planner owed order, oldest driver row first —
 #     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
 #     pool. q32/q82/q144/q151/q192/q194 already sit in the owed pool
 #     and are counted under (a).
-# Slot math: 9 (a) + 41 (b) = 50.
+# Slot math: 10 (a) + 40 (b) = 50.
 # Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
 # - q79_curation_funnel: the staged-gate funnel rollup shape is
 #   double-covered by q93_conversion_funnel (r15-green, same
@@ -51,6 +55,10 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #   machinery is double-covered by q104_embedding_drift_audit and
 #   q119_embedding_truncation_audit (both r15-green, same quantized
 #   map-only audit shape over the same embeddings table).
+# - q74_reservoir_topn: the deterministic md5-rank sampling surface is
+#   double-covered by q70_stratified_sample (IN this window, same
+#   md5-fold determinism core) and the per-group window-rank top-k
+#   shape by q18_topk_per_segment (IN this window).
 _PRIORITY = [
     # (a) mandatory: edited this round (shared MinHash build;
     #     memoized published layout reads)
@@ -61,6 +69,7 @@ _PRIORITY = [
     "q112_dup_cluster_histogram",
     "q144_keep_best_dedup",
     "q151_split_leakage_audit",
+    "q94_incremental_dedup",
     "q192_zonemap_layout_skipping",
     "q194_zorder_multidim_skipping",
     # (b) fill: planner's owed order, oldest driver row first
@@ -104,18 +113,17 @@ _PRIORITY = [
     "q71_token_counts",
     "q72_incremental_rollup",
     "q73_kmeans_step",
-    "q74_reservoir_topn",
 ]
 # --- r17 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r16, oldest first: the three r16
-# sit-outs (q79/q80/q75, r12 vintage) then the r13-vintage pool
+# lesson 19) --- owed rows after r16, oldest first: the four r16
+# sit-outs (q79/q80/q75/q74, r12 vintage) then the r13-vintage pool
 # (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/q167-q172/... per
 # window_planner). Any r16-edited or new query is mandatory on top.
 # Budget new queries BEFORE writing them
-# (tests/test_round9_invariants.py staleness ratchet). Known candidate
-# edit for r17: q94_incremental_dedup still builds its own full-corpus
-# shingle/signature pass (same _MH_N dial) — sharing it needs a
-# signature-level memo plus a q94 body edit, i.e. one mandatory slot.
+# (tests/test_round9_invariants.py staleness ratchet). The MinHash
+# sharing ladder is complete: pairs/CC memos (q32 family), base
+# shingle/signature memos (q94, q101's shingle side) — no remaining
+# full-pipeline recomputes in the inventory.
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

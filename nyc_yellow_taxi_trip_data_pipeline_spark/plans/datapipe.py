@@ -369,6 +369,8 @@ def _read_published_parquet(spark: SparkSession, path: str) -> DataFrame:
 # concurrency: worst case a duplicated build, never a torn entry.
 _MINHASH_PAIRS_CACHE: dict = {}
 _MINHASH_CC_CACHE: dict = {}
+_MINHASH_SH_CACHE: dict = {}
+_MINHASH_SIGS_CACHE: dict = {}
 
 
 def _minhash_recipe_key(spark: SparkSession, sf_dir: str, recipe: tuple):
@@ -386,6 +388,51 @@ def _evict_dead_sessions(cache: dict, app_id: str) -> None:
     multi-session process (ADVICE r15)."""
     for old in [k for k in cache if k[0] != app_id]:
         cache.pop(old, None)
+
+
+def _minhash_shingles(
+    spark: SparkSession, sf_dir: str, shingle_n: int = 2
+) -> DataFrame:
+    """Session-memoized distinct shingle table over the documents corpus
+    — the level BELOW the signature memo: shingles depend only on
+    ``shingle_n``, so the 12-hash default dial, the 24-hash sharp dial
+    (q101), and the delta-vs-index pipeline (q94) all read ONE table.
+    Same key discipline and eagerness as ``_minhash_verified_pairs``."""
+    key = _minhash_recipe_key(spark, sf_dir, ("shingles", shingle_n))
+    if key not in _MINHASH_SH_CACHE:
+        _evict_dead_sessions(_MINHASH_SH_CACHE, key[0])
+        docs = read_table(spark, sf_dir, "documents")
+        sh = dd.shingle_distinct(docs, n=shingle_n).localCheckpoint(
+            eager=True
+        )
+        _MINHASH_SH_CACHE.setdefault(key, sh)
+    return _MINHASH_SH_CACHE[key]
+
+
+def _minhash_shingle_sigs(
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_n: int = 2,
+    n_hashes: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized (shingle, signature) table pair — the two
+    expensive corpus-wide base tables every MinHash pipeline starts
+    from. The verified-pair memo builds on top of this, and q94's
+    asymmetric delta-vs-index band join (whose PAIR SET differs from
+    the symmetric build, so it cannot reuse the pair memo) consumes it
+    directly. At cluster scale the same role is played by per-snapshot
+    shingle/signature parquet tables."""
+    key = _minhash_recipe_key(
+        spark, sf_dir, ("shingle_sigs", shingle_n, n_hashes)
+    )
+    if key not in _MINHASH_SIGS_CACHE:
+        _evict_dead_sessions(_MINHASH_SIGS_CACHE, key[0])
+        sh = _minhash_shingles(spark, sf_dir, shingle_n=shingle_n)
+        sigs = dd.minhash_signatures(sh, n_hashes=n_hashes).localCheckpoint(
+            eager=True
+        )
+        _MINHASH_SIGS_CACHE.setdefault(key, (sh, sigs))
+    return _MINHASH_SIGS_CACHE[key]
 
 
 def _minhash_verified_pairs(
@@ -411,6 +458,9 @@ def _minhash_verified_pairs(
     if key not in _MINHASH_PAIRS_CACHE:
         _evict_dead_sessions(_MINHASH_PAIRS_CACHE, key[0])
         docs = read_table(spark, sf_dir, "documents")
+        sh, sigs = _minhash_shingle_sigs(
+            spark, sf_dir, shingle_n=shingle_n, n_hashes=n_hashes
+        )
         pairs = (
             dd.minhash_near_duplicates(
                 docs,
@@ -420,6 +470,8 @@ def _minhash_verified_pairs(
                 shingle_n=shingle_n,
                 max_bucket=max_bucket,
                 sig_agree_min=sig_agree_min,
+                sh=sh,
+                sigs=sigs,
             )
             .select("doc_a", "doc_b", "jaccard")
             .localCheckpoint(eager=True)
@@ -3911,11 +3963,13 @@ def q94_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = docs.filter(is_new)
     index_docs = docs.filter(~is_new)
 
-    # Shared shingle/signature tables (one pass over the full corpus; in
-    # production the index side is a materialized signature table and only
-    # the delta is computed fresh).
-    sh = dd.shingle_distinct(docs, n=2).localCheckpoint(eager=True)
-    sigs = dd.minhash_signatures(sh, n_hashes=_MH_N).localCheckpoint(eager=True)
+    # Session-memoized shingle/signature base tables (same default dial
+    # as the q32 family — the asymmetric delta-vs-index band join below
+    # produces a DIFFERENT pair set than the symmetric build, so only
+    # the base tables are shared, not the verified pairs; in production
+    # the index side is a materialized signature table and only the
+    # delta is computed fresh).
+    sh, sigs = _minhash_shingle_sigs(spark, sf_dir, shingle_n=2, n_hashes=_MH_N)
     bands = dd.lsh_bands(sigs, n_hashes=_MH_N, band_size=_MH_BAND)
     bands_new = bands.join(new_docs.select("doc_id"), "doc_id")
     bands_idx = bands.join(index_docs.select("doc_id"), "doc_id")

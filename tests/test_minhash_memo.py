@@ -101,6 +101,49 @@ def test_memo_dial_isolation_q32_vs_q101(spark, tmp_path):
         assert not problems, problems
 
 
+def test_sigs_memo_shared_below_pair_memo(spark, tmp_path):
+    """The base-table memo (`_minhash_shingle_sigs`) is one level below
+    the pair memo: building pairs must populate it, a direct read must
+    hit the same objects, and the shingle table must be shared across
+    hash dials (shingles don't depend on n_hashes)."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = _write_sf(tmp_path)
+    dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    sh12, sigs12 = dp._minhash_shingle_sigs(
+        spark, sf, shingle_n=2, n_hashes=_RECIPE["n_hashes"]
+    )
+    sh12b, sigs12b = dp._minhash_shingle_sigs(
+        spark, sf, shingle_n=2, n_hashes=_RECIPE["n_hashes"]
+    )
+    assert sh12 is sh12b and sigs12 is sigs12b
+    sh24, sigs24 = dp._minhash_shingle_sigs(
+        spark, sf, shingle_n=2, n_hashes=24
+    )
+    assert sh24 is sh12, "shingles must be shared across hash dials"
+    assert sigs24 is not sigs12, "signatures must NOT cross dials"
+
+
+def test_sigs_memo_rebuilds_on_inplace_regeneration(spark, tmp_path):
+    """q94 consumes the base-table memo directly — a stale signature hit
+    after in-place regeneration would silently dedup the new corpus
+    against the old corpus's signatures."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = str(tmp_path)
+    _write_docs(sf, _corpus())
+    sh_before, _ = dp._minhash_shingle_sigs(spark, sf)
+    n_before = sh_before.count()
+    docs2 = dict(_corpus())
+    docs2[2] = " ".join(f"s5z{i}" for i in range(1, 25))
+    _write_docs(sf, docs2)
+    sh_after, _ = dp._minhash_shingle_sigs(spark, sf)
+    assert sh_after is not sh_before, (
+        "base-table memo served a stale build after in-place regeneration"
+    )
+    assert sh_after.count() != n_before
+
+
 def test_memo_cross_corpus_interleaving(spark, tmp_path):
     """Two corpora interleaved in one session: A, B, then A again —
     each read must return its own corpus's pairs (path+fingerprint in

@@ -221,6 +221,8 @@ def main() -> None:
                 if name in MINHASH_MEMO_QUERIES:
                     _dp._MINHASH_PAIRS_CACHE.clear()
                     _dp._MINHASH_CC_CACHE.clear()
+                    _dp._MINHASH_SH_CACHE.clear()
+                    _dp._MINHASH_SIGS_CACHE.clear()
                 t0 = time.perf_counter()
                 QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
