@@ -36,11 +36,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #       the session-memoized shingle/signature BASE tables
 #       (`_minhash_shingle_sigs` — one level below the pair memo; its
 #       asymmetric pair set cannot share the pairs themselves).
-# (b) fill: 40 slots in planner owed order, oldest driver row first —
+#     - q92/q123: the text-SimHash twin of the same consolidation —
+#       both built the identical tokenize->fingerprint->band->Hamming
+#       pipeline; they now read one memoized pair set
+#       (`_simhash_verified_pairs`).
+# (b) fill: 38 slots in planner owed order, oldest driver row first —
 #     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
 #     pool. q32/q82/q144/q151/q192/q194 already sit in the owed pool
 #     and are counted under (a).
-# Slot math: 10 (a) + 40 (b) = 50.
+# Slot math: 12 (a) + 38 (b) = 50.
 # Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
 # - q79_curation_funnel: the staged-gate funnel rollup shape is
 #   double-covered by q93_conversion_funnel (r15-green, same
@@ -59,6 +63,15 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #   double-covered by q70_stratified_sample (IN this window, same
 #   md5-fold determinism core) and the per-group window-rank top-k
 #   shape by q18_topk_per_segment (IN this window).
+# - q72_incremental_rollup: the partial-merge == direct-aggregation
+#   proof shape is double-covered by q189_partial_agg_rollup
+#   (r15-green, same partial-agg merge machinery) and the time-bucket
+#   agg surface by q07_daily_multi_agg (IN this window).
+# - q73_kmeans_step: the iterative fixpoint surface is re-verified
+#   THIS round by mandatory q68/q112 (hash-min label-propagation loop
+#   on the shared pair graph), and the quantized-integer
+#   argmin/centroid math by q66_ivf_ann (IN this window, the coarse
+#   quantizer q73 refines).
 _PRIORITY = [
     # (a) mandatory: edited this round (shared MinHash build;
     #     memoized published layout reads)
@@ -69,7 +82,9 @@ _PRIORITY = [
     "q112_dup_cluster_histogram",
     "q144_keep_best_dedup",
     "q151_split_leakage_audit",
+    "q92_simhash_neardup",
     "q94_incremental_dedup",
+    "q123_lsh_verify_editdist",
     "q192_zonemap_layout_skipping",
     "q194_zorder_multidim_skipping",
     # (b) fill: planner's owed order, oldest driver row first
@@ -111,19 +126,19 @@ _PRIORITY = [
     "q69_lookback_range_join",
     "q70_stratified_sample",
     "q71_token_counts",
-    "q72_incremental_rollup",
-    "q73_kmeans_step",
 ]
 # --- r17 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r16, oldest first: the four r16
-# sit-outs (q79/q80/q75/q74, r12 vintage) then the r13-vintage pool
-# (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/q167-q172/... per
+# lesson 19) --- owed rows after r16, oldest first: the six r16
+# sit-outs (q79/q80/q75/q74/q73/q72, r12 vintage) then the r13-vintage
+# pool (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/q167-q172/... per
 # window_planner). Any r16-edited or new query is mandatory on top.
 # Budget new queries BEFORE writing them
-# (tests/test_round9_invariants.py staleness ratchet). The MinHash
-# sharing ladder is complete: pairs/CC memos (q32 family), base
-# shingle/signature memos (q94, q101's shingle side) — no remaining
-# full-pipeline recomputes in the inventory.
+# (tests/test_round9_invariants.py staleness ratchet). The near-dup
+# sharing ladders are complete: MinHash pairs/CC memos (q32 family),
+# base shingle/signature memos (q94, q101's shingle side), and the
+# text-SimHash pair memo (q92/q123) — no remaining duplicate
+# full-pipeline builds in the inventory (q113/q150 fingerprint MEDIA
+# payloads, intentionally un-shared).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

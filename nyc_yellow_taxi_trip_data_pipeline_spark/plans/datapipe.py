@@ -371,6 +371,7 @@ _MINHASH_PAIRS_CACHE: dict = {}
 _MINHASH_CC_CACHE: dict = {}
 _MINHASH_SH_CACHE: dict = {}
 _MINHASH_SIGS_CACHE: dict = {}
+_SIMHASH_PAIRS_CACHE: dict = {}
 
 
 def _minhash_recipe_key(spark: SparkSession, sf_dir: str, recipe: tuple):
@@ -388,6 +389,42 @@ def _evict_dead_sessions(cache: dict, app_id: str) -> None:
     multi-session process (ADVICE r15)."""
     for old in [k for k in cache if k[0] != app_id]:
         cache.pop(old, None)
+
+
+def _simhash_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int,
+    n_bands: int,
+    max_hamming: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Session-memoized text-SimHash near-dup pairs (doc_a, doc_b,
+    hamming) over the documents corpus — q92 (the near-dup surface) and
+    q123 (the edit-distance verifier over the SAME pair set) build the
+    identical tokenize -> fingerprint -> band -> Hamming-verify pipeline;
+    one artifact serves both, same key discipline as the MinHash ladder
+    (`_minhash_recipe_key` folds in the corpus fingerprint and the
+    current shuffle layout). pHash consumers (q113/q150) fingerprint
+    media payloads, not text, and stay un-memoized by design."""
+    key = _minhash_recipe_key(
+        spark, sf_dir, ("simhash", n_bits, n_bands, max_hamming, max_bucket)
+    )
+    if key not in _SIMHASH_PAIRS_CACHE:
+        _evict_dead_sessions(_SIMHASH_PAIRS_CACHE, key[0])
+        docs = read_table(spark, sf_dir, "documents")
+        fp = dd.simhash_fingerprints(
+            dd.tokenize_distinct(docs), n_bits=n_bits
+        ).localCheckpoint(eager=True)  # feeds bands + both verify sides
+        pairs = dd.simhash_near_duplicates(
+            fp,
+            n_bits=n_bits,
+            n_bands=n_bands,
+            max_hamming=max_hamming,
+            max_bucket=max_bucket,
+        ).localCheckpoint(eager=True)
+        _SIMHASH_PAIRS_CACHE.setdefault(key, pairs)
+    return _SIMHASH_PAIRS_CACHE[key]
 
 
 def _minhash_shingles(
@@ -3766,12 +3803,12 @@ def _simhash_pairs_sql(
     tags=("dedup", "simhash", "lsh"),
 )
 def q92_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    fp = dd.simhash_fingerprints(
-        dd.tokenize_distinct(docs), n_bits=_SH_BITS
-    ).localCheckpoint(eager=True)  # feeds bands + both verify sides
-    return dd.simhash_near_duplicates(
-        fp,
+    # Shared build: q123 verifies edit distance over this exact pair
+    # set, so the tokenize->fingerprint->band->Hamming pipeline is
+    # session-memoized and computed once per corpus.
+    return _simhash_verified_pairs(
+        spark,
+        sf_dir,
         n_bits=_SH_BITS,
         n_bands=_SH_BANDS,
         max_hamming=_SH_RADIUS,
@@ -6209,11 +6246,11 @@ _EDIT_MAX = 30
 )
 def q123_lsh_verify_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    fp = dd.simhash_fingerprints(
-        dd.tokenize_distinct(docs), n_bits=_SH_BITS
-    ).localCheckpoint(eager=True)
-    pairs = dd.simhash_near_duplicates(
-        fp,
+    # Shared build (same dial as q92): the verifier costs two prefix
+    # joins + a levenshtein over the memoized pair set.
+    pairs = _simhash_verified_pairs(
+        spark,
+        sf_dir,
         n_bits=_SH_BITS,
         n_bands=_SH_BANDS,
         max_hamming=_SH_RADIUS,

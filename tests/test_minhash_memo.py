@@ -144,6 +144,50 @@ def test_sigs_memo_rebuilds_on_inplace_regeneration(spark, tmp_path):
     assert sh_after.count() != n_before
 
 
+_SH_RECIPE = dict(n_bits=60, n_bands=4, max_hamming=3, max_bucket=64)
+
+
+def test_simhash_memo_hit_and_regeneration(spark, tmp_path):
+    """The text-SimHash pair memo (q92/q123's shared build) follows the
+    same key discipline: identical (corpus, dial) hits the cached
+    object; in-place regeneration moves the fingerprint and rebuilds."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = str(tmp_path)
+    _write_docs(sf, _corpus())
+    a = dp._simhash_verified_pairs(spark, sf, **_SH_RECIPE)
+    b = dp._simhash_verified_pairs(spark, sf, **_SH_RECIPE)
+    assert a is b
+    got = {(int(r.doc_a), int(r.doc_b)) for r in a.collect()}
+    assert (1, 2) in got  # identical docs share every band
+
+    docs2 = dict(_corpus())
+    docs2[2] = " ".join(f"s5z{i}" for i in range(1, 25))
+    _write_docs(sf, docs2)
+    c = dp._simhash_verified_pairs(spark, sf, **_SH_RECIPE)
+    assert c is not a, (
+        "SimHash memo served a stale build after in-place regeneration"
+    )
+    assert (1, 2) not in {
+        (int(r.doc_a), int(r.doc_b)) for r in c.collect()
+    }
+
+
+def test_simhash_memo_q92_q123_oracle_parity(spark, tmp_path):
+    """q92 and q123 read the shared SimHash build in one session — each
+    must still match its own oracle on the engineered corpus."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import QUERIES
+    from tools.parity import compare, duck_connection
+
+    sf = _write_sf(tmp_path)
+    for name in ("q92_simhash_neardup", "q123_lsh_verify_editdist"):
+        q = QUERIES[name]
+        got = q.spark(spark, sf).toPandas()
+        duck = duck_connection(sf).execute(q.oracle).fetch_df()
+        problems = compare(f"{name}_memo", got, duck)
+        assert not problems, problems
+
+
 def test_memo_cross_corpus_interleaving(spark, tmp_path):
     """Two corpora interleaved in one session: A, B, then A again —
     each read must return its own corpus's pairs (path+fingerprint in

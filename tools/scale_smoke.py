@@ -210,6 +210,7 @@ def main() -> None:
         "q101_minhash_neardup_sharp",
         "q112_dup_cluster_histogram",
         "q144_keep_best_dedup",
+        "q92_simhash_neardup",
     }
 
     print(f"{'query':32s} {'sf0.1':>8s} {'x' + str(factor):>8s} {'ratio':>7s}")
@@ -223,6 +224,7 @@ def main() -> None:
                     _dp._MINHASH_CC_CACHE.clear()
                     _dp._MINHASH_SH_CACHE.clear()
                     _dp._MINHASH_SIGS_CACHE.clear()
+                    _dp._SIMHASH_PAIRS_CACHE.clear()
                 t0 = time.perf_counter()
                 QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
