@@ -138,7 +138,13 @@ _PRIORITY = [
 # base shingle/signature memos (q94, q101's shingle side), and the
 # text-SimHash pair memo (q92/q123) — no remaining duplicate
 # full-pipeline builds in the inventory (q113/q150 fingerprint MEDIA
-# payloads, intentionally un-shared).
+# payloads, intentionally un-shared). Known candidate edits for r17:
+# the retrieval-eval family q145/q164/q169 each re-run the three ANN
+# pipelines (q34 brute truth, q36 SRP, q66 IVF) as subroutines —
+# ~9 sub-pipeline runs per bench pass; a fingerprint-keyed ranking
+# memo (same machinery as `_minhash_verified_pairs`) would cut ~4-5s
+# but needs THREE mandatory slots (the eval bodies; q34/q36/q66 stay
+# untouched if the memo wraps their registered functions).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()
