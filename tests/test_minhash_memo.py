@@ -188,6 +188,33 @@ def test_simhash_memo_q92_q123_oracle_parity(spark, tmp_path):
         assert not problems, problems
 
 
+def test_dead_session_entries_evicted_on_insert(spark, tmp_path):
+    """ADVICE r15: memo entries from stopped sessions can never be
+    returned (their DataFrames are dead) — inserting under a live
+    session must drop every foreign-applicationId key while keeping
+    the live session's own entries."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = _write_sf(tmp_path)
+    live = dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    live_keys = [
+        k for k in dp._MINHASH_PAIRS_CACHE
+        if k[0] == spark.sparkContext.applicationId
+    ]
+    assert live_keys, "the live session's build must be cached"
+
+    dead_key = ("app-dead-0001",) + live_keys[0][1:]
+    dp._MINHASH_PAIRS_CACHE[dead_key] = object()
+    # Any cold build under the live session triggers eviction-on-insert.
+    dp._minhash_verified_pairs(spark, sf, **{**_RECIPE, "threshold": 0.6})
+    assert dead_key not in dp._MINHASH_PAIRS_CACHE, (
+        "foreign-session entry survived eviction-on-insert"
+    )
+    assert dp._minhash_verified_pairs(spark, sf, **_RECIPE) is live, (
+        "live session's entry must survive the eviction pass"
+    )
+
+
 def test_memo_cross_corpus_interleaving(spark, tmp_path):
     """Two corpora interleaved in one session: A, B, then A again —
     each read must return its own corpus's pairs (path+fingerprint in
