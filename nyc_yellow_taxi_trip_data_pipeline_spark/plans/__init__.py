@@ -40,11 +40,16 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #       both built the identical tokenize->fingerprint->band->Hamming
 #       pipeline; they now read one memoized pair set
 #       (`_simhash_verified_pairs`).
-# (b) fill: 38 slots in planner owed order, oldest driver row first —
+#     - q145/q164/q169: the retrieval evals each re-ran the three ANN
+#       pipelines (q34 brute truth, q36 SRP, q66 IVF) as subroutines;
+#       they now read one memoized ranking set per session
+#       (`_ann_rankings` — q34/q36/q66's own bodies stay un-memoized,
+#       and q34/q66 are IN this window re-verifying the pipelines).
+# (b) fill: 35 slots in planner owed order, oldest driver row first —
 #     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
 #     pool. q32/q82/q144/q151/q192/q194 already sit in the owed pool
 #     and are counted under (a).
-# Slot math: 12 (a) + 38 (b) = 50.
+# Slot math: 15 (a) + 35 (b) = 50.
 # Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
 # - q79_curation_funnel: the staged-gate funnel rollup shape is
 #   double-covered by q93_conversion_funnel (r15-green, same
@@ -72,6 +77,10 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #   on the shared pair graph), and the quantized-integer
 #   argmin/centroid math by q66_ivf_ann (IN this window, the coarse
 #   quantizer q73 refines).
+# - q71_token_counts: the token-regexp counting surface is
+#   double-covered by q116_bpe_apply_merge and q132_vocab_oov_coverage
+#   (both r15-green, same tokenizer machinery) and q155_vocab_growth
+#   (IN this window).
 _PRIORITY = [
     # (a) mandatory: edited this round (shared MinHash build;
     #     memoized published layout reads)
@@ -85,6 +94,9 @@ _PRIORITY = [
     "q92_simhash_neardup",
     "q94_incremental_dedup",
     "q123_lsh_verify_editdist",
+    "q145_ann_recall_eval",
+    "q164_retrieval_rank_eval",
+    "q169_retrieval_ndcg",
     "q192_zonemap_layout_skipping",
     "q194_zorder_multidim_skipping",
     # (b) fill: planner's owed order, oldest driver row first
@@ -99,7 +111,6 @@ _PRIORITY = [
     "q09_quantiles_iqr",
     "q11_summary_stats",
     "q143_completeness_gaps",
-    "q145_ann_recall_eval",
     "q146_integer_ols_trend",
     "q147_cohort_retention",
     "q148_component_variance",
@@ -112,7 +123,6 @@ _PRIORITY = [
     "q157_fd_violation_audit",
     "q158_heavy_hitters",
     "q162_variant_roundtrip",
-    "q164_retrieval_rank_eval",
     "q165_corpus_datasheet",
     "q166_neyman_allocation",
     "q190_processing_time_timer_eviction",
@@ -125,26 +135,21 @@ _PRIORITY = [
     "q66_ivf_ann",
     "q69_lookback_range_join",
     "q70_stratified_sample",
-    "q71_token_counts",
 ]
 # --- r17 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r16, oldest first: the six r16
-# sit-outs (q79/q80/q75/q74/q73/q72, r12 vintage) then the r13-vintage
-# pool (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/q167-q172/... per
-# window_planner). Any r16-edited or new query is mandatory on top.
-# Budget new queries BEFORE writing them
-# (tests/test_round9_invariants.py staleness ratchet). The near-dup
-# sharing ladders are complete: MinHash pairs/CC memos (q32 family),
-# base shingle/signature memos (q94, q101's shingle side), and the
-# text-SimHash pair memo (q92/q123) — no remaining duplicate
-# full-pipeline builds in the inventory (q113/q150 fingerprint MEDIA
-# payloads, intentionally un-shared). Known candidate edits for r17:
-# the retrieval-eval family q145/q164/q169 each re-run the three ANN
-# pipelines (q34 brute truth, q36 SRP, q66 IVF) as subroutines —
-# ~9 sub-pipeline runs per bench pass; a fingerprint-keyed ranking
-# memo (same machinery as `_minhash_verified_pairs`) would cut ~4-5s
-# but needs THREE mandatory slots (the eval bodies; q34/q36/q66 stay
-# untouched if the memo wraps their registered functions).
+# lesson 19) --- owed rows after r16, oldest first: the seven r16
+# sit-outs (q79/q80/q75/q74/q73/q72/q71, r12 vintage) then the
+# r13-vintage pool (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/
+# q167-q172/... per window_planner). Any r16-edited or new query is
+# mandatory on top. Budget new queries BEFORE writing them
+# (tests/test_round9_invariants.py staleness ratchet). The shared-build
+# consolidation is COMPLETE: MinHash pairs/CC memos (q32 family), base
+# shingle/signature memos (q94, q101's shingle side), the text-SimHash
+# pair memo (q92/q123), and the ANN ranking memo (q145/q164/q169 over
+# q34/q36/q66) — no remaining duplicate sub-pipeline builds in the
+# inventory (q113/q150 fingerprint MEDIA payloads, intentionally
+# un-shared; q98/q167's delta-side signature builds are the production
+# shape, per-delta by design).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()
