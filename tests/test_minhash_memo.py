@@ -188,6 +188,48 @@ def test_simhash_memo_q92_q123_oracle_parity(spark, tmp_path):
         assert not problems, problems
 
 
+def test_ann_ranking_memo_hit_and_regeneration(spark, tmp_path):
+    """The ANN ranking memo (q145/q164/q169's shared build) keys on the
+    EMBEDDINGS fingerprint: identical corpus hits the cached dict;
+    regenerating embeddings.parquet in place must rebuild, and the
+    brute ranking must reflect the new vectors."""
+    import numpy as np
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    def write(sf, boost_id):
+        vecs = {
+            i: np.asarray(
+                [1.0 + i, float(i % 3), float(i % 5), 1.0],
+                dtype=np.float32,
+            )
+            for i in range(24)
+        }
+        # make one vector the overwhelming top-cosine hit
+        vecs[boost_id] = np.asarray(
+            [100.0, 0.0, 0.0, 0.0], dtype=np.float32
+        )
+        pdf = pd.DataFrame(
+            {
+                "vec_id": pd.array(list(vecs), dtype="int64"),
+                "embedding": list(vecs.values()),
+                "label": pd.array([i % 4 for i in vecs], dtype="int32"),
+            }
+        )
+        pdf.to_parquet(os.path.join(sf, "embeddings.parquet"), index=False)
+
+    sf = str(tmp_path)
+    write(sf, boost_id=7)
+    a = dp._ann_rankings(spark, sf)
+    assert dp._ann_rankings(spark, sf) is a, "same corpus must hit memo"
+
+    write(sf, boost_id=9)
+    b = dp._ann_rankings(spark, sf)
+    assert b is not a, (
+        "ANN memo served a stale build after in-place regeneration"
+    )
+
+
 def test_dead_session_entries_evicted_on_insert(spark, tmp_path):
     """ADVICE r15: memo entries from stopped sessions can never be
     returned (their DataFrames are dead) — inserting under a live
