@@ -45,12 +45,29 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #       they now read one memoized ranking set per session
 #       (`_ann_rankings` — q34/q36/q66's own bodies stay un-memoized,
 #       and q34/q66 are IN this window re-verifying the pipelines).
-# (b) fill: 35 slots in planner owed order, oldest driver row first —
+#     - q111/q114: both embedded the same DSIR hashed-bigram contrast
+#       construction and each consumed it from THREE subtrees (six
+#       explode+md5 corpus passes per bench pass); they now read one
+#       memoized per-(doc, bucket) count table
+#       (`_dsir_bucket_counts`).
+#     - q45: the capped 3-gram shingle table fed four plan subtrees
+#       with no exchange reuse (8 explode passes per run); now pinned
+#       in-body with an eager localCheckpoint (lesson 24).
+# (b) fill: 32 slots in planner owed order, oldest driver row first —
 #     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
 #     pool. q32/q82/q144/q151/q192/q194 already sit in the owed pool
 #     and are counted under (a).
-# Slot math: 15 (a) + 35 (b) = 50.
+# Slot math: 18 (a) + 32 (b) = 50.
 # Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
+# - q69_lookback_range_join: the event-time lookback/range-join surface
+#   is double-covered by q21's as-of join (r15-green on an engineered
+#   boundary corpus, same time-conditional join core) and
+#   q141_trailing_range_window (r15-green, the same trailing
+#   event-time RANGE frame semantics).
+# - q70_stratified_sample: the deterministic md5-threshold sampling
+#   core is double-covered by q124_hash_threshold_sample (r15-green,
+#   same md5-fold threshold rule) and q106_shard_manifest (r15-green,
+#   same md5-fold assignment + rollup machinery).
 # - q79_curation_funnel: the staged-gate funnel rollup shape is
 #   double-covered by q93_conversion_funnel (r15-green, same
 #   sequential-stage count rollup) and its quality-gate inputs by
@@ -65,9 +82,9 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #   q119_embedding_truncation_audit (both r15-green, same quantized
 #   map-only audit shape over the same embeddings table).
 # - q74_reservoir_topn: the deterministic md5-rank sampling surface is
-#   double-covered by q70_stratified_sample (IN this window, same
+#   double-covered by q124_hash_threshold_sample (r15-green, same
 #   md5-fold determinism core) and the per-group window-rank top-k
-#   shape by q18_topk_per_segment (IN this window).
+#   shape by q58_rank_family (IN this window).
 # - q72_incremental_rollup: the partial-merge == direct-aggregation
 #   proof shape is double-covered by q189_partial_agg_rollup
 #   (r15-green, same partial-agg merge machinery) and the time-bucket
@@ -81,9 +98,13 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 #   double-covered by q116_bpe_apply_merge and q132_vocab_oov_coverage
 #   (both r15-green, same tokenizer machinery) and q155_vocab_growth
 #   (IN this window).
+# - q65_frame_sample: the Arrow-batched multimodal decode machinery is
+#   double-covered by q64_multimodal_resize (IN this window, same
+#   mapInPandas decode core) and the pHash media pipelines q113/q150
+#   (both r15-green over the same media payloads).
 _PRIORITY = [
-    # (a) mandatory: edited this round (shared MinHash build;
-    #     memoized published layout reads)
+    # (a) mandatory: edited this round (shared MinHash/SimHash/ANN/DSIR
+    #     builds; memoized published layout reads)
     "q32_minhash_lsh_neardup",
     "q68_dedup_clusters",
     "q82_triangle_count",
@@ -99,6 +120,9 @@ _PRIORITY = [
     "q169_retrieval_ndcg",
     "q192_zonemap_layout_skipping",
     "q194_zorder_multidim_skipping",
+    "q111_importance_weights",
+    "q114_curated_shard_build",
+    "q45_ngram_jaccard",
     # (b) fill: planner's owed order, oldest driver row first
     "q121_salted_skew_join",
     "q138_star_join_q5",
@@ -131,25 +155,23 @@ _PRIORITY = [
     "q37_text_quality",
     "q58_rank_family",
     "q64_multimodal_resize",
-    "q65_frame_sample",
     "q66_ivf_ann",
-    "q69_lookback_range_join",
-    "q70_stratified_sample",
 ]
 # --- r17 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r16, oldest first: the seven r16
-# sit-outs (q79/q80/q75/q74/q73/q72/q71, r12 vintage) then the
+# lesson 19) --- owed rows after r16, oldest first: the ten r16
+# sit-outs (q79/q80/q75/q74/q73/q72/q71/q69/q70/q65, r12 vintage) then the
 # r13-vintage pool (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/
 # q167-q172/... per window_planner). Any r16-edited or new query is
 # mandatory on top. Budget new queries BEFORE writing them
 # (tests/test_round9_invariants.py staleness ratchet). The shared-build
 # consolidation is COMPLETE: MinHash pairs/CC memos (q32 family), base
 # shingle/signature memos (q94, q101's shingle side), the text-SimHash
-# pair memo (q92/q123), and the ANN ranking memo (q145/q164/q169 over
-# q34/q36/q66) — no remaining duplicate sub-pipeline builds in the
-# inventory (q113/q150 fingerprint MEDIA payloads, intentionally
-# un-shared; q98/q167's delta-side signature builds are the production
-# shape, per-delta by design).
+# pair memo (q92/q123), the ANN ranking memo (q145/q164/q169 over
+# q34/q36/q66), and the DSIR bucket-count memo (q111/q114) — no
+# remaining duplicate sub-pipeline builds in the inventory (q113/q150
+# fingerprint MEDIA payloads, intentionally un-shared; q98/q167's
+# delta-side signature builds are the production shape, per-delta by
+# design).
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

@@ -373,6 +373,7 @@ _MINHASH_SH_CACHE: dict = {}
 _MINHASH_SIGS_CACHE: dict = {}
 _SIMHASH_PAIRS_CACHE: dict = {}
 _ANN_RANKING_CACHE: dict = {}
+_DSIR_BUCKET_CACHE: dict = {}
 
 
 def _minhash_recipe_key(spark: SparkSession, sf_dir: str, recipe: tuple):
@@ -585,6 +586,46 @@ def _minhash_cc_labels(
         labels = dd.connected_components(pairs).localCheckpoint(eager=True)
         _MINHASH_CC_CACHE.setdefault(key, labels)
     return _MINHASH_CC_CACHE[key]
+
+
+def _dsir_bucket_counts(
+    spark: SparkSession, sf_dir: str, n: int = 2
+) -> DataFrame:
+    """Session-memoized (doc_id, bucket, n) table — per-document counts
+    of word-n-gram md5 fingerprints folded to the 256 first-byte
+    buckets: the base table of the DSIR hashed-bigram contrast
+    construction. q111 (ranked importance scores) and q114 (the curated
+    shard manifest, which embeds the same contrast over the same
+    corpus) both derive their target/source bucket totals AND their
+    per-doc bucket counts from it, so ONE explode+md5 pass over the
+    corpus replaces six former subtrees (three per query: target
+    totals, source totals, per-doc counts — each used to re-run the
+    full fingerprint explode). The per-doc aggregation collapses the
+    n-gram mass to at most 256 rows per document BEFORE the pin, so the
+    checkpoint holds bucket counts, never fingerprints. Bucket totals
+    recovered as SUM(n) are exactly the former COUNT(*) over the
+    exploded rows — integer equality, no float path. Same key
+    discipline as every shared-build memo (lesson 35): applicationId +
+    corpus fingerprint + shuffle layout + recipe."""
+    key = _minhash_recipe_key(spark, sf_dir, ("dsir_buckets", n))
+    if key not in _DSIR_BUCKET_CACHE:
+        _evict_dead_sessions(_DSIR_BUCKET_CACHE, key[0])
+        docs = read_table(spark, sf_dir, "documents")
+        bg = dd.ngram_fingerprints(docs, n=n, extra_cols=())
+        bk = bg.select(
+            "doc_id",
+            F.expr(
+                "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
+                " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
+            ).alias("bucket"),
+        )
+        counts = (
+            bk.groupBy("doc_id", "bucket")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        _DSIR_BUCKET_CACHE.setdefault(key, counts)
+    return _DSIR_BUCKET_CACHE[key]
 
 
 # Bump when a recipe ingredient the token cannot see mechanically
@@ -1436,12 +1477,16 @@ def q45_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-hot-shingle window partitions hold O(f) rows — linear, which is
     # the bound the cap exists to enforce on the join. Sizes use the same
     # filtered set so Jaccard's union term stays consistent with the
-    # intersection.
+    # intersection. The capped table feeds FOUR plan subtrees (both
+    # self-join sides + both size lookups) and the planner reuses none of
+    # those exchanges, so pin it once (lesson 24; 8 explode+distinct+
+    # window passes -> 1, measured 2.0 -> 1.6 s isolated at sf0.1).
     wdf = Window.partitionBy("lang", "source", "shingle")
     sh = (
         sh.withColumn("__df", F.count("*").over(wdf))
         .filter(F.col("__df") <= 64)
         .drop("__df")
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(
@@ -5279,24 +5324,20 @@ def q110_streaming_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("training-data", "sampling", "text", "importance"),
 )
 def q111_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    bg = dd.ngram_fingerprints(docs, n=2, extra_cols=())
-    bk = bg.select(
-        "doc_id",
-        F.expr(
-            "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
-            " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
-        ).alias("bucket"),
-    )
+    # Shared build: per-(doc, bucket) bigram-fingerprint counts from the
+    # session memo q114 also consumes (_dsir_bucket_counts). Bucket
+    # totals are integer SUMs of the per-doc counts — exactly the former
+    # COUNT(*) over the exploded fingerprints, no float path.
+    bb = _dsir_bucket_counts(spark, sf_dir, n=2)
     t = (
-        bk.filter(F.col("doc_id") % 19 == 0)
+        bb.filter(F.col("doc_id") % 19 == 0)
         .groupBy("bucket")
-        .agg(F.count("*").alias("t_b"))
+        .agg(F.sum("n").cast("long").alias("t_b"))
     )
     s = (
-        bk.filter(F.col("doc_id") % 19 != 0)
+        bb.filter(F.col("doc_id") % 19 != 0)
         .groupBy("bucket")
-        .agg(F.count("*").alias("s_b"))
+        .agg(F.sum("n").cast("long").alias("s_b"))
     )
     t_total = t.agg(F.sum("t_b").alias("T")).withColumn("__k", F.lit(1))
     s_total = s.agg(F.sum("s_b").alias("S")).withColumn("__k", F.lit(1))
@@ -5316,11 +5357,7 @@ def q111_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * t_b * S) div (s_b * T + 1)").alias("c_b"),
         )
     )
-    doc_counts = (
-        bk.filter(F.col("doc_id") % 19 != 0)
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("n"))
-    )
+    doc_counts = bb.filter(F.col("doc_id") % 19 != 0)
     return (
         doc_counts.join(F.broadcast(c), "bucket")
         .groupBy("doc_id")
@@ -5606,24 +5643,20 @@ def q114_curated_shard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tokens")
     )
-    # DSIR contrast table (q111's construction over the FULL corpus).
-    bg = dd.ngram_fingerprints(docs, n=2, extra_cols=())
-    bk = bg.select(
-        "doc_id",
-        F.expr(
-            "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
-            " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
-        ).alias("bucket"),
-    )
+    # DSIR contrast table (q111's construction over the FULL corpus),
+    # fed by the SAME session-memoized per-(doc, bucket) count table
+    # (_dsir_bucket_counts); bucket totals as integer SUMs of per-doc
+    # counts are exactly the former COUNT(*) over exploded fingerprints.
+    bb = _dsir_bucket_counts(spark, sf_dir, n=2)
     t = (
-        bk.filter(F.col("doc_id") % 19 == 0)
+        bb.filter(F.col("doc_id") % 19 == 0)
         .groupBy("bucket")
-        .agg(F.count("*").alias("t_b"))
+        .agg(F.sum("n").cast("long").alias("t_b"))
     )
     src = (
-        bk.filter(F.col("doc_id") % 19 != 0)
+        bb.filter(F.col("doc_id") % 19 != 0)
         .groupBy("bucket")
-        .agg(F.count("*").alias("s_b"))
+        .agg(F.sum("n").cast("long").alias("s_b"))
     )
     t_total = t.agg(F.sum("t_b").alias("T")).withColumn("__k", F.lit(1))
     s_total = src.agg(F.sum("s_b").alias("S")).withColumn("__k", F.lit(1))
@@ -5640,7 +5673,7 @@ def q114_curated_shard_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s_total), "__k")
         .select("bucket", F.expr("(1000 * t_b * S) div (s_b * T + 1)").alias("c_b"))
     )
-    doc_counts = bk.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    doc_counts = bb
     scored = (
         deduped.join(doc_counts, "doc_id", "left")
         .join(F.broadcast(c), "bucket", "left")

@@ -275,3 +275,61 @@ def test_memo_cross_corpus_interleaving(spark, tmp_path):
     assert (1, 2) in first_a
     assert (1, 2) not in b
     assert first_a == second_a
+
+
+def test_dsir_bucket_memo_hit_equivalence_and_regeneration(spark, tmp_path):
+    """The DSIR bucket-count memo (q111/q114's shared build): identical
+    (corpus, n) hits the cached object; the memoized table equals a
+    direct recompute of the bigram-fingerprint bucket counts row for
+    row; in-place regeneration moves the fingerprint and rebuilds."""
+    from pyspark.sql import functions as F
+
+    from nyc_yellow_taxi_trip_data_pipeline_spark.operators import (
+        dedup as dd,
+    )
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import (
+        datapipe as dp,
+    )
+    from nyc_yellow_taxi_trip_data_pipeline_spark.sources.io import (
+        read_table,
+    )
+
+    sf = str(tmp_path)
+    _write_docs(sf, _corpus())
+    a = dp._dsir_bucket_counts(spark, sf, n=2)
+    b = dp._dsir_bucket_counts(spark, sf, n=2)
+    assert a is b, "identical (corpus, n) key must hit the memo"
+
+    # Row-for-row equivalence against an un-memoized direct build.
+    docs = read_table(spark, sf, "documents")
+    bg = dd.ngram_fingerprints(docs, n=2, extra_cols=())
+    direct = (
+        bg.select(
+            "doc_id",
+            F.expr(
+                "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
+                " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {
+        (int(r.doc_id), int(r.bucket), int(r.n)) for r in a.collect()
+    }
+    want = {
+        (int(r.doc_id), int(r.bucket), int(r.n))
+        for r in direct.collect()
+    }
+    assert got == want, "memoized bucket counts diverge from direct build"
+
+    # In-place regeneration must rebuild (fingerprint in the key).
+    docs2 = dict(_corpus())
+    docs2[1] = "entirely new words " + " ".join(
+        f"zq{i}" for i in range(40)
+    )
+    _write_docs(sf, docs2)
+    c = dp._dsir_bucket_counts(spark, sf, n=2)
+    assert c is not a, (
+        "DSIR memo served a stale build after in-place regeneration"
+    )

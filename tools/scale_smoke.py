@@ -211,6 +211,10 @@ def main() -> None:
         "q112_dup_cluster_histogram",
         "q144_keep_best_dedup",
         "q92_simhash_neardup",
+        # DSIR shared-build consumers (r16): clear the bucket-count memo
+        # so the 10x row times the real explode+md5 build, not a hit.
+        "q111_importance_weights",
+        "q114_curated_shard_build",
     }
 
     print(f"{'query':32s} {'sf0.1':>8s} {'x' + str(factor):>8s} {'ratio':>7s}")
@@ -225,6 +229,7 @@ def main() -> None:
                     _dp._MINHASH_SH_CACHE.clear()
                     _dp._MINHASH_SIGS_CACHE.clear()
                     _dp._SIMHASH_PAIRS_CACHE.clear()
+                    _dp._DSIR_BUCKET_CACHE.clear()
                 t0 = time.perf_counter()
                 QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
