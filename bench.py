@@ -134,6 +134,21 @@ def main() -> None:
         "reps": passes_done,
         "agg": "min",
     }
+    # Shared-build accounting (r17, VERDICT r16 item #1 — additions
+    # only): the session-memoized family builds (MinHash pairs/CC,
+    # SimHash pairs, ANN rankings, DSIR buckets) land on rep 1 of their
+    # first consumer and are excluded from every per-query MIN, so
+    # `value` alone understates a cold session by this one-time cost.
+    # The memo fills record their exclusive wall seconds per family
+    # (plans/datapipe.shared_build_seconds); report the sum + breakdown
+    # alongside the unchanged totals.
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import (  # noqa: E402
+        datapipe as _datapipe,
+    )
+
+    builds = _datapipe.shared_build_seconds(spark.sparkContext.applicationId)
+    result["shared_build_sec"] = round(sum(builds.values()), 3)
+    result["shared_builds"] = builds
     if errors:
         result["errors"] = errors
 

@@ -376,21 +376,87 @@ _ANN_RANKING_CACHE: dict = {}
 _DSIR_BUCKET_CACHE: dict = {}
 
 
-def _minhash_recipe_key(spark: SparkSession, sf_dir: str, recipe: tuple):
+def _minhash_recipe_key(
+    spark: SparkSession, sf_dir: str, recipe: tuple, table: str = "documents"
+):
+    # sf_dir rides along EXPLICITLY (the fingerprint token hashes it in,
+    # so the token alone cannot tell "same corpus regenerated in place"
+    # from "a different corpus at another path") — stale-fingerprint
+    # eviction needs that distinction (ADVICE r16, _evict_stale).
     return (
         spark.sparkContext.applicationId,
-        _data_fingerprint_token(sf_dir, "documents"),
+        sf_dir,
+        _data_fingerprint_token(sf_dir, table),
         spark.conf.get("spark.sql.shuffle.partitions"),
         recipe,
     )
 
 
-def _evict_dead_sessions(cache: dict, app_id: str) -> None:
-    """Drop memo entries from stopped sessions (their DataFrames can
-    never be returned again) — keeps the dict bounded in a long-lived
-    multi-session process (ADVICE r15)."""
-    for old in [k for k in cache if k[0] != app_id]:
+def _evict_stale(cache: dict, key: tuple) -> None:
+    """Drop memo entries that can never be returned again: keys from
+    stopped sessions (ADVICE r15), and — ADVICE r16 — same-session keys
+    for the SAME (sf_dir, layout, recipe) whose data fingerprint
+    differs: after an in-place testdata regeneration the old-fingerprint
+    entry is unreachable forever, yet its eager-localCheckpoint blocks
+    would stay pinned for the session's lifetime. Different-corpus
+    (other sf_dir) and different-layout entries stay — cross-corpus
+    interleaving and the 32<->7 layout-flip sweep legitimately read
+    them again. Popping the dict reference IS the release mechanism:
+    localCheckpoint blocks are unpersisted by Spark's ContextCleaner
+    once the plan object becomes unreachable (there is no public eager
+    unpersist for a checkpointed DataFrame)."""
+    app = key[0]
+    for old in [
+        k
+        for k in cache
+        if k[0] != app
+        or (k[:2] == key[:2] and k[3:] == key[3:] and k != key)
+    ]:
         cache.pop(old, None)
+
+
+# One-time shared-build wall seconds per (applicationId, family) —
+# bench.py reports their sum as ``shared_build_sec`` so that the cost
+# min-of-N per-query timings exclude by construction (the family build
+# lands on rep 1 of its first consumer and every min drops it) is
+# first-class in the committed numbers instead of invisible
+# (VERDICT r16 item #1). Driver-side floats, a few entries per session.
+_SHARED_BUILD_SECONDS: dict = {}
+
+
+def _app_build_total(app_id: str) -> float:
+    return sum(s for (a, _), s in _SHARED_BUILD_SECONDS.items() if a == app_id)
+
+
+def shared_build_seconds(app_id: str) -> dict:
+    """Per-family EXCLUSIVE build seconds recorded for ``app_id`` (nested
+    fills — pairs -> sigs -> shingles — record under their own family,
+    so the values sum without double counting)."""
+    return {
+        fam: round(s, 3)
+        for (a, fam), s in sorted(_SHARED_BUILD_SECONDS.items())
+        if a == app_id
+    }
+
+
+def _memo_fill(cache: dict, key: tuple, family: str, build) -> None:
+    """Shared miss path for every shared-build memo: evict stale keys,
+    run ``build()`` with exclusive wall-time accounting, publish via
+    setdefault (plain-dict concurrency: worst case a duplicated build,
+    never a torn entry — unchanged from the per-memo inline form)."""
+    import time as _time
+
+    _evict_stale(cache, key)
+    nested0 = _app_build_total(key[0])
+    t0 = _time.perf_counter()
+    val = build()
+    elapsed = _time.perf_counter() - t0
+    nested = _app_build_total(key[0]) - nested0
+    k = (key[0], family)
+    _SHARED_BUILD_SECONDS[k] = _SHARED_BUILD_SECONDS.get(k, 0.0) + max(
+        0.0, elapsed - nested
+    )
+    cache.setdefault(key, val)
 
 
 def _simhash_verified_pairs(
@@ -413,19 +479,21 @@ def _simhash_verified_pairs(
         spark, sf_dir, ("simhash", n_bits, n_bands, max_hamming, max_bucket)
     )
     if key not in _SIMHASH_PAIRS_CACHE:
-        _evict_dead_sessions(_SIMHASH_PAIRS_CACHE, key[0])
-        docs = read_table(spark, sf_dir, "documents")
-        fp = dd.simhash_fingerprints(
-            dd.tokenize_distinct(docs), n_bits=n_bits
-        ).localCheckpoint(eager=True)  # feeds bands + both verify sides
-        pairs = dd.simhash_near_duplicates(
-            fp,
-            n_bits=n_bits,
-            n_bands=n_bands,
-            max_hamming=max_hamming,
-            max_bucket=max_bucket,
-        ).localCheckpoint(eager=True)
-        _SIMHASH_PAIRS_CACHE.setdefault(key, pairs)
+
+        def _build() -> DataFrame:
+            docs = read_table(spark, sf_dir, "documents")
+            fp = dd.simhash_fingerprints(
+                dd.tokenize_distinct(docs), n_bits=n_bits
+            ).localCheckpoint(eager=True)  # feeds bands + both verify sides
+            return dd.simhash_near_duplicates(
+                fp,
+                n_bits=n_bits,
+                n_bands=n_bands,
+                max_hamming=max_hamming,
+                max_bucket=max_bucket,
+            ).localCheckpoint(eager=True)
+
+        _memo_fill(_SIMHASH_PAIRS_CACHE, key, "simhash_pairs", _build)
     return _SIMHASH_PAIRS_CACHE[key]
 
 
@@ -440,24 +508,23 @@ def _ann_rankings(spark: SparkSession, sf_dir: str) -> dict:
     memos but on the EMBEDDINGS fingerprint (the only table all three
     read); results are tiny ranked lists, so the eager checkpoints pin
     kilobytes."""
-    key = (
-        spark.sparkContext.applicationId,
-        _data_fingerprint_token(sf_dir, "embeddings"),
-        spark.conf.get("spark.sql.shuffle.partitions"),
-        ("ann_rankings",),
+    key = _minhash_recipe_key(
+        spark, sf_dir, ("ann_rankings",), table="embeddings"
     )
     if key not in _ANN_RANKING_CACHE:
-        _evict_dead_sessions(_ANN_RANKING_CACHE, key[0])
-        val = {
-            "brute": q34_embedding_topk(spark, sf_dir).localCheckpoint(
-                eager=True
-            ),
-            "srp": q36_ann_srp_bucket(spark, sf_dir).localCheckpoint(
-                eager=True
-            ),
-            "ivf": q66_ivf_ann(spark, sf_dir).localCheckpoint(eager=True),
-        }
-        _ANN_RANKING_CACHE.setdefault(key, val)
+
+        def _build() -> dict:
+            return {
+                "brute": q34_embedding_topk(spark, sf_dir).localCheckpoint(
+                    eager=True
+                ),
+                "srp": q36_ann_srp_bucket(spark, sf_dir).localCheckpoint(
+                    eager=True
+                ),
+                "ivf": q66_ivf_ann(spark, sf_dir).localCheckpoint(eager=True),
+            }
+
+        _memo_fill(_ANN_RANKING_CACHE, key, "ann_rankings", _build)
     return _ANN_RANKING_CACHE[key]
 
 
@@ -471,12 +538,14 @@ def _minhash_shingles(
     Same key discipline and eagerness as ``_minhash_verified_pairs``."""
     key = _minhash_recipe_key(spark, sf_dir, ("shingles", shingle_n))
     if key not in _MINHASH_SH_CACHE:
-        _evict_dead_sessions(_MINHASH_SH_CACHE, key[0])
-        docs = read_table(spark, sf_dir, "documents")
-        sh = dd.shingle_distinct(docs, n=shingle_n).localCheckpoint(
-            eager=True
-        )
-        _MINHASH_SH_CACHE.setdefault(key, sh)
+
+        def _build() -> DataFrame:
+            docs = read_table(spark, sf_dir, "documents")
+            return dd.shingle_distinct(docs, n=shingle_n).localCheckpoint(
+                eager=True
+            )
+
+        _memo_fill(_MINHASH_SH_CACHE, key, "minhash_shingles", _build)
     return _MINHASH_SH_CACHE[key]
 
 
@@ -497,12 +566,15 @@ def _minhash_shingle_sigs(
         spark, sf_dir, ("shingle_sigs", shingle_n, n_hashes)
     )
     if key not in _MINHASH_SIGS_CACHE:
-        _evict_dead_sessions(_MINHASH_SIGS_CACHE, key[0])
-        sh = _minhash_shingles(spark, sf_dir, shingle_n=shingle_n)
-        sigs = dd.minhash_signatures(sh, n_hashes=n_hashes).localCheckpoint(
-            eager=True
-        )
-        _MINHASH_SIGS_CACHE.setdefault(key, (sh, sigs))
+
+        def _build() -> tuple:
+            sh = _minhash_shingles(spark, sf_dir, shingle_n=shingle_n)
+            sigs = dd.minhash_signatures(
+                sh, n_hashes=n_hashes
+            ).localCheckpoint(eager=True)
+            return (sh, sigs)
+
+        _memo_fill(_MINHASH_SIGS_CACHE, key, "minhash_sigs", _build)
     return _MINHASH_SIGS_CACHE[key]
 
 
@@ -527,27 +599,29 @@ def _minhash_verified_pairs(
         (threshold, n_hashes, band_size, shingle_n, max_bucket, sig_agree_min),
     )
     if key not in _MINHASH_PAIRS_CACHE:
-        _evict_dead_sessions(_MINHASH_PAIRS_CACHE, key[0])
-        docs = read_table(spark, sf_dir, "documents")
-        sh, sigs = _minhash_shingle_sigs(
-            spark, sf_dir, shingle_n=shingle_n, n_hashes=n_hashes
-        )
-        pairs = (
-            dd.minhash_near_duplicates(
-                docs,
-                threshold=threshold,
-                n_hashes=n_hashes,
-                band_size=band_size,
-                shingle_n=shingle_n,
-                max_bucket=max_bucket,
-                sig_agree_min=sig_agree_min,
-                sh=sh,
-                sigs=sigs,
+
+        def _build() -> DataFrame:
+            docs = read_table(spark, sf_dir, "documents")
+            sh, sigs = _minhash_shingle_sigs(
+                spark, sf_dir, shingle_n=shingle_n, n_hashes=n_hashes
             )
-            .select("doc_a", "doc_b", "jaccard")
-            .localCheckpoint(eager=True)
-        )
-        _MINHASH_PAIRS_CACHE.setdefault(key, pairs)
+            return (
+                dd.minhash_near_duplicates(
+                    docs,
+                    threshold=threshold,
+                    n_hashes=n_hashes,
+                    band_size=band_size,
+                    shingle_n=shingle_n,
+                    max_bucket=max_bucket,
+                    sig_agree_min=sig_agree_min,
+                    sh=sh,
+                    sigs=sigs,
+                )
+                .select("doc_a", "doc_b", "jaccard")
+                .localCheckpoint(eager=True)
+            )
+
+        _memo_fill(_MINHASH_PAIRS_CACHE, key, "minhash_pairs", _build)
     return _MINHASH_PAIRS_CACHE[key]
 
 
@@ -572,19 +646,21 @@ def _minhash_cc_labels(
         (threshold, n_hashes, band_size, shingle_n, max_bucket, sig_agree_min),
     )
     if key not in _MINHASH_CC_CACHE:
-        _evict_dead_sessions(_MINHASH_CC_CACHE, key[0])
-        pairs = _minhash_verified_pairs(
-            spark,
-            sf_dir,
-            threshold=threshold,
-            n_hashes=n_hashes,
-            band_size=band_size,
-            shingle_n=shingle_n,
-            max_bucket=max_bucket,
-            sig_agree_min=sig_agree_min,
-        ).select("doc_a", "doc_b")
-        labels = dd.connected_components(pairs).localCheckpoint(eager=True)
-        _MINHASH_CC_CACHE.setdefault(key, labels)
+
+        def _build() -> DataFrame:
+            pairs = _minhash_verified_pairs(
+                spark,
+                sf_dir,
+                threshold=threshold,
+                n_hashes=n_hashes,
+                band_size=band_size,
+                shingle_n=shingle_n,
+                max_bucket=max_bucket,
+                sig_agree_min=sig_agree_min,
+            ).select("doc_a", "doc_b")
+            return dd.connected_components(pairs).localCheckpoint(eager=True)
+
+        _memo_fill(_MINHASH_CC_CACHE, key, "minhash_cc", _build)
     return _MINHASH_CC_CACHE[key]
 
 
@@ -609,22 +685,24 @@ def _dsir_bucket_counts(
     corpus fingerprint + shuffle layout + recipe."""
     key = _minhash_recipe_key(spark, sf_dir, ("dsir_buckets", n))
     if key not in _DSIR_BUCKET_CACHE:
-        _evict_dead_sessions(_DSIR_BUCKET_CACHE, key[0])
-        docs = read_table(spark, sf_dir, "documents")
-        bg = dd.ngram_fingerprints(docs, n=n, extra_cols=())
-        bk = bg.select(
-            "doc_id",
-            F.expr(
-                "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
-                " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
-            ).alias("bucket"),
-        )
-        counts = (
-            bk.groupBy("doc_id", "bucket")
-            .agg(F.count("*").alias("n"))
-            .localCheckpoint(eager=True)
-        )
-        _DSIR_BUCKET_CACHE.setdefault(key, counts)
+
+        def _build() -> DataFrame:
+            docs = read_table(spark, sf_dir, "documents")
+            bg = dd.ngram_fingerprints(docs, n=n, extra_cols=())
+            bk = bg.select(
+                "doc_id",
+                F.expr(
+                    "(instr('0123456789abcdef', substr(ng, 1, 1)) - 1) * 16"
+                    " + (instr('0123456789abcdef', substr(ng, 2, 1)) - 1)"
+                ).alias("bucket"),
+            )
+            return (
+                bk.groupBy("doc_id", "bucket")
+                .agg(F.count("*").alias("n"))
+                .localCheckpoint(eager=True)
+            )
+
+        _memo_fill(_DSIR_BUCKET_CACHE, key, "dsir_buckets", _build)
     return _DSIR_BUCKET_CACHE[key]
 
 

@@ -257,6 +257,67 @@ def test_dead_session_entries_evicted_on_insert(spark, tmp_path):
     )
 
 
+def test_stale_fingerprint_entry_evicted_on_insert(spark, tmp_path):
+    """ADVICE r16: after an in-place regeneration the old-fingerprint
+    key (same session, same sf_dir, same recipe + layout) is
+    unreachable forever — the refill must pop it instead of pinning its
+    eager-checkpoint blocks for the session's lifetime. Cross-corpus
+    entries (another sf_dir, same recipe) must SURVIVE the pass: they
+    are live and interleaved reads hit them again."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = os.path.join(str(tmp_path), "a")
+    other = os.path.join(str(tmp_path), "b")
+    os.makedirs(sf)
+    os.makedirs(other)
+    _write_docs(sf, _corpus())
+    _write_docs(other, {k: v for k, v in _corpus().items() if k != 1})
+    dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    other_df = dp._minhash_verified_pairs(spark, other, **_RECIPE)
+    app = spark.sparkContext.applicationId
+    old_keys = [
+        k for k in dp._MINHASH_PAIRS_CACHE if k[0] == app and k[1] == sf
+    ]
+    assert len(old_keys) == 1
+
+    docs2 = dict(_corpus())
+    docs2[2] = " ".join(f"s5z{i}" for i in range(1, 25))
+    _write_docs(sf, docs2)
+    dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    keys_now = [
+        k for k in dp._MINHASH_PAIRS_CACHE if k[0] == app and k[1] == sf
+    ]
+    assert old_keys[0] not in keys_now, (
+        "stale-fingerprint entry survived the refill (ADVICE r16 leak)"
+    )
+    assert len(keys_now) == 1
+    assert dp._minhash_verified_pairs(spark, other, **_RECIPE) is other_df, (
+        "cross-corpus entry must survive a stale-fingerprint eviction"
+    )
+
+
+def test_shared_build_seconds_accounting(spark, tmp_path):
+    """bench.py's shared_build_sec source: a cold pair build records
+    positive EXCLUSIVE seconds under every level it filled (pairs ->
+    sigs -> shingles, each under its own family, so the values sum
+    without double counting), and a memo hit records nothing more."""
+    from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe as dp
+
+    sf = _write_sf(tmp_path)
+    app = spark.sparkContext.applicationId
+    before = dp.shared_build_seconds(app)
+    dp._minhash_verified_pairs(spark, sf, **_RECIPE)
+    after = dp.shared_build_seconds(app)
+    for fam in ("minhash_pairs", "minhash_sigs", "minhash_shingles"):
+        assert after.get(fam, 0.0) > before.get(fam, 0.0), (
+            f"cold build did not record exclusive seconds for {fam}"
+        )
+    dp._minhash_verified_pairs(spark, sf, **_RECIPE)  # memo hit
+    assert dp.shared_build_seconds(app) == after, (
+        "a memo hit must not record additional build seconds"
+    )
+
+
 def test_memo_cross_corpus_interleaving(spark, tmp_path):
     """Two corpora interleaved in one session: A, B, then A again —
     each read must return its own corpus's pairs (path+fingerprint in

@@ -204,13 +204,28 @@ def main() -> None:
         datapipe as _dp,
     )
 
+    # EVERY consumer of a shared-build memo (lesson 35's clear-list
+    # trap, re-closed r17 after VERDICT r16 found q151 + the ANN family
+    # missing): a consumer absent from this set would time memo HITS in
+    # its 10x row and the scale frontier would silently vanish.
     MINHASH_MEMO_QUERIES = {
+        # MinHash pair/CC ladder
         "q32_minhash_lsh_neardup",
         "q68_dedup_clusters",
+        "q82_triangle_count",
         "q101_minhash_neardup_sharp",
         "q112_dup_cluster_histogram",
         "q144_keep_best_dedup",
+        "q151_split_leakage_audit",
+        # shingle/signature base tables (asymmetric delta-vs-index form)
+        "q94_incremental_dedup",
+        # SimHash pair ladder
         "q92_simhash_neardup",
+        "q123_lsh_verify_editdist",
+        # ANN rankings (q34/q36/q66 results scored by the evals)
+        "q145_ann_recall_eval",
+        "q164_retrieval_rank_eval",
+        "q169_retrieval_ndcg",
         # DSIR shared-build consumers (r16): clear the bucket-count memo
         # so the 10x row times the real explode+md5 build, not a hit.
         "q111_importance_weights",
@@ -229,6 +244,7 @@ def main() -> None:
                     _dp._MINHASH_SH_CACHE.clear()
                     _dp._MINHASH_SIGS_CACHE.clear()
                     _dp._SIMHASH_PAIRS_CACHE.clear()
+                    _dp._ANN_RANKING_CACHE.clear()
                     _dp._DSIR_BUCKET_CACHE.clear()
                 t0 = time.perf_counter()
                 QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
