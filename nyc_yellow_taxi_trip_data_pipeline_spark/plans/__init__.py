@@ -17,161 +17,108 @@ from nyc_yellow_taxi_trip_data_pipeline_spark.plans import datapipe  # noqa: E40
 
 # The external driver verifies the FIRST 50 registered queries against the
 # DuckDB oracle (CORRECTNESS_r{N}.json has a 50-row budget). Registration
-# order therefore decides which queries earn a hard external row. The r16
-# window is the r15 verdict's item #1 (shared MinHash build) plus the
-# planner's owed rotation:
-# (a) MANDATORY (edited this round):
-#     - q32/q68/q101/q112/q144 + q82/q151 (both already owed fills):
-#       the MinHash near-dup family now reads ONE fingerprint-keyed
-#       session-memoized verified-pair build (`_minhash_verified_pairs`
-#       / `_minhash_cc_labels`) instead of seven full shingle->
-#       signature->band->verify recomputes (~25 s of the 184 s r15
-#       bench). Values are unchanged by construction, but the plan
-#       bodies changed, so the ratchet correctly forces all seven
-#       through the window.
-#     - q192/q194: their layout probes now read the published immutable
-#       layout dirs through `_read_published_parquet` (lesson 32 —
-#       same memo q175/q189 adopted in r15, re-verified then).
-#     - q94_incremental_dedup: its delta-vs-index pipeline now reads
-#       the session-memoized shingle/signature BASE tables
-#       (`_minhash_shingle_sigs` — one level below the pair memo; its
-#       asymmetric pair set cannot share the pairs themselves).
-#     - q92/q123: the text-SimHash twin of the same consolidation —
-#       both built the identical tokenize->fingerprint->band->Hamming
-#       pipeline; they now read one memoized pair set
-#       (`_simhash_verified_pairs`).
-#     - q145/q164/q169: the retrieval evals each re-ran the three ANN
-#       pipelines (q34 brute truth, q36 SRP, q66 IVF) as subroutines;
-#       they now read one memoized ranking set per session
-#       (`_ann_rankings` — q34/q36/q66's own bodies stay un-memoized,
-#       and q34/q66 are IN this window re-verifying the pipelines).
-#     - q111/q114: both embedded the same DSIR hashed-bigram contrast
-#       construction and each consumed it from THREE subtrees (six
-#       explode+md5 corpus passes per bench pass); they now read one
-#       memoized per-(doc, bucket) count table
-#       (`_dsir_bucket_counts`).
-#     - q45: the capped 3-gram shingle table fed four plan subtrees
-#       with no exchange reuse (8 explode passes per run); now pinned
-#       in-body with an eager localCheckpoint (lesson 24).
-# (b) fill: 32 slots in planner owed order, oldest driver row first —
-#     the two r11 sit-outs now owed (q121/q138) plus the r12-vintage
-#     pool. q32/q82/q144/q151/q192/q194 already sit in the owed pool
-#     and are counted under (a).
-# Slot math: 18 (a) + 32 (b) = 50.
-# Sit-outs (owed r12 rows NOT fitting, double-coverage rationales):
-# - q69_lookback_range_join: the event-time lookback/range-join surface
-#   is double-covered by q21's as-of join (r15-green on an engineered
-#   boundary corpus, same time-conditional join core) and
-#   q141_trailing_range_window (r15-green, the same trailing
-#   event-time RANGE frame semantics).
-# - q70_stratified_sample: the deterministic md5-threshold sampling
-#   core is double-covered by q124_hash_threshold_sample (r15-green,
-#   same md5-fold threshold rule) and q106_shard_manifest (r15-green,
-#   same md5-fold assignment + rollup machinery).
-# - q79_curation_funnel: the staged-gate funnel rollup shape is
-#   double-covered by q93_conversion_funnel (r15-green, same
-#   sequential-stage count rollup) and its quality-gate inputs by
-#   q103_repetition_filters (r15-green) + q37_text_quality (IN this
-#   window).
-# - q80_stream_static_join: the micro-batch trigger loop is re-verified
-#   by the ten r15-green streaming rows (q110/q115/q133/q134/q135/...)
-#   and the static-dim broadcast side by q06_left_join_dim (IN this
-#   window, same dim join shape).
-# - q75_embedding_quantize: the integer-quantized embedding-audit
-#   machinery is double-covered by q104_embedding_drift_audit and
-#   q119_embedding_truncation_audit (both r15-green, same quantized
-#   map-only audit shape over the same embeddings table).
-# - q74_reservoir_topn: the deterministic md5-rank sampling surface is
-#   double-covered by q124_hash_threshold_sample (r15-green, same
-#   md5-fold determinism core) and the per-group window-rank top-k
-#   shape by q58_rank_family (IN this window).
-# - q72_incremental_rollup: the partial-merge == direct-aggregation
-#   proof shape is double-covered by q189_partial_agg_rollup
-#   (r15-green, same partial-agg merge machinery) and the time-bucket
-#   agg surface by q07_daily_multi_agg (IN this window).
-# - q73_kmeans_step: the iterative fixpoint surface is re-verified
-#   THIS round by mandatory q68/q112 (hash-min label-propagation loop
-#   on the shared pair graph), and the quantized-integer
-#   argmin/centroid math by q66_ivf_ann (IN this window, the coarse
-#   quantizer q73 refines).
-# - q71_token_counts: the token-regexp counting surface is
-#   double-covered by q116_bpe_apply_merge and q132_vocab_oov_coverage
-#   (both r15-green, same tokenizer machinery) and q155_vocab_growth
-#   (IN this window).
-# - q65_frame_sample: the Arrow-batched multimodal decode machinery is
-#   double-covered by q64_multimodal_resize (IN this window, same
-#   mapInPandas decode core) and the pHash media pipelines q113/q150
-#   (both r15-green over the same media payloads).
+# order therefore decides which queries earn a hard external row. The r17
+# window is the planner's PURE mechanical rotation — r17 edited ZERO plan
+# bodies (the round's work was measurement integrity: bench shared-build
+# accounting, memo stale-entry eviction, scale/skew evidence — all in
+# helpers/tools/tests, hash-neutral by design, lesson 33), so the
+# mandatory tier is empty and all 50 slots go to the owed pool, oldest
+# driver row first: the eleven r12-vintage rows that sat out r16
+# (q65/q69/q70/q71/q72/q73/q74/q75/q79/q80/q84) and the oldest 39 of the
+# r13-vintage pool. The r16 window (18 edited + fills) is fully
+# r16-verified, so rotating it out costs nothing.
+# Slot math: 0 mandatory + 50 fill = 50.
+# Sit-outs (r13-vintage rows NOT fitting — lost the registration-order
+# tiebreak within their vintage; double-coverage rationales):
+# - q63_date_math: projection-only date arithmetic (datediff/date_add/
+#   last_day/date_trunc on orders) — double-covered by
+#   q44_streaming_hourly (IN this window, date_trunc bucketing on event
+#   time) and q147_cohort_retention (r16-green, month-offset cohort
+#   date arithmetic on the same orders table).
+# - q76_stream_stream_join: the stream-stream equi-join machinery is
+#   double-covered by q133_stream_outer_join (r15-green — the OUTER
+#   form strictly supersets the inner join's row handling plus the
+#   watermark-eviction path) and q80_stream_static_join (IN this
+#   window, the trigger/replay harness shared by the family).
+# - q86_trimmed_mean_udaf_bounded: the bounded Arrow-UDAF machinery is
+#   double-covered by q178_arrow_python_udf (IN this window, same
+#   Arrow-batched Python boundary) and the exact trimmed/fence
+#   arithmetic by q140_winsorized_mean (r15-green, same exact-fence
+#   trimming core) + q84_grouped_sketch_quantiles (IN this window).
+# - q98_incremental_dedup_indexed: the persisted fingerprint-keyed
+#   signature-index machinery is double-covered by q167_keep_best_indexed
+#   (IN this window — the SAME `_signature_index` build/read path,
+#   lesson 25) and the delta-vs-index asymmetric band join by
+#   q94_incremental_dedup (r16-green).
+# The next-owed rows after these four are all r14-vintage
+# (q100/q12/q131/q13/q14/q159/q15/q16/q170/q17/q18) — they sit out on
+# vintage order alone (normal rotation; first in line for r18).
 _PRIORITY = [
-    # (a) mandatory: edited this round (shared MinHash/SimHash/ANN/DSIR
-    #     builds; memoized published layout reads)
-    "q32_minhash_lsh_neardup",
-    "q68_dedup_clusters",
-    "q82_triangle_count",
-    "q101_minhash_neardup_sharp",
-    "q112_dup_cluster_histogram",
-    "q144_keep_best_dedup",
-    "q151_split_leakage_audit",
-    "q92_simhash_neardup",
-    "q94_incremental_dedup",
-    "q123_lsh_verify_editdist",
-    "q145_ann_recall_eval",
-    "q164_retrieval_rank_eval",
-    "q169_retrieval_ndcg",
-    "q192_zonemap_layout_skipping",
-    "q194_zorder_multidim_skipping",
-    "q111_importance_weights",
-    "q114_curated_shard_build",
-    "q45_ngram_jaccard",
-    # (b) fill: planner's owed order, oldest driver row first
-    "q121_salted_skew_join",
-    "q138_star_join_q5",
-    "q01_pricing_summary",
-    "q02_clean_features",
-    "q05_route_topk",
-    "q06_left_join_dim",
-    "q07_daily_multi_agg",
-    "q08_argmax_day",
-    "q09_quantiles_iqr",
-    "q11_summary_stats",
-    "q143_completeness_gaps",
-    "q146_integer_ols_trend",
-    "q147_cohort_retention",
-    "q148_component_variance",
-    "q149_cross_language_dups",
-    "q150_media_neardup_capped",
-    "q152_source_overlap_matrix",
-    "q153_domain_rank",
-    "q155_vocab_growth",
-    "q156_l_diversity_audit",
-    "q157_fd_violation_audit",
-    "q158_heavy_hitters",
-    "q162_variant_roundtrip",
-    "q165_corpus_datasheet",
-    "q166_neyman_allocation",
-    "q190_processing_time_timer_eviction",
-    "q193_event_time_timer_eviction",
-    "q34_embedding_topk",
-    "q37_text_quality",
-    "q58_rank_family",
-    "q64_multimodal_resize",
-    "q66_ivf_ann",
+    # planner fill, oldest driver row first (r12 vintage...)
+    "q65_frame_sample",
+    "q69_lookback_range_join",
+    "q70_stratified_sample",
+    "q71_token_counts",
+    "q72_incremental_rollup",
+    "q73_kmeans_step",
+    "q74_reservoir_topn",
+    "q75_embedding_quantize",
+    "q79_curation_funnel",
+    "q80_stream_static_join",
+    "q84_grouped_sketch_quantiles",
+    # (...then r13 vintage)
+    "q03_filter_group_count",
+    "q04_null_counts",
+    "q10_histogram",
+    "q130_streaming_late_drop",
+    "q135_streaming_dedup_within_watermark",
+    "q154_streaming_union_watermarks",
+    "q160_python_datasource_scan",
+    "q161_session_window_batch",
+    "q163_cuped_adjusted_ab",
+    "q167_keep_best_indexed",
+    "q168_bpe_train_loop",
+    "q171_batch_ann_topk",
+    "q172_streaming_session_window",
+    "q173_chi2_independence",
+    "q174_temperature_mix",
+    "q176_hard_negative_mining",
+    "q177_shuffle_interleave_audit",
+    "q178_arrow_python_udf",
+    "q179_observed_metrics",
+    "q180_cohens_kappa",
+    "q181_ece_calibration",
+    "q182_editdist_neardup",
+    "q183_bm25_rational_rank",
+    "q184_markov_transitions",
+    "q185_pareto_frontier",
+    "q186_scd2_history",
+    "q187_runtime_bloom_join",
+    "q188_spearman_trend",
+    "q30_dedup_exact",
+    "q33_simhash",
+    "q38_lang_id",
+    "q39_fingerprint",
+    "q40_multimodal_meta",
+    "q41_multimodal_decode",
+    "q42_approx_sketches",
+    "q44_streaming_hourly",
+    "q56_regex_extract",
+    "q57_grouping_sets",
+    "q61_conditional_aggs",
 ]
-# --- r17 rotation preview (slot arithmetic for the next window rewrite,
-# lesson 19) --- owed rows after r16, oldest first: the ten r16
-# sit-outs (q79/q80/q75/q74/q73/q72/q71/q69/q70/q65, r12 vintage) then the
-# r13-vintage pool (q03/q04/q10/q84/q130/q135/q154/q160/q161/q163/
-# q167-q172/... per window_planner). Any r16-edited or new query is
-# mandatory on top. Budget new queries BEFORE writing them
+# --- r18 preview (slot arithmetic for the next window rewrite, lesson
+# 19) --- owed rows after r17, oldest first: the four r13 sit-outs
+# above (q63/q76/q86/q98), then the r14-vintage pool (q100/q12/q131/
+# q13/q14/q159/q15/q16/q170/q17/q18/...). Any r17-edited or new query
+# is mandatory on top — r17 edited none, so the r18 mandatory tier
+# starts empty too. Budget new queries BEFORE writing them
 # (tests/test_round9_invariants.py staleness ratchet). The shared-build
-# consolidation is COMPLETE: MinHash pairs/CC memos (q32 family), base
-# shingle/signature memos (q94, q101's shingle side), the text-SimHash
-# pair memo (q92/q123), the ANN ranking memo (q145/q164/q169 over
-# q34/q36/q66), and the DSIR bucket-count memo (q111/q114) — no
-# remaining duplicate sub-pipeline builds in the inventory (q113/q150
-# fingerprint MEDIA payloads, intentionally un-shared; q98/q167's
-# delta-side signature builds are the production shape, per-delta by
-# design).
+# consolidation remains COMPLETE (see the r16 note in git history);
+# r17 re-measured and REJECTED the two remaining candidates with
+# committed evidence (plans/r17/: q172 state partitions, q157 shared
+# scan), so no duplicate sub-pipeline builds remain anywhere in the
+# inventory.
 QUERIES_ORDERED = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 QUERIES_ORDERED.update(QUERIES)
 QUERIES.clear()

@@ -52,9 +52,11 @@ def main() -> None:
         times: dict[str, list[float]] = {"on": [], "off": []}
         for r in range(reps):
             for arm in ("on", "off"):
+                # NOTE: never clear _PARQUET_DF_CACHE here — the bypass
+                # ignores it, and clearing would force the NEXT on-rep
+                # to refill (both arms would then pay the listing cost
+                # and the A/B would read as a null result by design).
                 dp._read_published_parquet = real if arm == "on" else bypass
-                if arm == "off":
-                    dp._PARQUET_DF_CACHE.clear()
                 t0 = time.perf_counter()
                 q.spark(spark, SF_DIR).write.format("noop").mode(
                     "overwrite"
